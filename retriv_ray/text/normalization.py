@@ -1,0 +1,62 @@
+"""Text normalizers with semantics identical to the reference.
+
+Reference: retriv/sparse_retriever/preprocessing/normalization.py:7-41.
+Each function is a pure ``str -> str`` map; they are applied per turn
+inside ``map_batches`` (see retriv_ray.text.pipeline). The exact
+composition order matters for score parity and is replicated in
+``pipeline.preprocess`` (reference preprocessing/__init__.py:31-63).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+# reference normalization.py:19-23 — curly quotes / acute accent /
+# en-dash mapped onto ASCII equivalents ('-' maps to itself).
+_SPECIAL_CHARS_TRANS = {ord(a): ord(b) for a, b in zip("‘’´“”–-", "'''\"\"--")}
+
+# reference normalization.py:26-27 — drop '.' unless followed by
+# (non-space char then a char other than '.'/' ') or a digit:
+# "a.b.c." -> "abc" but "foo.bar" and "a.b@hello.com" survive.
+_ACRONYMS_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
+
+# reference normalization.py:30-32 — every ASCII punctuation char
+# becomes a space (note '&' was already expanded to " and " earlier
+# in the chain, reference preprocessing/__init__.py:37-38).
+_PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
+
+
+def lowercasing(x: str) -> str:
+    """reference normalization.py:7-8"""
+    return x.lower()
+
+
+def normalize_ampersand(x: str) -> str:
+    """reference normalization.py:11-12"""
+    return x.replace("&", " and ")
+
+
+def normalize_special_chars(x: str) -> str:
+    """reference normalization.py:19-23"""
+    return x.translate(_SPECIAL_CHARS_TRANS)
+
+
+def normalize_acronyms(x: str) -> str:
+    """reference normalization.py:26-27"""
+    return _ACRONYMS_RE.sub("", x)
+
+
+def remove_punctuation(x: str) -> str:
+    """reference normalization.py:30-32"""
+    return x.translate(_PUNCT_TRANS)
+
+
+def strip_whitespaces(x: str) -> str:
+    """reference normalization.py:35-41 — strip then collapse runs of
+    ASCII spaces (other whitespace is left alone; the whitespace
+    tokenizer splits on it anyway)."""
+    x = x.strip()
+    while "  " in x:
+        x = x.replace("  ", " ")
+    return x

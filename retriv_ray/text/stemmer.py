@@ -1,0 +1,39 @@
+"""Stemmer registry.
+
+Reference: retriv/sparse_retriever/preprocessing/stemmer.py:10-223
+resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
+None of those packages is available here; we ship a from-scratch
+Porter2 implementation (retriv_ray.text.porter2) for the default
+"english" stemmer — the reference's "english" is NLTK's Snowball
+english (stemmer.py:23), i.e. the same published Porter2 algorithm.
+Other names raise with a clear message; custom callables pass
+through; ``None`` -> identity (reference stemmer.py:215-223).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+from retriv_ray.text.porter2 import stem as english_stem
+from retriv_ray.text.tokenizer import identity_function
+
+_STEMMERS = {"english": english_stem}
+
+
+def get_stemmer(stemmer: Union[str, Callable, None]) -> Callable:
+    """reference stemmer.py:209-223 (named set limited to english)."""
+    if isinstance(stemmer, str):
+        name = stemmer.lower()
+        if name not in _STEMMERS:
+            raise NotImplementedError(
+                f"Stemmer {stemmer!r} requires NLTK/PyStemmer which are "
+                f"not available; 'english' (Porter2) ships with "
+                f"retriv_ray, or pass a custom callable."
+            )
+        return _STEMMERS[name]
+    elif callable(stemmer):
+        return stemmer
+    elif stemmer is None:
+        return identity_function
+    else:
+        raise NotImplementedError
