@@ -1,0 +1,185 @@
+"""Scoring kernels — rank/score-identical to the reference numba code.
+
+Reference files:
+- retriv/sparse_retriever/sparse_retrieval_models/bm25.py:16-59
+- retriv/sparse_retriever/sparse_retrieval_models/tf_idf.py:16-57
+- retriv/utils/numba_utils.py (union/intersect/diff/unsorted_top_k)
+
+Parity notes (each deliberate):
+- Accumulation: per query-term, IN QUERY-TERM ORDER, into a float32
+  scores array; the per-term contribution is computed in float64
+  (python-float hyperparams promote) then truncated on the fancy-index
+  ``+=`` store — the same IEEE op sequence as the numba kernel, so
+  scores match bit-for-bit.
+- ``idf`` is pre-cast to float32 exactly like ``bm25.py:43-44``.
+- ``unsorted_top_k`` (numba_utils.py:143-158) zero-initializes its
+  heap and admits values with strict ``>``, so only docs with score
+  > 0 can enter the cutoff; when fewer than k positive docs exist the
+  remaining slots stay (index 0, 0.0) — replicated, including the
+  resulting padding rows.
+- Boundary ties: the reference's replace-min loop keeps an
+  unspecified member of a tied boundary group (and final
+  ``np.argsort(-scores)`` is unstable, bm25.py:57). We make both
+  deterministic: boundary ties keep the lowest candidate position and
+  final order is (-score, doc_id). Reference tests assert score
+  values only (tests/sparse_retriever/search_engine_test.py:34-111),
+  so this is conformant; documented as the one tie-order deviation.
+- ``score_dtype="float64"`` switches the whole accumulation to
+  float64 — used for SQL-oracle comparison (DuckDB computes in
+  float64), never for reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# Sorted-set ops (reference numba_utils.py:6-118). Inputs/outputs are
+# ascending unique int arrays; numpy set routines have identical
+# semantics to the reference's merge loops.
+def union_sorted(a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
+    return np.union1d(a1, a2)
+
+
+def union_sorted_multi(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    if len(arrays) == 1:
+        return arrays[0]
+    out = np.unique(np.concatenate(arrays))
+    return out.astype(arrays[0].dtype, copy=False)
+
+
+def intersect_sorted(a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
+    return np.intersect1d(a1, a2, assume_unique=True)
+
+
+def intersect_sorted_multi(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    a = arrays[0]
+    for other in arrays[1:]:
+        a = np.intersect1d(a, other, assume_unique=True)
+    return a
+
+
+def diff_sorted(a1: np.ndarray, a2: np.ndarray) -> np.ndarray:
+    return np.setdiff1d(a1, a2, assume_unique=True)
+
+
+def concat1d(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    return np.concatenate(arrays)
+
+
+def unsorted_top_k(array: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized equivalent of reference numba_utils.py:143-158.
+
+    Returns (values, indices) of the k largest STRICTLY-POSITIVE
+    entries; short groups are padded with (0.0, index 0) exactly like
+    the reference's zero-initialized heap. Boundary ties keep the
+    earliest index (the reference keeps an unspecified member; see
+    module docstring).
+    """
+    pos = np.flatnonzero(array > 0)
+    if len(pos) >= k:
+        order = np.argsort(-array[pos], kind="stable")[:k]
+        sel = pos[order]
+        return array[sel], sel.astype(np.int64)
+    values = np.zeros(k, dtype=array.dtype)
+    indices = np.zeros(k, dtype=np.int64)
+    n = len(pos)
+    values[:n] = array[pos]
+    indices[:n] = pos
+    return values, indices
+
+
+def _candidates(
+    doc_ids: Sequence[np.ndarray],
+    operator: str,
+    subset_doc_ids: Optional[np.ndarray],
+) -> np.ndarray:
+    if operator == "AND":
+        unique = intersect_sorted_multi(doc_ids)
+    elif operator == "OR":
+        unique = union_sorted_multi(doc_ids)
+    else:
+        raise ValueError(f"operator must be AND or OR, got {operator!r}")
+    if subset_doc_ids is not None:
+        unique = np.intersect1d(unique, subset_doc_ids, assume_unique=True)
+    return unique
+
+
+def _finalize(
+    unique_doc_ids: np.ndarray, scores: np.ndarray, cutoff: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    scores = scores[unique_doc_ids]
+    if cutoff < len(scores):
+        scores, idx = unsorted_top_k(scores, cutoff)
+        unique_doc_ids = unique_doc_ids[idx]
+    # deterministic (-score, doc_id); reference uses unstable
+    # argsort(-scores) (bm25.py:57).
+    order = np.lexsort((unique_doc_ids, -scores))
+    return unique_doc_ids[order], scores[order]
+
+
+def bm25(
+    b: float,
+    k1: float,
+    term_doc_freqs: Sequence[np.ndarray],
+    doc_ids: Sequence[np.ndarray],
+    relative_doc_lens: np.ndarray,
+    doc_count: int,
+    cutoff: int,
+    operator: str = "OR",
+    subset_doc_ids: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """reference bm25.py:16-59. ``relative_doc_lens`` must be the
+    float32 full-corpus array (doc_lens / float32-mean)."""
+    unique = _candidates(doc_ids, operator, subset_doc_ids)
+    scores = np.zeros(doc_count, dtype=dtype)
+    for i in range(len(term_doc_freqs)):
+        indices = doc_ids[i]
+        freqs = term_doc_freqs[i]
+        df = dtype(len(indices))
+        idf = dtype(np.log(1.0 + (((doc_count - df) + 0.5) / (df + 0.5))))
+        # Explicit float64 intermediates: the numba kernel promotes
+        # float64-scalar * float32-array to a float64 array, while
+        # numpy's legacy value-based casting would keep it float32 —
+        # a 1-ulp divergence. The float64 result truncates to the
+        # score dtype on the fancy-index store, the same IEEE op
+        # sequence as numba's element loop (bm25.py:46-49).
+        rel64 = relative_doc_lens[indices].astype(np.float64)
+        scores[indices] += idf * (
+            (freqs * (k1 + 1.0))
+            / (freqs + k1 * (1.0 - b + (b * rel64)))
+        )
+    return _finalize(unique, scores, cutoff)
+
+
+def tf_idf(
+    term_doc_freqs: Sequence[np.ndarray],
+    doc_ids: Sequence[np.ndarray],
+    doc_lens: np.ndarray,
+    cutoff: int,
+    operator: str = "OR",
+    subset_doc_ids: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """reference tf_idf.py:16-57. ``doc_lens`` is the float32
+    full-corpus array; doc_count = len(doc_lens) exactly as the
+    reference does (tf_idf.py:33)."""
+    unique = _candidates(doc_ids, operator, subset_doc_ids)
+    doc_count = len(doc_lens)
+    scores = np.zeros(doc_count, dtype=dtype)
+    dl = doc_lens if dtype == np.float32 else doc_lens.astype(np.float64)
+    for i in range(len(term_doc_freqs)):
+        indices = doc_ids[i]
+        # Cast to the score dtype BEFORE dividing: the reference
+        # divides int16 tfs by float32 doc_lens which numba/numpy keep
+        # in float32; our int32 tfs would promote to float64 and break
+        # bit parity (tf counts are exactly representable in float32).
+        freqs = term_doc_freqs[i].astype(dtype)
+        tf = freqs / dl[indices]
+        df = dtype(len(indices))
+        idf = dtype(np.log((1.0 + doc_count) / (1.0 + df)) + 1.0)
+        scores[indices] += tf * idf
+    return _finalize(unique, scores, cutoff)
