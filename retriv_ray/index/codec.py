@@ -1,0 +1,132 @@
+"""Posting-list compression: delta + LEB128 varint in 128-entry blocks.
+
+The reference keeps postings as raw ``np.int32`` arrays inside one
+pickled dict (reference build_inverted_index.py:9-26,
+sparse_retriever.py:124-138). At 10^12 turns that layout is the
+scalability wall; we store postings as Parquet segment rows with
+
+    doc_bytes : binary — concatenated per-block varint streams; the
+                first doc_id of each block is absolute, the rest are
+                deltas (ascending doc_ids -> small deltas);
+    tf_bytes  : binary — plain varints;
+    counts    : list<int32> — entries per block (<= BLOCK);
+    last      : list<int64> — last doc_id per block (skip pointers);
+    max_tf    : list<int32> — per-block tf upper bound (block-max
+                metadata for score-safe WAND/MaxScore pruning; stored
+                hyperparameter-free: the BM25 bound is derived from
+                max_tf at query time for the active (b, k1)).
+
+Each block is independently decodable, so partial postings built in
+separate (part, salt) shuffle groups concatenate block-wise without
+re-encoding (doc-id-range salts guarantee ascending order across
+partials). Encode/decode are vectorized numpy (no per-value Python
+loop): encode scatters the k-th byte of every value in one op per
+byte position; decode classifies terminal bytes, derives per-byte
+in-group positions, and reduces 7-bit groups with
+``np.add.reduceat``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+BLOCK = 128
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += v >= t
+    offs = np.cumsum(nb) - nb
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        idx = offs[mask] + k
+        byte = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
+        out[idx] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 stream to a uint64 array (vectorized)."""
+    u8 = np.frombuffer(buf, dtype=np.uint8)
+    if u8.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    terminal = u8 < 128
+    ends = np.flatnonzero(terminal)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    gid = np.cumsum(terminal) - terminal  # group index per byte
+    pos = np.arange(u8.size, dtype=np.int64) - starts[gid]
+    contrib = (u8.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray
+) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one term's (ascending doc_ids, tfs) into block streams.
+
+    Returns (doc_bytes, tf_bytes, counts, last, max_tf). Deltas are
+    computed within blocks only; the first entry of each block stays
+    absolute so blocks decode independently (and partials merge by
+    concatenation).
+    """
+    n = len(doc_ids)
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    starts = np.arange(n_blocks, dtype=np.int64) * BLOCK
+    counts = np.minimum(starts + BLOCK, n) - starts
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0:1] = ids[0:1]
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[starts] = ids[starts]  # block-first entries stay absolute
+    doc_bytes = varint_encode(deltas.astype(np.uint64))
+    tf_bytes = varint_encode(tf.astype(np.uint64))
+    last = ids[np.minimum(starts + counts - 1, n - 1)]
+    max_tf = np.maximum.reduceat(tf, starts) if n else np.empty(0, np.int64)
+    return (
+        doc_bytes,
+        tf_bytes,
+        counts.astype(np.int32),
+        last.astype(np.int64),
+        max_tf.astype(np.int32),
+    )
+
+
+def decode_postings(
+    doc_bytes: bytes, tf_bytes: bytes, counts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode block streams back to (doc_ids int64, tfs int32)."""
+    deltas = varint_decode(doc_bytes).astype(np.int64)
+    tfs = varint_decode(tf_bytes).astype(np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    c = np.cumsum(deltas)
+    base = (c[starts] - deltas[starts]) if len(deltas) else np.empty(0, np.int64)
+    doc_ids = c - np.repeat(base, counts)
+    return doc_ids, tfs.astype(np.int32)
+
+
+def concat_partials(parts: list) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge per-salt partial encodings of one term (salt order ==
+    ascending doc_id ranges): pure concatenation, no re-encoding."""
+    doc_bytes = b"".join(p[0] for p in parts)
+    tf_bytes = b"".join(p[1] for p in parts)
+    counts = np.concatenate([p[2] for p in parts])
+    last = np.concatenate([p[3] for p in parts])
+    max_tf = np.concatenate([p[4] for p in parts])
+    return doc_bytes, tf_bytes, counts, last, max_tf
