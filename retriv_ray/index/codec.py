@@ -121,6 +121,79 @@ def decode_postings(
     return doc_ids, tfs.astype(np.int32)
 
 
+def encode_grouped_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    t_starts: np.ndarray,
+    t_counts: np.ndarray,
+):
+    """Encode MANY terms' postings in one vectorized pass.
+
+    ``doc_ids``/``tfs`` are the concatenated, (term, doc_id)-sorted
+    pair arrays of a whole shuffle partition; ``t_starts``/``t_counts``
+    delimit each term's slice. All delta/varint work happens in a
+    single numpy pass over the partition; the per-term Python loop
+    afterwards only slices bytes. Returns a list of per-term tuples
+    ``(doc_bytes, tf_bytes, counts, last, max_tf)`` compatible with
+    ``encode_postings`` output.
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    t_starts = np.asarray(t_starts, dtype=np.int64)
+    t_counts = np.asarray(t_counts, dtype=np.int64)
+    n = len(ids)
+    if n == 0:
+        return []
+    # global block structure (blocks never span terms)
+    nb_t = (t_counts + BLOCK - 1) // BLOCK
+    first_block = np.cumsum(nb_t) - nb_t
+    total_blocks = int(nb_t.sum())
+    rep_start = np.repeat(t_starts, nb_t)
+    block_ord = np.arange(total_blocks, dtype=np.int64) - np.repeat(first_block, nb_t)
+    b_starts = rep_start + block_ord * BLOCK
+    b_ends = np.minimum(b_starts + BLOCK, np.repeat(t_starts + t_counts, nb_t))
+    b_counts = b_ends - b_starts
+    # deltas with absolute block-first values
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = ids[0]
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[b_starts] = ids[b_starts]
+    # one varint pass for the whole partition, then per-value byte
+    # lengths -> per-term byte spans
+    u = deltas.astype(np.uint64)
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += u >= t
+    doc_all = varint_encode(u)
+    byte_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    ut = tf.astype(np.uint64)
+    tbytes_n = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        tbytes_n += ut >= t
+    tf_all = varint_encode(ut)
+    tbyte_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tbytes_n, out=tbyte_off[1:])
+    # per-block metadata
+    last_all = ids[b_ends - 1]
+    max_tf_all = np.maximum.reduceat(tf, b_starts)
+    out = []
+    t_ends = t_starts + t_counts
+    for i in range(len(t_starts)):
+        s, e = t_starts[i], t_ends[i]
+        fb, nb = first_block[i], nb_t[i]
+        out.append(
+            (
+                doc_all[byte_off[s] : byte_off[e]],
+                tf_all[tbyte_off[s] : tbyte_off[e]],
+                b_counts[fb : fb + nb].astype(np.int32),
+                last_all[fb : fb + nb],
+                max_tf_all[fb : fb + nb].astype(np.int32),
+            )
+        )
+    return out
+
+
 def concat_partials(parts: list) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
     """Merge per-salt partial encodings of one term (salt order ==
     ascending doc_id ranges): pure concatenation, no re-encoding."""

@@ -81,3 +81,22 @@ def test_compression_is_effective():
     # delta+varint: ~1 byte/doc vs 8 raw
     assert len(db) < len(ids) * 1.3
     assert len(tb) == len(ids)
+
+
+def test_grouped_encode_matches_single():
+    rng = np.random.RandomState(3)
+    t_counts = rng.randint(1, 400, size=30)
+    t_starts = np.cumsum(t_counts) - t_counts
+    ids_parts, tf_parts = [], []
+    for c in t_counts:
+        ids_parts.append(np.unique(rng.randint(0, 10**7, size=c * 2))[:c])
+        tf_parts.append(rng.randint(1, 50, size=c).astype(np.int32))
+    ids = np.concatenate(ids_parts)
+    tfs = np.concatenate(tf_parts)
+    grouped = codec.encode_grouped_postings(ids, tfs, t_starts, t_counts)
+    for i, (s, c) in enumerate(zip(t_starts, t_counts)):
+        single = codec.encode_postings(ids[s : s + c], tfs[s : s + c])
+        assert grouped[i][0] == single[0]
+        assert grouped[i][1] == single[1]
+        for j in range(2, 5):
+            assert np.array_equal(grouped[i][j], single[j])
