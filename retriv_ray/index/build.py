@@ -1,0 +1,607 @@
+"""Distributed inverted-index build — the Ray Data spine.
+
+Replaces the reference's driver-resident build
+(retriv/sparse_retriever/build_inverted_index.py:29-66: one
+CountVectorizer CSR matrix in RAM) with a streaming shuffle build:
+
+    read_parquet(conv_id, turn_idx, text)              [column-pruned read]
+      ├─ groupby(conv_id).count/min/max                [shuffle A: conv-level, small]
+      │    └─ sort(conv_id) → prefix-sum → conv_offsets (conv_id, base, n_turns)
+      │       broadcast (ray.put) as sorted arrays; doc_id = base + turn_idx
+      │       replicates the reference's enumeration-order internal ids
+      │       (base_retriever.py:56-62) under stable (conv_id, turn_idx) order.
+      ├─ map_batches(_TokenizePartials, actor pool)    [stateful: stemmer/memo/conv map]
+      │    emits per-batch PARTIAL postings — one row per (term, doc-shard)
+      │    with list<doc_id>, list<tf> — i.e. the combiner runs before the
+      │    shuffle, so the exchange moves per-term partials, not
+      │    (term, doc, tf) pairs. Per-shard doc-length rows ride the same
+      │    exchange under a reserved part index.
+      └─ groupby(gkey).map_groups(_reduce_group)       [shuffle B: THE term shuffle]
+           gkey = shard * (P+1) + part,
+           part  = crc32(term) % P        (explicit, deterministic hash partitioning)
+           shard = doc_id // shard_docs   (doc-range sharding = hot-term skew
+                                           splitting: a hot term's postings are
+                                           spread across shards; each group is
+                                           bounded by shard_docs * avg_len / P)
+           each group lexsorts (term, doc_id), block-encodes via
+           encode_grouped_postings, writes segments/seg-SSSSS-PPPP.parquet
+           atomically + a lineage record → resumable mid-shuffle.
+      └─ read segments(term, df, cf) → groupby(term).sum → terms/ table
+           [shuffle C: vocab-sized global df/cf + min_df pruning]
+      └─ manifest.json (stats, config, fingerprint)
+
+Scale notes (10^12 turns, 256 nodes):
+- The only all-to-all over full data volume is shuffle B, and it moves
+  compressed list-column partials (ascending doc_ids inside a batch).
+- conv_offsets is gathered to the driver and broadcast once via
+  ``ray.put`` (np.searchsorted lookup per batch). That holds to ~1e8
+  conversations; beyond that the documented path is a bucketed hash
+  join of turns against conv_offsets on conv_id (same key both sides).
+- Resume: every (shard, part) group is idempotent — write-to-temp +
+  rename, lineage record carries the build fingerprint; a re-run
+  recomputes upstream tokenization (stateless) but skips the encode +
+  write of completed groups (manifest.py).
+- Determinism: segment bytes are independent of batching/parallelism
+  (per-group lexsort over globally unique (term, doc_id) pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from retriv_ray.config import SparseConfig
+from retriv_ray.index import codec
+from retriv_ray.index import manifest as mf
+from retriv_ray.text.pipeline import TextPreprocessor
+
+# Reserved part index for doc-length rows (gkey = shard*(P+1) + P).
+PAIR_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("term", pa.string()),
+        ("doc_ids", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+    ]
+)
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("doc_bytes", pa.binary()),
+        ("tf_bytes", pa.binary()),
+        ("counts", pa.list_(pa.int32())),
+        ("last", pa.list_(pa.int64())),
+        ("max_tf", pa.list_(pa.int32())),
+    ]
+)
+
+
+def term_part(term: str, num_parts: int) -> int:
+    """Deterministic cross-process term hash partition (python's
+    ``hash`` is salted per process — never use it for routing)."""
+    return zlib.crc32(term.encode("utf-8")) % num_parts
+
+
+def _term_parts_np(terms: np.ndarray, num_parts: int) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % num_parts for t in terms),
+        dtype=np.int64,
+        count=len(terms),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_id assignment: conv offsets
+# ---------------------------------------------------------------------------
+
+
+def compute_conv_offsets(ds) -> Tuple[pa.Table, int]:
+    """(conv_id, base, n_turns) sorted by conv_id; doc_id = base + turn_idx.
+
+    Validates the FIXTURES.md F1 invariant that turn_idx is 0-based
+    and contiguous per conversation (otherwise base+turn_idx would not
+    reproduce enumeration order and we fail loudly).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = (
+        ds.groupby("conv_id")
+        .aggregate(Count(), Min("turn_idx"), Max("turn_idx"))
+        .sort("conv_id")
+    )
+    t = pa.Table.from_batches(_gather(agg))
+    conv = t.column("conv_id").to_pylist()
+    n = t.column("count()").to_numpy()
+    tmin = t.column("min(turn_idx)").to_numpy()
+    tmax = t.column("max(turn_idx)").to_numpy()
+    if len(n) and (tmin.min() != 0 or not np.array_equal(tmax + 1, n)):
+        bad = np.flatnonzero((tmin != 0) | (tmax + 1 != n))[:5]
+        raise ValueError(
+            "turn_idx must be 0-based and contiguous per conv_id; "
+            f"violations e.g. conv_ids {[conv[i] for i in bad]}"
+        )
+    base = np.cumsum(n) - n
+    table = pa.Table.from_arrays(
+        [
+            pa.array(conv, type=pa.string()),
+            pa.array(base, type=pa.int64()),
+            pa.array(n, type=pa.int64()),
+        ],
+        names=["conv_id", "base", "n_turns"],
+    )
+    return table, int(n.sum())
+
+
+def _gather(ds) -> List[pa.RecordBatch]:
+    """Small-dataset gather to driver as record batches."""
+    import ray
+
+    out: List[pa.RecordBatch] = []
+    for ref in ds.to_arrow_refs():
+        t = ray.get(ref)
+        out.extend(t.to_batches())
+    if not out:
+        raise ValueError("empty input dataset")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# map side: tokenize + per-batch partial postings
+# ---------------------------------------------------------------------------
+
+
+class _TokenizePartials:
+    """Actor-pool stage: stateful TextPreprocessor (stemmer memo,
+    compiled regexes — built ONCE per actor) + broadcast conv-offset
+    arrays (``ray.get`` once per actor, zero-copy from object store).
+
+    Per pyarrow batch, fully vectorized after tokenization:
+    token→code via one dict pass, then lexsort/reduceat to per-(term,
+    doc) tfs, then run-splitting by (term, shard) into list columns.
+    """
+
+    def __init__(self, cfg: SparseConfig, conv_map_ref, num_parts: int, shard_docs: int):
+        import ray
+
+        self.pre = TextPreprocessor(cfg)
+        self.convs, self.bases = ray.get(conv_map_ref)
+        self.P = num_parts
+        self.shard_docs = shard_docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        P, shard_docs = self.P, self.shard_docs
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        pos = np.searchsorted(self.convs, conv)
+        doc_ids = self.bases[pos] + turn
+
+        texts = batch.column("text").to_pylist()
+        tokens = self.pre.tokens_many("" if t is None else t for t in texts)
+
+        # flat (term_code, doc) pairs
+        vocab: Dict[str, int] = {}
+        codes: List[int] = []
+        reps = np.empty(len(texts), dtype=np.int64)
+        setd = vocab.setdefault
+        for i, toks in enumerate(tokens):
+            reps[i] = len(toks)
+            for t in toks:
+                codes.append(setd(t, len(vocab)))
+        doc_lens = reps
+        code_arr = np.asarray(codes, dtype=np.int64)
+        doc_rep = np.repeat(doc_ids, reps)
+
+        rows_gkey: List[np.ndarray] = []
+        rows_term: List[np.ndarray] = []
+        offsets = [0]
+        flat_docs: List[np.ndarray] = []
+        flat_tfs: List[np.ndarray] = []
+
+        if len(code_arr):
+            order = np.lexsort((doc_rep, code_arr))
+            c_s, d_s = code_arr[order], doc_rep[order]
+            # collapse duplicate (term, doc) to tf counts
+            new = np.empty(len(c_s), dtype=bool)
+            new[0] = True
+            new[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, len(c_s))).astype(np.int32)
+            u_code, u_doc = c_s[starts], d_s[starts]
+            # split runs at (term, shard) boundaries
+            shard = u_doc // shard_docs
+            brk = np.empty(len(u_code), dtype=bool)
+            brk[0] = True
+            brk[1:] = (u_code[1:] != u_code[:-1]) | (shard[1:] != shard[:-1])
+            r_starts = np.flatnonzero(brk)
+            r_ends = np.append(r_starts[1:], len(u_code))
+            inv_vocab = np.empty(len(vocab), dtype=object)
+            for t, c in vocab.items():
+                inv_vocab[c] = t
+            r_terms = inv_vocab[u_code[r_starts]]
+            r_parts = _term_parts_np(r_terms, P)
+            r_gkey = shard[r_starts] * (P + 1) + r_parts
+            rows_gkey.append(r_gkey)
+            rows_term.append(r_terms)
+            flat_docs.append(u_doc)
+            flat_tfs.append(tf)
+            offsets.extend((r_ends).tolist())
+
+        # doc-length rows: one per (batch, doc-shard), reserved part P
+        dshard = doc_ids // shard_docs
+        dorder = np.argsort(doc_ids, kind="stable")
+        d_sorted, l_sorted = doc_ids[dorder], doc_lens[dorder]
+        ds_sorted = dshard[dorder]
+        db = np.flatnonzero(
+            np.concatenate(([True], ds_sorted[1:] != ds_sorted[:-1]))
+        )
+        d_ends = np.append(db[1:], len(d_sorted))
+        last = offsets[-1]
+        for s, e in zip(db, d_ends):
+            rows_gkey.append(
+                np.asarray([ds_sorted[s] * (self.P + 1) + self.P], dtype=np.int64)
+            )
+            rows_term.append(np.asarray([""], dtype=object))
+            flat_docs.append(d_sorted[s:e])
+            flat_tfs.append(l_sorted[s:e].astype(np.int32))
+            last += e - s
+            offsets.append(last)
+
+        gkey = np.concatenate(rows_gkey) if rows_gkey else np.empty(0, np.int64)
+        terms = np.concatenate(rows_term) if rows_term else np.empty(0, object)
+        docs_flat = (
+            np.concatenate(flat_docs) if flat_docs else np.empty(0, np.int64)
+        )
+        tfs_flat = (
+            np.concatenate(flat_tfs) if flat_tfs else np.empty(0, np.int32)
+        )
+        off = np.asarray(offsets, dtype=np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(gkey, type=pa.int64()),
+                pa.array(terms, type=pa.string()),
+                pa.ListArray.from_arrays(off, pa.array(docs_flat, type=pa.int64())),
+                pa.ListArray.from_arrays(off, pa.array(tfs_flat, type=pa.int32())),
+            ],
+            schema=PAIR_SCHEMA,
+        )
+
+
+# ---------------------------------------------------------------------------
+# reduce side: one (shard, part) group -> one segment file
+# ---------------------------------------------------------------------------
+
+
+def _reduce_group(
+    group: pa.Table, index_dir: str, num_parts: int, fingerprint: str
+) -> pa.Table:
+    t0 = time.monotonic()
+    gkey = int(group.column("gkey")[0].as_py())
+    shard, part = divmod(gkey, num_parts + 1)
+    is_doclen = part == num_parts
+
+    lin = mf.lineage_path(index_dir, gkey)
+    if os.path.exists(lin):
+        try:
+            with open(lin) as f:
+                rec = json.load(f)
+            if rec.get("fingerprint") == fingerprint:
+                return _stats_row(rec)
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    lists_docs = group.column("doc_ids")
+    lists_tfs = group.column("tfs")
+    flat_docs = lists_docs.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    flat_tfs = lists_tfs.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+
+    if is_doclen:
+        order = np.argsort(flat_docs, kind="stable")
+        d, l = flat_docs[order], flat_tfs[order]
+        path = os.path.join(index_dir, "doc_lens", f"shard-{shard:05d}.parquet")
+        tbl = pa.Table.from_arrays(
+            [pa.array(d, type=pa.int64()), pa.array(l, type=pa.int32())],
+            names=["doc_id", "doc_len"],
+        )
+        mf.atomic_write_parquet(tbl, path)
+        rec = {
+            "fingerprint": fingerprint,
+            "gkey": gkey,
+            "kind": "doc_lens",
+            "shard": shard,
+            "n_docs": int(len(d)),
+            "len_sum": int(flat_tfs.sum()),
+            "seconds": time.monotonic() - t0,
+        }
+        mf.write_lineage(index_dir, gkey, rec)
+        return _stats_row(rec)
+
+    # term codes within the group, then one lexsort over all postings
+    terms = group.column("term").to_pylist()
+    vocab: Dict[str, int] = {}
+    setd = vocab.setdefault
+    row_codes = np.fromiter(
+        (setd(t, len(vocab)) for t in terms), dtype=np.int64, count=len(terms)
+    )
+    row_lens = (
+        lists_docs.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    code_rep = np.repeat(row_codes, row_lens)
+    order = np.lexsort((flat_docs, code_rep))
+    c_s, d_s, t_s = code_rep[order], flat_docs[order], flat_tfs[order]
+    new = np.empty(len(c_s), dtype=bool)
+    if len(c_s):
+        new[0] = True
+        new[1:] = c_s[1:] != c_s[:-1]
+    t_starts = np.flatnonzero(new)
+    t_counts = np.diff(np.append(t_starts, len(c_s)))
+    enc = codec.encode_grouped_postings(d_s, t_s, t_starts, t_counts)
+
+    inv = np.empty(len(vocab), dtype=object)
+    for t, c in vocab.items():
+        inv[c] = t
+    out_terms = inv[c_s[t_starts]] if len(c_s) else np.empty(0, object)
+    # deterministic segment layout: rows sorted by term string
+    t_order = np.argsort(out_terms.astype(str), kind="stable") if len(out_terms) else []
+    cf = (
+        np.add.reduceat(t_s.astype(np.int64), t_starts)
+        if len(c_s)
+        else np.empty(0, np.int64)
+    )
+    seg = pa.Table.from_arrays(
+        [
+            pa.array(out_terms[t_order], type=pa.string()),
+            pa.array(t_counts[t_order], type=pa.int64()),
+            pa.array(cf[t_order], type=pa.int64()),
+            pa.array([enc[i][0] for i in t_order], type=pa.binary()),
+            pa.array([enc[i][1] for i in t_order], type=pa.binary()),
+            pa.array([enc[i][2] for i in t_order], type=pa.list_(pa.int32())),
+            pa.array([enc[i][3] for i in t_order], type=pa.list_(pa.int64())),
+            pa.array([enc[i][4] for i in t_order], type=pa.list_(pa.int32())),
+        ],
+        schema=SEGMENT_SCHEMA,
+    )
+    path = segment_file(index_dir, shard, part)
+    mf.atomic_write_parquet(seg, path)
+    rec = {
+        "fingerprint": fingerprint,
+        "gkey": gkey,
+        "kind": "segment",
+        "shard": shard,
+        "part": part,
+        "n_terms": int(len(t_starts)),
+        "n_postings": int(len(d_s)),
+        "bytes": int(os.path.getsize(path)),
+        "seconds": time.monotonic() - t0,
+    }
+    mf.write_lineage(index_dir, gkey, rec)
+    return _stats_row(rec)
+
+
+def _stats_row(rec: dict) -> pa.Table:
+    return pa.Table.from_pylist(
+        [
+            {
+                "gkey": rec.get("gkey", -1),
+                "kind": rec.get("kind", "?"),
+                "n_terms": rec.get("n_terms", 0),
+                "n_postings": rec.get("n_postings", 0),
+                "n_docs": rec.get("n_docs", 0),
+                "len_sum": rec.get("len_sum", 0),
+                "seconds": float(rec.get("seconds", 0.0)),
+            }
+        ]
+    )
+
+
+def segment_file(index_dir: str, shard: int, part: int) -> str:
+    return os.path.join(
+        index_dir, "segments", f"seg-{shard:05d}-{part:04d}.parquet"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def build_index(
+    source,
+    index_dir: str,
+    cfg: Optional[SparseConfig] = None,
+    *,
+    num_parts: int = 8,
+    shard_docs: int = 1 << 22,
+    tokenize_concurrency: Optional[int] = None,
+    batch_size: int = 4096,
+    resume: bool = True,
+) -> mf.IndexManifest:
+    """Build an index directory from transcript parquet.
+
+    ``source`` is a path/list of paths (read with column pruning) or a
+    ray.data.Dataset with (conv_id, turn_idx, text).
+    """
+    import ray
+    import ray.data
+
+    cfg = cfg or SparseConfig()
+    input_desc = source if isinstance(source, (str, list)) else "<dataset>"
+    fingerprint = mf.build_fingerprint(
+        input_desc, cfg.to_json(), num_parts, shard_docs
+    )
+
+    # stale-build guard: a directory built under a different
+    # fingerprint is wiped (its segments would pollute the terms table)
+    marker = os.path.join(index_dir, "build.json")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                prev = json.load(f).get("fingerprint")
+        except (OSError, json.JSONDecodeError):
+            prev = None
+        if prev != fingerprint or not resume:
+            shutil.rmtree(index_dir)
+    elif os.path.exists(index_dir) and not resume:
+        shutil.rmtree(index_dir)
+    for sub in ("segments", "doc_lens", "lineage", "id_map", "terms"):
+        os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+    mf.atomic_write_text(marker, json.dumps({"fingerprint": fingerprint}))
+
+    if isinstance(source, (str, list)):
+        ds = ray.data.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+    else:
+        ds = source.select_columns(["conv_id", "turn_idx", "text"])
+
+    conv_offsets, doc_count = compute_conv_offsets(ds)
+    mf.atomic_write_parquet(
+        conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
+    )
+    conv_map_ref = ray.put(
+        (
+            np.asarray(conv_offsets.column("conv_id").to_pylist(), dtype=object),
+            conv_offsets.column("base").to_numpy(),
+        )
+    )
+
+    if tokenize_concurrency is None:
+        # leave a core for the read + reduce stages so the pipeline
+        # doesn't serialize behind a CPU-saturating actor pool
+        tokenize_concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    pairs = ds.map_batches(
+        _TokenizePartials,
+        fn_constructor_kwargs=dict(
+            cfg=cfg,
+            conv_map_ref=conv_map_ref,
+            num_parts=num_parts,
+            shard_docs=shard_docs,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=tokenize_concurrency,
+    )
+
+    stats_ds = pairs.groupby("gkey").map_groups(
+        _reduce_group,
+        fn_kwargs=dict(
+            index_dir=index_dir, num_parts=num_parts, fingerprint=fingerprint
+        ),
+        batch_format="pyarrow",
+    )
+    stats = pa.Table.from_batches(_gather(stats_ds))
+
+    kinds = np.asarray(stats.column("kind").to_pylist())
+    n_docs_written = int(stats.column("n_docs").to_numpy()[kinds == "doc_lens"].sum())
+    len_sum = int(stats.column("len_sum").to_numpy()[kinds == "doc_lens"].sum())
+    n_postings = int(stats.column("n_postings").to_numpy().sum())
+    assert n_docs_written == doc_count, (n_docs_written, doc_count)
+
+    # global term stats (+ min_df pruning), written AFTER pruning so the
+    # terms table is exactly the query-time vocabulary
+    # (reference build_inverted_index.py:35-41: pruning precedes
+    # doc_lens; adjustment below replicates that coupling).
+    from ray.data.aggregate import Sum
+
+    seg_files = sorted(
+        os.path.join(index_dir, "segments", f)
+        for f in os.listdir(os.path.join(index_dir, "segments"))
+        if f.endswith(".parquet")
+    )
+    n_terms = 0
+    if seg_files:
+        terms_ds = (
+            ray.data.read_parquet(seg_files, columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(Sum("df"), Sum("cf"))
+        )
+        terms_tbl = pa.Table.from_batches(_gather(terms_ds)).rename_columns(
+            ["term", "df", "cf"]
+        )
+        if cfg.min_df > 1:
+            keep = pa.compute.greater_equal(terms_tbl.column("df"), cfg.min_df)
+            pruned_tbl = terms_tbl.filter(pa.compute.invert(keep))
+            terms_tbl = terms_tbl.filter(keep)
+            len_sum -= _apply_min_df_pruning(
+                index_dir, seg_files, pruned_tbl, cfg.min_df
+            )
+        terms_tbl = terms_tbl.sort_by("term")
+        mf.atomic_write_parquet(
+            terms_tbl, os.path.join(index_dir, "terms", "terms.parquet")
+        )
+        n_terms = terms_tbl.num_rows
+
+    avg_doc_len = float(np.float32(len_sum / doc_count)) if doc_count else 0.0
+    man = mf.IndexManifest(
+        doc_count=doc_count,
+        num_parts=num_parts,
+        salt_docs=shard_docs,
+        avg_doc_len=avg_doc_len,
+        n_terms=n_terms,
+        n_postings=n_postings,
+        config=cfg.to_json(),
+        fingerprint=fingerprint,
+        stats={
+            "len_sum": len_sum,
+            "n_groups": stats.num_rows,
+            "reduce_seconds": float(stats.column("seconds").to_numpy().sum()),
+        },
+    )
+    man.save(index_dir)
+    return man
+
+
+def _apply_min_df_pruning(
+    index_dir: str, seg_files: List[str], pruned_tbl: pa.Table, min_df: int
+) -> int:
+    """min_df > 1: doc_lens must count only retained terms (reference
+    build_inverted_index.py:35-63 — pruning happens BEFORE doc_lens).
+    Pruned terms have global df < min_df, so their postings are tiny:
+    decode them, subtract their tf mass from the per-shard doc_lens
+    files. Returns the total subtracted mass. Pruned term set is
+    broadcast (a scale build would bucket-join instead; documented)."""
+    pruned = set(pruned_tbl.column("term").to_pylist())
+    if not pruned:
+        return 0
+    adjust: Dict[int, Dict[int, int]] = {}
+    for f in seg_files:
+        t = pq.read_table(f, columns=["term", "doc_bytes", "tf_bytes", "counts"])
+        terms = t.column("term").to_pylist()
+        hit = [i for i, term in enumerate(terms) if term in pruned]
+        # shard comes from the filename (seg-SSSSS-PPPP.parquet)
+        shard = int(os.path.basename(f).split("-")[1])
+        for i in hit:
+            d_ids, tfs = codec.decode_postings(
+                t.column("doc_bytes")[i].as_py(),
+                t.column("tf_bytes")[i].as_py(),
+                np.asarray(t.column("counts")[i].as_py(), dtype=np.int64),
+            )
+            sub = adjust.setdefault(shard, {})
+            for d, tf in zip(d_ids.tolist(), tfs.tolist()):
+                sub[d] = sub.get(d, 0) + int(tf)
+    total = 0
+    for shard, sub in adjust.items():
+        path = os.path.join(index_dir, "doc_lens", f"shard-{shard:05d}.parquet")
+        t = pq.read_table(path)
+        d = t.column("doc_id").to_numpy()
+        l = t.column("doc_len").to_numpy().copy()
+        idx = np.searchsorted(d, np.asarray(sorted(sub), dtype=np.int64))
+        for j, doc in zip(idx, sorted(sub)):
+            l[j] -= sub[doc]
+            total += sub[doc]
+        mf.atomic_write_parquet(
+            pa.Table.from_arrays(
+                [pa.array(d, type=pa.int64()), pa.array(l, type=pa.int32())],
+                names=["doc_id", "doc_len"],
+            ),
+            path,
+        )
+    return total

@@ -41,9 +41,16 @@ class InMemoryIndex:
         self.postings = postings
         self.doc_lens = doc_lens.astype(np.float32, copy=False)
         self.doc_count = doc_count
-        # reference build_inverted_index.py:64 + sparse_retriever.py:198:
-        # float32 mean, division in float32.
-        self.avg_doc_len = np.mean(self.doc_lens, dtype=np.float32)
+        # reference build_inverted_index.py:64 + sparse_retriever.py:198
+        # computes np.mean(doc_lens) in float32. doc_lens are integers
+        # exactly representable in float64, so sum-in-float64 ->
+        # float32 divide is EXACT and partitioning-independent — the
+        # distributed build computes the same value from per-shard
+        # integer sums; reference float32 pairwise mean can differ by
+        # <=1 ulp on large corpora (within the reference tests'
+        # rel_tol=1e-6; exact on the golden fixtures).
+        total = float(self.doc_lens.astype(np.float64).sum())
+        self.avg_doc_len = np.float32(total / doc_count) if doc_count else np.float32(0)
         self.relative_doc_lens = self.doc_lens / self.avg_doc_len
         self.vocabulary = set(postings)
 

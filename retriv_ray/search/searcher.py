@@ -1,0 +1,315 @@
+"""Query engine over a built index directory.
+
+Mirrors the reference SparseRetriever query surface
+(retriv/sparse_retriever/sparse_retriever.py:248-451: search /
+msearch / bsearch, vocabulary filtering, empty-query -> {}) on top of
+the segment layout written by retriv_ray.index.build:
+
+- ``LoadedIndex`` — one process/actor's view of the index: manifest,
+  global term stats (vocabulary + df), the float32 doc-length array,
+  conv-offset id mapping, and a lazy per-(shard, part) segment cache.
+  A term's postings are gathered by byte-concatenating its per-shard
+  encoded partials in shard order (ascending doc-id ranges — the
+  codec blocks concatenate without re-encoding) and decoding once.
+- ``RaySparseRetriever.search`` — single query, exact float32 BM25 /
+  TF-IDF via retriv_ray.search.kernel (rank/score-identical to the
+  reference numba kernels).
+- ``RaySparseRetriever.msearch_ds`` — the throughput path: a queries
+  Dataset -> ``map_batches(_QueryScorer, concurrency=N)`` actor pool;
+  each actor loads the index ONCE in ``__init__`` and streams query
+  batches (the Ray-Data equivalent of the reference's numba
+  ``prange`` over queries, bm25.py:62-107).
+
+Scale notes: this class holds the doc-length array and term stats of
+the whole index in one process — right for the sandbox and for
+per-actor serving of indexes up to ~10^8 docs. The 10^12-doc layout
+keeps everything sharded: scorer actors each own a doc-shard slice
+(segments seg-S-*, doc_lens/shard-S) and queries fan out over shards,
+merging per-shard top-k (scores are per-doc independent, so the merge
+is exact); global df comes from the terms table either way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from retriv_ray.config import SparseConfig
+from retriv_ray.index import codec
+from retriv_ray.index import manifest as mf
+from retriv_ray.index.build import segment_file, term_part
+from retriv_ray.search import kernel
+from retriv_ray.text.pipeline import TextPreprocessor
+
+
+class LoadedIndex:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = mf.IndexManifest.load(index_dir)
+        self.doc_count = self.manifest.doc_count
+        self.num_parts = self.manifest.num_parts
+
+        terms_path = os.path.join(index_dir, "terms", "terms.parquet")
+        if os.path.exists(terms_path):
+            t = pq.read_table(terms_path)
+            self.term_df = dict(
+                zip(t.column("term").to_pylist(), t.column("df").to_numpy())
+            )
+        else:
+            self.term_df = {}
+
+        dl_dir = os.path.join(index_dir, "doc_lens")
+        lens = np.zeros(self.doc_count, dtype=np.float32)
+        for name in sorted(os.listdir(dl_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(dl_dir, name))
+            lens[t.column("doc_id").to_numpy()] = t.column("doc_len").to_numpy()
+        self.doc_lens = lens
+        self.avg_doc_len = np.float32(self.manifest.avg_doc_len)
+        self.relative_doc_lens = (
+            lens / self.avg_doc_len if self.avg_doc_len > 0 else lens
+        )
+
+        im = pq.read_table(os.path.join(index_dir, "id_map", "conv_offsets.parquet"))
+        self.conv_ids = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
+        self.conv_bases = im.column("base").to_numpy()
+
+        self.shards = sorted(
+            {
+                int(f.split("-")[1])
+                for f in os.listdir(os.path.join(index_dir, "segments"))
+                if f.endswith(".parquet")
+            }
+        )
+        # (shard, part) -> {term -> encoded row tuple}
+        self._seg_cache: Dict[Tuple[int, int], Dict[str, tuple]] = {}
+        # term -> decoded (doc_ids, tfs)
+        self._post_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    # -- id mapping ----------------------------------------------------
+    def to_original_ids(self, doc_ids: np.ndarray) -> Tuple[List[str], np.ndarray]:
+        """doc_id -> (conv_id, turn_idx); reference
+        base_retriever.py:79-80 equivalent."""
+        pos = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
+        turns = doc_ids - self.conv_bases[pos]
+        return [self.conv_ids[p] for p in pos], turns.astype(np.int32)
+
+    # -- postings ------------------------------------------------------
+    def _segment(self, shard: int, part: int) -> Dict[str, tuple]:
+        key = (shard, part)
+        seg = self._seg_cache.get(key)
+        if seg is None:
+            path = segment_file(self.index_dir, shard, part)
+            seg = {}
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                terms = t.column("term").to_pylist()
+                db = t.column("doc_bytes").to_pylist()
+                tb = t.column("tf_bytes").to_pylist()
+                cn = t.column("counts").to_pylist()
+                la = t.column("last").to_pylist()
+                mt = t.column("max_tf").to_pylist()
+                for i, term in enumerate(terms):
+                    seg[term] = (db[i], tb[i], cn[i], la[i], mt[i])
+            self._seg_cache[key] = seg
+        return seg
+
+    def get_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._post_cache.get(term)
+        if hit is not None:
+            return hit
+        part = term_part(term, self.num_parts)
+        partials = []
+        for shard in self.shards:
+            row = self._segment(shard, part).get(term)
+            if row is not None:
+                db, tb, cn, la, mt = row
+                partials.append(
+                    (
+                        db,
+                        tb,
+                        np.asarray(cn, dtype=np.int64),
+                        np.asarray(la, dtype=np.int64),
+                        np.asarray(mt, dtype=np.int64),
+                    )
+                )
+        if not partials:
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
+        else:
+            db, tb, cn, la, mt = codec.concat_partials(partials)
+            out = codec.decode_postings(db, tb, cn)
+        self._post_cache[term] = out
+        return out
+
+
+class RaySparseRetriever:
+    """Reference-API engine over an index directory."""
+
+    def __init__(self, index_dir: str, cfg: Optional[SparseConfig] = None):
+        self.index = LoadedIndex(index_dir)
+        self.cfg = cfg or SparseConfig.from_json(self.index.manifest.config)
+        self.pre = TextPreprocessor(self.cfg)
+        self.index_dir = index_dir
+
+    # -- query preprocessing ------------------------------------------
+    def query_terms(self, query: str) -> List[str]:
+        """Preprocess + vocabulary filter (reference
+        sparse_retriever.py:274-279: terms outside the vocabulary are
+        dropped; min_df pruning already shaped the terms table)."""
+        terms = self.pre.tokens(query)
+        vocab = self.index.term_df
+        return [t for t in terms if t in vocab]
+
+    def _score(
+        self,
+        terms: List[str],
+        cutoff: int,
+        operator: str = "OR",
+        subset: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        idx = self.index
+        doc_ids = []
+        tfs = []
+        for t in terms:
+            d, f = idx.get_postings(t)
+            doc_ids.append(d)
+            tfs.append(f)
+        dtype = np.float32 if self.cfg.score_dtype == "float32" else np.float64
+        if self.cfg.model == "bm25":
+            return kernel.bm25(
+                b=self.cfg.hyperparams["b"],
+                k1=self.cfg.hyperparams["k1"],
+                term_doc_freqs=tfs,
+                doc_ids=doc_ids,
+                relative_doc_lens=idx.relative_doc_lens,
+                doc_count=idx.doc_count,
+                cutoff=cutoff,
+                operator=operator,
+                subset_doc_ids=subset,
+                dtype=dtype,
+            )
+        return kernel.tf_idf(
+            term_doc_freqs=tfs,
+            doc_ids=doc_ids,
+            doc_lens=idx.doc_lens,
+            cutoff=cutoff,
+            operator=operator,
+            subset_doc_ids=subset,
+            dtype=dtype,
+        )
+
+    # -- public API ----------------------------------------------------
+    def search(
+        self,
+        query: str,
+        cutoff: int = 100,
+        operator: str = "OR",
+        subset: Optional[np.ndarray] = None,
+    ) -> Dict[Tuple[str, int], float]:
+        """{(conv_id, turn_idx): score}, descending — the reference's
+        ``{orig_id: score}`` with our composite original id."""
+        terms = self.query_terms(query)
+        if not terms:
+            return {}
+        ids, scores = self._score(terms, cutoff, operator, subset)
+        convs, turns = self.index.to_original_ids(ids)
+        return {
+            (c, int(t)): float(s) for c, t, s in zip(convs, turns, scores)
+        }
+
+    def search_table(self, query: str, q_id: str = "q", cutoff: int = 100) -> pa.Table:
+        terms = self.query_terms(query)
+        if not terms:
+            ids = np.empty(0, dtype=np.int64)
+            scores = np.empty(0, dtype=np.float64)
+        else:
+            ids, scores = self._score(terms, cutoff)
+        convs, turns = self.index.to_original_ids(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array([q_id] * len(ids), type=pa.string()),
+                pa.array(np.arange(1, len(ids) + 1, dtype=np.int32)),
+                pa.array(convs, type=pa.string()),
+                pa.array(turns, type=pa.int32()),
+                pa.array(scores.astype(np.float64)),
+                pa.array(ids, type=pa.int64()),
+            ],
+            names=["q_id", "rank", "conv_id", "turn_idx", "score", "doc_id"],
+        )
+
+    def msearch(
+        self, queries: Sequence[Dict], cutoff: int = 100
+    ) -> Dict[str, Dict[Tuple[str, int], float]]:
+        """Single-process batch path (reference
+        sparse_retriever.py:310-378); results keyed by query id in
+        input order."""
+        return {q["id"]: self.search(q["text"], cutoff) for q in queries}
+
+    # -- Ray throughput path ------------------------------------------
+    def msearch_ds(
+        self,
+        queries,
+        cutoff: int = 100,
+        concurrency: Optional[int] = None,
+        batch_size: int = 256,
+    ):
+        """queries: ray Dataset / pyarrow Table / list of dicts with
+        (id, text). Returns a Dataset (q_id, rank, conv_id, turn_idx,
+        score, doc_id) — consumed streamed (write_parquet /
+        iter_batches), never materialized on the driver."""
+        import ray
+        import ray.data
+
+        if concurrency is None:
+            concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        if isinstance(queries, pa.Table):
+            queries = ray.data.from_arrow(queries)
+        elif isinstance(queries, (list, tuple)):
+            queries = ray.data.from_items(
+                [{"id": q["id"], "text": q["text"]} for q in queries]
+            )
+        return queries.map_batches(
+            _QueryScorer,
+            fn_constructor_kwargs=dict(
+                index_dir=self.index_dir,
+                cfg_json=self.cfg.to_json(),
+                cutoff=cutoff,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def bsearch(
+        self,
+        queries,
+        path: str,
+        cutoff: int = 100,
+        concurrency: Optional[int] = None,
+    ) -> None:
+        """Streaming batch search to partitioned parquet (reference
+        bsearch, sparse_retriever.py:380-451)."""
+        self.msearch_ds(queries, cutoff, concurrency).write_parquet(path)
+
+
+class _QueryScorer:
+    """map_batches actor: index loaded once per actor (__init__), query
+    batches scored per __call__ — the stateful-stage pattern the
+    reference approximates with numba prange threads."""
+
+    def __init__(self, index_dir: str, cfg_json: dict, cutoff: int):
+        self.r = RaySparseRetriever(index_dir, SparseConfig.from_json(cfg_json))
+        self.cutoff = cutoff
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        ids = batch.column("id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for q_id, text in zip(ids, texts):
+            out.append(self.r.search_table(text or "", q_id=str(q_id), cutoff=self.cutoff))
+        return pa.concat_tables(out)
