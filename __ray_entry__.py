@@ -1,44 +1,448 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` here or in the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Implemented pipelines (SURVEY.md §2 + training-data operators):
+- inverted-index build products (vocabulary / doc_lens / postings)
+- BM25 and TF-IDF top-k (rank-level vs a float64 DuckDB oracle;
+  exact ties break by doc_id in both engines — see kernel.py)
+- dedup: exact, n-gram Jaccard (exact SQL oracle), MinHash-LSH and
+  SimHash (rows-only)
+- ANN cosine top-k: brute-force (SQL oracle) and LSH (rows-only)
+- text analysis: quality stats, BPE-ish token counts, language-ID
+  heuristic, per-source token totals, winnowing fingerprints
+- events: tumbling-window aggregate (integer-cents exact)
+- multimodal: payload plumbing + stubbed decode features (rows-only)
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+TOPK_QUERIES = {
+    "q1": "table scan join",
+    "q2": "window batch stream",
+    "q3": "hash merge filter",
+    "q4": "customer order part",
+    "q5": "spark big data",
+}
+POSTING_TERMS = ["table", "scan", "window", "dup", "customer"]
+CUTOFF = 10
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+_STOPS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are')"
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _index(sf_dir: str):
+    from retriv_ray.pipelines.documents import ORACLE_BM25, documents_index
+
+    return documents_index(sf_dir, ORACLE_BM25)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (full
+    preprocessing chain) and stream the reference-style query batch
+    through the actor-pool scorer."""
+    from retriv_ray.pipelines.documents import documents_index
+    from retriv_ray.config import SparseConfig
+
+    sf_dir = "/root/testdata/sf0.001"
+    r = documents_index(sf_dir, SparseConfig(score_dtype="float32"))
+    queries = [{"id": q_id, "text": text} for q_id, text in TOPK_QUERIES.items()]
+    return r.msearch_ds(queries, cutoff=CUTOFF, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_vocabulary(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    r = _index(sf_dir)
+    return pq.read_table(
+        os.path.join(r.index_dir, "terms", "terms.parquet")
+    ).sort_by("term")
+
+
+def _q_doc_lens(sf_dir: str):
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+
+    r = _index(sf_dir)
+    ids = np.arange(r.index.doc_count, dtype=np.int64)
+    convs, _ = r.index.to_original_ids(ids)
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv_to_doc_id(convs)),
+            pa.array(r.index.doc_lens.astype(np.int64)),
+        ],
+        names=["doc_id", "doc_len"],
+    )
+
+
+def _q_postings(sf_dir: str):
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+
+    r = _index(sf_dir)
+    t_out, d_out, f_out = [], [], []
+    for term in POSTING_TERMS:
+        d, f = r.index.get_postings(term)
+        convs, _ = r.index.to_original_ids(d)
+        orig = conv_to_doc_id(convs)
+        t_out.extend([term] * len(d))
+        d_out.extend(orig.tolist())
+        f_out.extend(f.astype(np.int64).tolist())
+    return pa.Table.from_arrays(
+        [
+            pa.array(t_out, type=pa.string()),
+            pa.array(d_out, type=pa.int64()),
+            pa.array(f_out, type=pa.int64()),
+        ],
+        names=["term", "doc_id", "tf"],
+    )
+
+
+def _q_bm25_topk(sf_dir: str):
+    from retriv_ray.pipelines.documents import topk_table
+
+    return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from retriv_ray.pipelines.documents import (
+        ORACLE_TFIDF,
+        documents_index,
+        topk_table,
+    )
+
+    return topk_table(documents_index(sf_dir, ORACLE_TFIDF), TOPK_QUERIES, CUTOFF)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from retriv_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from retriv_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
+
+
+def _q_minhash_lsh(sf_dir: str):
+    from retriv_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), n=3, threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from retriv_ray.ops.dedup import simhash64
+
+    return simhash64(_docs(sf_dir))
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    mask = np.isin(ids, ANN_QUERY_IDS)
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(t.column("embedding").to_pylist(), mask) if m]
+    )
+    return ids[mask], vecs
+
+
+def _q_ann_cosine(sf_dir: str):
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_bruteforce
+
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_bruteforce(ds, q_ids, q_vecs, k=ANN_K)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_lsh
+
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_lsh(ds, q_ids, q_vecs, k=ANN_K)
+
+
+def _q_quality(sf_dir: str):
+    from retriv_ray.ops.textstats import quality_stats
+
+    return quality_stats(_docs(sf_dir))
+
+
+def _q_bpe_tokens(sf_dir: str):
+    from retriv_ray.ops.textstats import bpe_token_count
+
+    return bpe_token_count(_docs(sf_dir))
+
+
+def _q_langid(sf_dir: str):
+    from retriv_ray.ops.textstats import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def _q_tokens_by_source(sf_dir: str):
+    from retriv_ray.ops.textstats import token_counts_by
+
+    return token_counts_by(_docs(sf_dir), "source")
+
+
+def _q_fingerprint(sf_dir: str):
+    from retriv_ray.ops.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(sf_dir))
+
+
+def _q_events_hourly(sf_dir: str):
+    from retriv_ray.ops.windows import tumbling_window
+
+    return tumbling_window(_events(sf_dir), every="hour")
+
+
+def _q_sessionize(sf_dir: str):
+    from retriv_ray.ops.windows import sessionize
+
+    return sessionize(_events(sf_dir), gap_seconds=1800)
+
+
+def _q_multimodal(sf_dir: str):
+    from retriv_ray.ops.multimodal import attach_payload, image_features
+
+    return image_features(attach_payload(_docs(sf_dir)), concurrency=2)
+
+
+def _q_bm25_full_chain(sf_dir: str):
+    """Default retriv preprocessing (stemmer+stopwords, float32) —
+    not SQL-expressible; rows-only check, parity pinned by the golden
+    tests instead."""
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.pipelines.documents import documents_index, topk_table
+
+    r = documents_index(sf_dir, SparseConfig(score_dtype="float32"))
+    return topk_table(r, TOPK_QUERIES, CUTOFF)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "vocabulary": _q_vocabulary,
+        "doc_lens": _q_doc_lens,
+        "postings": _q_postings,
+        "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25_full_chain": _q_bm25_full_chain,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "quality_stats": _q_quality,
+        "bpe_token_count": _q_bpe_tokens,
+        "language_id": _q_langid,
+        "tokens_by_source": _q_tokens_by_source,
+        "doc_fingerprint": _q_fingerprint,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, same parquet tables as views)
+# ---------------------------------------------------------------------------
+
+_Q_VALUES = " , ".join(
+    f"('{q_id}', '{text}')" for q_id, text in TOPK_QUERIES.items()
+)
+_QTERMS = (
+    "qterms AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term "
+    f"FROM (VALUES {_Q_VALUES}) AS q(q_id, qtext))"
+)
+_BASE_CTES = f"""
+docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM docs),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(len(toks)) FROM docs)::DOUBLE
+                 / (SELECT count(*) FROM documents)::DOUBLE AS avgdl)
+"""
+
+_MARKER_SQL = {
+    "de": "('der','die','und','nicht','das','ist')",
+    "en": "('the','and','of','to','is','a')",
+    "es": "('el','la','los','que','y','de')",
+    "fr": "('le','la','les','et','est','une')",
+}
+_LANG_COUNTS = ", ".join(
+    f"len(list_filter(toks, x -> x IN {m})) AS c_{l}" for l, m in _MARKER_SQL.items()
+)
+
+_BPE_RE_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k1, b = 1.2, 0.75
+    return {
+        "vocabulary": f"""
+            WITH {_BASE_CTES}
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+            FROM tf GROUP BY term ORDER BY term
+        """,
+        "doc_lens": f"""
+            WITH {_BASE_CTES}
+            SELECT doc_id, dl::BIGINT AS doc_len FROM dl ORDER BY doc_id
+        """,
+        "postings": f"""
+            WITH {_BASE_CTES}
+            SELECT term, doc_id, tf::BIGINT AS tf FROM tf
+            WHERE term IN ('table','scan','window','dup','customer')
+            ORDER BY term, doc_id
+        """,
+        "bm25_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "tfidf_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( (tf.tf / dl.dl) * (ln((1 + s.n) / (1 + df.df)) + 1) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM docs, unnest(generate_series(1, len(t) - 2)) AS u(i)
+              WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*)::DOUBLE AS i
+              FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+              GROUP BY g1.doc_id, g2.doc_id)
+            SELECT a AS doc_id_a, b AS doc_id_b,
+                   floor(10000 * i / (sa.sz + sb.sz - i))::BIGINT AS jaccard_e4
+            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            sims AS (
+              SELECT q.q_vec_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_vec_id)
+            SELECT q_vec_id, rank, vec_id FROM (
+              SELECT q_vec_id, vec_id,
+                row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rank
+              FROM sims)
+            WHERE rank <= {ANN_K} ORDER BY q_vec_id, rank
+        """,
+        "quality_stats": f"""
+            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents)
+            SELECT doc_id,
+              len(toks)::BIGINT AS n_tokens,
+              len(list_distinct(toks))::BIGINT AS n_unique,
+              coalesce(list_max(list_transform(toks, x -> length(x))), 0)::BIGINT AS longest_token_len,
+              len(list_filter(toks, x -> x IN {_STOPS_SQL}))::BIGINT AS stop_hits
+            FROM docs ORDER BY doc_id
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+              len(regexp_extract_all(text, '{_BPE_RE_SQL}'))::BIGINT AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "language_id": f"""
+            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents),
+            cnt AS (SELECT doc_id, {_LANG_COUNTS} FROM docs)
+            SELECT doc_id,
+              CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                   WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                   WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                   WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+            FROM cnt ORDER BY doc_id
+        """,
+        "tokens_by_source": f"""
+            WITH docs AS (SELECT source, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents)
+            SELECT source, sum(len(toks))::BIGINT AS total_tokens,
+                   count(*)::BIGINT AS n_docs
+            FROM docs GROUP BY source ORDER BY source
+        """,
+        "events_hourly": """
+            SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
+                   count(*)::BIGINT AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start_s
+        """,
+    }

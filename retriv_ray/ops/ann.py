@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`cosine_topk_bruteforce` — the exact baseline: one numpy
+  matmul per batch against a broadcast query matrix (``ray.put`` once,
+  read zero-copy in every task), per-batch partial top-k, then a tiny
+  per-query merge. Work is embarrassingly parallel; the only shuffle
+  is over Q x k partial rows.
+- :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH
+  buckets (signature prefix) computed per batch; candidates =
+  vectors sharing a bucket with the query under any of ``n_tables``
+  hyperplane tables; exact cosine re-rank of candidates only.
+  Approximate (recall < 1 possible), deterministic given the seed.
+
+Both compute cosine in float64 so results are comparable against a
+DuckDB ``list_cosine_similarity`` oracle at rank level.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    lists = batch.column(col)
+    flat = lists.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(lists)
+    return flat.astype(np.float64).reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def cosine_topk_bruteforce(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact top-k by cosine for each query vector. Returns a Dataset
+    (q_vec_id, rank, vec_id) — rank 1-based, ties broken by vec_id
+    ascending (deterministic, matches the SQL oracle ordering)."""
+    import ray
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ids, qmat = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = qmat @ m.T  # [Q, B]
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # partial top-k within the batch (deterministic order fixed at merge)
+            idx = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+            out_q.append(np.full(len(idx), q_ids[qi], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(row[idx])
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_v)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=["q_vec_id", "vec_id", "sim"],
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group.column("q_vec_id")[0].as_py()
+        v = group.column("vec_id").to_numpy()
+        s = group.column("sim").to_numpy()
+        if exclude_self:
+            keep = v != q
+            v, s = v[keep], s[keep]
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(order), q, dtype=np.int64)),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order]),
+            ],
+            names=["q_vec_id", "rank", "vec_id"],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("q_vec_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def cosine_topk_lsh(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Approximate top-k: random-hyperplane signatures; a vector is a
+    candidate for a query iff they share a full ``n_bits`` signature
+    in any table; candidates re-ranked by exact cosine. Same output
+    schema as the brute-force path (+ possible missing tail when
+    recall < 1)."""
+    import ray
+
+    q_vecs = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    d = dim or q_vecs.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, d))
+    powers = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def signatures(mat: np.ndarray) -> np.ndarray:
+        # [n_tables, N]
+        return np.stack(
+            [(((mat @ planes[t].T) > 0) @ powers) for t in range(n_tables)]
+        )
+
+    q_sigs = signatures(q_vecs)  # [T, Q]
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_vecs, q_sigs))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        q_ids, qmat, qs = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sigs = signatures(m)  # [T, B]
+        out_q, out_v, out_s = [], [], []
+        for t in range(sigs.shape[0]):
+            eq = qs[t][:, None] == sigs[t][None, :]  # [Q, B]
+            qi, bi = np.nonzero(eq)
+            if len(qi):
+                out_q.append(q_ids[qi])
+                out_v.append(ids[bi])
+                out_s.append(np.einsum("ij,ij->i", qmat[qi], m[bi]))
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 2 + [pa.array([], type=pa.float64())],
+                names=["q_vec_id", "vec_id", "sim"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_v)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=["q_vec_id", "vec_id", "sim"],
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group.column("q_vec_id")[0].as_py()
+        v = group.column("vec_id").to_numpy()
+        s = group.column("sim").to_numpy()
+        v, idx = np.unique(v, return_index=True)
+        s = s[idx]
+        if exclude_self:
+            keep = v != q
+            v, s = v[keep], s[keep]
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(order), q, dtype=np.int64)),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order]),
+            ],
+            names=["q_vec_id", "rank", "vec_id"],
+        )
+
+    return (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("q_vec_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -1,0 +1,197 @@
+"""Text-analysis operators for training-data pipelines.
+
+Per-batch map operators (no shuffle except the final aggregates);
+outputs are integer-exact where they feed a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# deterministic marker sets for the language-ID heuristic (argmax of
+# marker hits; ties -> lexicographically smallest language code). The
+# sets intentionally include very common tokens so the heuristic is
+# exercised on any corpus.
+LANG_MARKERS: Dict[str, List[str]] = {
+    "de": ["der", "die", "und", "nicht", "das", "ist"],
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "los", "que", "y", "de"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+# a BPE-ish token splitter: words / numbers / single punctuation
+BPE_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+
+_STOP = frozenset(
+    "the a an and or of to in is it that this for on with as at by be are".split()
+)
+
+
+def quality_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens, n_unique, longest_token_len, stop_hits) —
+    integer-exact quality signals (length, repetition, stopword
+    density numerator)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_uni = np.empty(len(texts), dtype=np.int64)
+        longest = np.empty(len(texts), dtype=np.int64)
+        stop_hits = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            n_tok[i] = len(toks)
+            n_uni[i] = len(set(toks))
+            longest[i] = max((len(w) for w in toks), default=0)
+            stop_hits[i] = sum(1 for w in toks if w in _STOP)
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(n_tok),
+                pa.array(n_uni),
+                pa.array(longest),
+                pa.array(stop_hits),
+            ],
+            names=[id_col, "n_tokens", "n_unique", "longest_token_len", "stop_hits"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def token_counts_by(ds, group_col: str, text_col: str = "text"):
+    """Tokens + docs per group: pre-aggregated inside map_batches (one
+    row per group per batch), then a tiny groupby — the
+    combiner-before-shuffle pattern."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        acc: Dict[str, List[int]] = {}
+        for g, t in zip(groups, texts):
+            e = acc.setdefault(g, [0, 0])
+            e[0] += len((t or "").split())
+            e[1] += 1
+        keys = sorted(acc)
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, type=pa.string()),
+                pa.array([acc[k][0] for k in keys], type=pa.int64()),
+                pa.array([acc[k][1] for k in keys], type=pa.int64()),
+            ],
+            names=[group_col, "tok", "doc"],
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("tok"), Sum("doc"))
+    )
+    return out.rename_columns(
+        {"sum(tok)": "total_tokens", "sum(doc)": "n_docs"}
+    )
+
+
+def language_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Marker-word language heuristic: pred = argmax_lang |tokens ∩
+    markers(lang)| counted WITH multiplicity; all-zero -> 'und'; ties
+    -> smallest code. Deterministic and SQL-expressible."""
+    langs = sorted(LANG_MARKERS)
+    marker_sets = {l: frozenset(LANG_MARKERS[l]) for l in langs}
+
+    def lid(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        preds = []
+        for t in texts:
+            toks = (t or "").split()
+            best, best_n = "und", 0
+            for l in langs:
+                m = marker_sets[l]
+                n = sum(1 for w in toks if w in m)
+                if n > best_n:
+                    best, best_n = l, n
+            preds.append(best)
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(preds, type=pa.string())],
+            names=[id_col, "pred_lang"],
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def bpe_token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Token counts under the BPE-ish regex (words|numbers|punct) —
+    the 'how many LLM tokens is this corpus' estimator."""
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = np.fromiter(
+            (len(BPE_RE.findall(t or "")) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(n)], names=[id_col, "bpe_tokens"]
+        )
+
+    return ds.map_batches(cnt, batch_format="pyarrow")
+
+
+def doc_fingerprint(
+    ds,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing-style fingerprint: polynomial rolling hash (base
+    1000003 mod 2^61-1) over the token stream, windowed minimum ->
+    (id, fingerprint int64, n_grams). Deterministic; docs sharing a
+    fingerprint share at least one ``window``-gram."""
+    P = np.uint64((1 << 61) - 1)
+    BASE = np.uint64(1000003)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = batch.column(text_col).to_pylist()
+        fps = np.empty(len(texts), dtype=np.int64)
+        n_grams = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if len(toks) < window:
+                fps[i] = 0
+                n_grams[i] = 0
+                continue
+            p, base = int(P), int(BASE)
+            vals = [
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
+                % p
+                for w in toks
+            ]
+            top = pow(base, window, p)
+            h = 0
+            best = p
+            count = 0
+            for j, x in enumerate(vals):
+                h = (h * base + x) % p
+                if j >= window:
+                    h = (h - vals[j - window] * top) % p
+                if j >= window - 1:
+                    count += 1
+                    if h < best:
+                        best = h
+            fps[i] = best
+            n_grams[i] = count
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(fps), pa.array(n_grams)],
+            names=[id_col, "fingerprint", "n_grams"],
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
