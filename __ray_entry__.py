@@ -80,12 +80,14 @@ def entry() -> Any:
 
 
 def _q_vocabulary(sf_dir: str):
+    import glob
+
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     r = _index(sf_dir)
-    return pq.read_table(
-        os.path.join(r.index_dir, "terms", "terms.parquet")
-    ).sort_by("term")
+    parts = sorted(glob.glob(os.path.join(r.index_dir, "terms", "*.parquet")))
+    return pa.concat_tables([pq.read_table(p) for p in parts]).sort_by("term")
 
 
 def _q_doc_lens(sf_dir: str):

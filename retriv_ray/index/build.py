@@ -106,25 +106,70 @@ def _term_parts_np(terms: np.ndarray, num_parts: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def compute_conv_offsets(ds) -> Tuple[pa.Table, int]:
+def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Table, int]:
     """(conv_id, base, n_turns) sorted by conv_id; doc_id = base + turn_idx.
+
+    Combiner-first: each input block pre-aggregates to one row per
+    conversation it touches (count/min/max of turn_idx), so only
+    conv-level partials ever move. Below ``driver_merge_limit``
+    partial rows the merge happens on the driver (no all-to-all —
+    saves seconds of fixed shuffle cost); above it, a distributed
+    groupby + sort handles the merge (the 10^9-conversation path).
 
     Validates the FIXTURES.md F1 invariant that turn_idx is 0-based
     and contiguous per conversation (otherwise base+turn_idx would not
     reproduce enumeration order and we fail loudly).
     """
-    from ray.data.aggregate import Count, Max, Min
 
-    agg = (
-        ds.groupby("conv_id")
-        .aggregate(Count(), Min("turn_idx"), Max("turn_idx"))
-        .sort("conv_id")
-    )
-    t = pa.Table.from_batches(_gather(agg))
-    conv = t.column("conv_id").to_pylist()
-    n = t.column("count()").to_numpy()
-    tmin = t.column("min(turn_idx)").to_numpy()
-    tmax = t.column("max(turn_idx)").to_numpy()
+    def partial(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        turns = batch.column("turn_idx").to_numpy()
+        acc: Dict[str, List[int]] = {}
+        for c, t in zip(convs, turns):
+            e = acc.get(c)
+            if e is None:
+                acc[c] = [1, int(t), int(t)]
+            else:
+                e[0] += 1
+                if t < e[1]:
+                    e[1] = int(t)
+                if t > e[2]:
+                    e[2] = int(t)
+        keys = sorted(acc)
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, type=pa.string()),
+                pa.array([acc[k][0] for k in keys], type=pa.int64()),
+                pa.array([acc[k][1] for k in keys], type=pa.int64()),
+                pa.array([acc[k][2] for k in keys], type=pa.int64()),
+            ],
+            names=["conv_id", "count()", "min(turn_idx)", "max(turn_idx)"],
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_limit:
+        t = pa.Table.from_batches(_gather(partials))
+        df = t.to_pandas()
+        g = df.groupby("conv_id", sort=True).agg(
+            {"count()": "sum", "min(turn_idx)": "min", "max(turn_idx)": "max"}
+        )
+        conv = g.index.tolist()
+        n = g["count()"].to_numpy()
+        tmin = g["min(turn_idx)"].to_numpy()
+        tmax = g["max(turn_idx)"].to_numpy()
+    else:
+        from ray.data.aggregate import Max, Min, Sum
+
+        agg = (
+            partials.groupby("conv_id")
+            .aggregate(Sum("count()"), Min("min(turn_idx)"), Max("max(turn_idx)"))
+            .sort("conv_id")
+        )
+        t = pa.Table.from_batches(_gather(agg))
+        conv = t.column("conv_id").to_pylist()
+        n = t.column("sum(count())").to_numpy()
+        tmin = t.column("min(min(turn_idx))").to_numpy()
+        tmax = t.column("max(max(turn_idx))").to_numpy()
     if len(n) and (tmin.min() != 0 or not np.array_equal(tmax + 1, n)):
         bad = np.flatnonzero((tmin != 0) | (tmax + 1 != n))[:5]
         raise ValueError(
@@ -509,8 +554,12 @@ def build_index(
     # terms table is exactly the query-time vocabulary
     # (reference build_inverted_index.py:35-41: pruning precedes
     # doc_lens; adjustment below replicates that coupling).
-    from ray.data.aggregate import Sum
-
+    #
+    # No shuffle needed: term-hash parts partition the vocabulary, so
+    # global df/cf for a term only needs a merge ACROSS SHARDS WITHIN
+    # ITS PART — one parallel task per part, each writing
+    # terms/part-PPPP.parquet. Driver memory stays bounded by one
+    # part's vocabulary slice.
     seg_files = sorted(
         os.path.join(index_dir, "segments", f)
         for f in os.listdir(os.path.join(index_dir, "segments"))
@@ -518,26 +567,27 @@ def build_index(
     )
     n_terms = 0
     if seg_files:
-        terms_ds = (
-            ray.data.read_parquet(seg_files, columns=["term", "df", "cf"])
-            .groupby("term")
-            .aggregate(Sum("df"), Sum("cf"))
+        by_part: Dict[int, List[str]] = {}
+        for f in seg_files:
+            part = int(os.path.basename(f)[:-len(".parquet")].split("-")[2])
+            by_part.setdefault(part, []).append(f)
+        merge = ray.remote(_merge_part_terms)
+        results = ray.get(
+            [
+                merge.remote(
+                    files, os.path.join(index_dir, "terms", f"part-{p:04d}.parquet"),
+                    cfg.min_df,
+                )
+                for p, files in sorted(by_part.items())
+            ]
         )
-        terms_tbl = pa.Table.from_batches(_gather(terms_ds)).rename_columns(
-            ["term", "df", "cf"]
-        )
-        if cfg.min_df > 1:
-            keep = pa.compute.greater_equal(terms_tbl.column("df"), cfg.min_df)
-            pruned_tbl = terms_tbl.filter(pa.compute.invert(keep))
-            terms_tbl = terms_tbl.filter(keep)
+        n_terms = sum(r[0] for r in results)
+        pruned_parts = [r[1] for r in results if r[1] is not None]
+        if cfg.min_df > 1 and pruned_parts:
+            pruned_tbl = pa.concat_tables(pruned_parts)
             len_sum -= _apply_min_df_pruning(
                 index_dir, seg_files, pruned_tbl, cfg.min_df
             )
-        terms_tbl = terms_tbl.sort_by("term")
-        mf.atomic_write_parquet(
-            terms_tbl, os.path.join(index_dir, "terms", "terms.parquet")
-        )
-        n_terms = terms_tbl.num_rows
 
     avg_doc_len = float(np.float32(len_sum / doc_count)) if doc_count else 0.0
     man = mf.IndexManifest(
@@ -557,6 +607,47 @@ def build_index(
     )
     man.save(index_dir)
     return man
+
+
+def _merge_part_terms(files: List[str], out_path: str, min_df: int):
+    """Merge one term-hash part's (term, df, cf) across its shard
+    segments; write the retained vocabulary slice sorted by term.
+    Returns (n_terms_retained, pruned_terms_table_or_None)."""
+    import pyarrow.parquet as _pq
+
+    tbl = pa.concat_tables(
+        [_pq.read_table(f, columns=["term", "df", "cf"]) for f in files]
+    )
+    if len(files) > 1:
+        # sum df/cf across shards (vectorized run-length merge)
+        tbl = tbl.sort_by("term")
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        df_ = tbl.column("df").to_numpy()
+        cf_ = tbl.column("cf").to_numpy()
+        new = np.empty(len(terms), dtype=bool)
+        if len(terms):
+            new[0] = True
+            new[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(new)
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(terms[starts], type=pa.string()),
+                pa.array(np.add.reduceat(df_, starts) if len(starts) else df_),
+                pa.array(np.add.reduceat(cf_, starts) if len(starts) else cf_),
+            ],
+            names=["term", "df", "cf"],
+        )
+    else:
+        tbl = tbl.sort_by("term")
+    pruned = None
+    if min_df > 1:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(tbl.column("df"), min_df)
+        pruned = tbl.filter(pc.invert(keep)).select(["term"])
+        tbl = tbl.filter(keep)
+    mf.atomic_write_parquet(tbl, out_path)
+    return tbl.num_rows, pruned
 
 
 def _apply_min_df_pruning(

@@ -53,14 +53,15 @@ class LoadedIndex:
         self.doc_count = self.manifest.doc_count
         self.num_parts = self.manifest.num_parts
 
-        terms_path = os.path.join(index_dir, "terms", "terms.parquet")
-        if os.path.exists(terms_path):
-            t = pq.read_table(terms_path)
-            self.term_df = dict(
+        terms_dir = os.path.join(index_dir, "terms")
+        self.term_df: Dict[str, int] = {}
+        for name in sorted(os.listdir(terms_dir)) if os.path.isdir(terms_dir) else []:
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(terms_dir, name))
+            self.term_df.update(
                 zip(t.column("term").to_pylist(), t.column("df").to_numpy())
             )
-        else:
-            self.term_df = {}
 
         dl_dir = os.path.join(index_dir, "doc_lens")
         lens = np.zeros(self.doc_count, dtype=np.float32)
