@@ -80,8 +80,17 @@ def unsorted_top_k(array: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """
     pos = np.flatnonzero(array > 0)
     if len(pos) >= k:
-        order = np.argsort(-array[pos], kind="stable")[:k]
-        sel = pos[order]
+        vals = array[pos]
+        # O(n) selection instead of argsort: find the k-th largest
+        # value, keep everything above it plus the earliest-index
+        # members of the boundary-tie group (pos is ascending, so
+        # slicing keeps lowest positions — the documented tie rule).
+        kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+        above = vals > kth
+        n_above = int(above.sum())
+        sel_above = pos[above]
+        sel_eq = pos[vals == kth][: k - n_above]
+        sel = np.concatenate([sel_above, sel_eq])
         return array[sel], sel.astype(np.int64)
     values = np.zeros(k, dtype=array.dtype)
     indices = np.zeros(k, dtype=np.int64)
@@ -95,11 +104,24 @@ def _candidates(
     doc_ids: Sequence[np.ndarray],
     operator: str,
     subset_doc_ids: Optional[np.ndarray],
+    doc_count: int = 0,
 ) -> np.ndarray:
     if operator == "AND":
         unique = intersect_sorted_multi(doc_ids)
     elif operator == "OR":
-        unique = union_sorted_multi(doc_ids)
+        # Exact union of sorted unique id lists. A presence bitmap is
+        # O(doc_count + total_postings) and beats sort-based
+        # np.union1d by ~10x on hot-term queries; falls back to the
+        # sort path when the id space is unknown/huge relative to the
+        # posting mass (per-shard serving at 10^12 docs).
+        total = sum(len(a) for a in doc_ids)
+        if doc_count and doc_count <= 64 * max(total, 1):
+            seen = np.zeros(doc_count, dtype=bool)
+            for a in doc_ids:
+                seen[a] = True
+            unique = np.flatnonzero(seen).astype(doc_ids[0].dtype, copy=False)
+        else:
+            unique = union_sorted_multi(doc_ids)
     else:
         raise ValueError(f"operator must be AND or OR, got {operator!r}")
     if subset_doc_ids is not None:
@@ -120,6 +142,32 @@ def _finalize(
     return unique_doc_ids[order], scores[order]
 
 
+def bm25_term_contrib(
+    b: float,
+    k1: float,
+    freqs: np.ndarray,
+    indices: np.ndarray,
+    relative_doc_lens: np.ndarray,
+    doc_count: int,
+    dtype=np.float32,
+) -> np.ndarray:
+    """One term's float64 score-contribution vector (aligned with
+    ``indices``). Query-independent for fixed (b, k1), so callers may
+    cache it per term — scatter-adding the cached vector is the same
+    IEEE op sequence as recomputing it inline.
+
+    Explicit float64 intermediates: the reference numba kernel
+    (bm25.py:43-49) promotes float64-scalar * float32-array to a
+    float64 array, while numpy's legacy value-based casting would keep
+    it float32 — a 1-ulp divergence. The float64 result truncates to
+    the score dtype on the fancy-index store in :func:`bm25`.
+    """
+    df = dtype(len(indices))
+    idf = dtype(np.log(1.0 + (((doc_count - df) + 0.5) / (df + 0.5))))
+    rel64 = relative_doc_lens[indices].astype(np.float64)
+    return idf * ((freqs * (k1 + 1.0)) / (freqs + k1 * (1.0 - b + (b * rel64))))
+
+
 def bm25(
     b: float,
     k1: float,
@@ -131,28 +179,46 @@ def bm25(
     operator: str = "OR",
     subset_doc_ids: Optional[np.ndarray] = None,
     dtype=np.float32,
+    contribs: Optional[Sequence[np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """reference bm25.py:16-59. ``relative_doc_lens`` must be the
-    float32 full-corpus array (doc_lens / float32-mean)."""
-    unique = _candidates(doc_ids, operator, subset_doc_ids)
+    float32 full-corpus array (doc_lens / float32-mean).
+    ``contribs``: optional pre-computed per-term contribution vectors
+    (see :func:`bm25_term_contrib`) — score-identical fast path."""
+    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count)
     scores = np.zeros(doc_count, dtype=dtype)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
-        freqs = term_doc_freqs[i]
-        df = dtype(len(indices))
-        idf = dtype(np.log(1.0 + (((doc_count - df) + 0.5) / (df + 0.5))))
-        # Explicit float64 intermediates: the numba kernel promotes
-        # float64-scalar * float32-array to a float64 array, while
-        # numpy's legacy value-based casting would keep it float32 —
-        # a 1-ulp divergence. The float64 result truncates to the
-        # score dtype on the fancy-index store, the same IEEE op
-        # sequence as numba's element loop (bm25.py:46-49).
-        rel64 = relative_doc_lens[indices].astype(np.float64)
-        scores[indices] += idf * (
-            (freqs * (k1 + 1.0))
-            / (freqs + k1 * (1.0 - b + (b * rel64)))
+        contrib = (
+            contribs[i]
+            if contribs is not None
+            else bm25_term_contrib(
+                b, k1, term_doc_freqs[i], indices, relative_doc_lens,
+                doc_count, dtype,
+            )
         )
+        scores[indices] += contrib
     return _finalize(unique, scores, cutoff)
+
+
+def tf_idf_term_contrib(
+    freqs: np.ndarray,
+    indices: np.ndarray,
+    doc_lens: np.ndarray,
+    dtype=np.float32,
+) -> np.ndarray:
+    """One term's TF-IDF contribution vector (cacheable per term).
+
+    Cast to the score dtype BEFORE dividing: the reference divides
+    int16 tfs by float32 doc_lens which numba/numpy keep in float32;
+    our int32 tfs would promote to float64 and break bit parity (tf
+    counts are exactly representable in float32)."""
+    doc_count = len(doc_lens)
+    dl = doc_lens if dtype == np.float32 else doc_lens.astype(np.float64)
+    tf = freqs.astype(dtype) / dl[indices]
+    df = dtype(len(indices))
+    idf = dtype(np.log((1.0 + doc_count) / (1.0 + df)) + 1.0)
+    return tf * idf
 
 
 def tf_idf(
@@ -163,23 +229,22 @@ def tf_idf(
     operator: str = "OR",
     subset_doc_ids: Optional[np.ndarray] = None,
     dtype=np.float32,
+    contribs: Optional[Sequence[np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """reference tf_idf.py:16-57. ``doc_lens`` is the float32
     full-corpus array; doc_count = len(doc_lens) exactly as the
     reference does (tf_idf.py:33)."""
-    unique = _candidates(doc_ids, operator, subset_doc_ids)
     doc_count = len(doc_lens)
+    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count)
     scores = np.zeros(doc_count, dtype=dtype)
-    dl = doc_lens if dtype == np.float32 else doc_lens.astype(np.float64)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
-        # Cast to the score dtype BEFORE dividing: the reference
-        # divides int16 tfs by float32 doc_lens which numba/numpy keep
-        # in float32; our int32 tfs would promote to float64 and break
-        # bit parity (tf counts are exactly representable in float32).
-        freqs = term_doc_freqs[i].astype(dtype)
-        tf = freqs / dl[indices]
-        df = dtype(len(indices))
-        idf = dtype(np.log((1.0 + doc_count) / (1.0 + df)) + 1.0)
-        scores[indices] += tf * idf
+        contrib = (
+            contribs[i]
+            if contribs is not None
+            else tf_idf_term_contrib(
+                term_doc_freqs[i], indices, doc_lens, dtype
+            )
+        )
+        scores[indices] += contrib
     return _finalize(unique, scores, cutoff)

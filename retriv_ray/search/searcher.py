@@ -91,14 +91,44 @@ class LoadedIndex:
         self._seg_cache: Dict[Tuple[int, int], Dict[str, tuple]] = {}
         # term -> decoded (doc_ids, tfs)
         self._post_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        # (model, b, k1, dtype, term) -> float64 contribution vector;
+        # byte-capped FIFO (hot Zipf terms dominate query mixes, so
+        # even a small cap removes most per-query float math).
+        self._contrib_cache: Dict[tuple, np.ndarray] = {}
+        self._contrib_bytes = 0
+        self.contrib_cache_cap = 512 << 20
+
+    def term_contrib(self, term: str, model: str, b, k1, dtype) -> np.ndarray:
+        """Cached per-term score-contribution vector (kernel
+        bm25_term_contrib / tf_idf_term_contrib): query-independent
+        for fixed hyperparams, so msearch over a Zipf query mix pays
+        the per-term float math once instead of per query."""
+        key = (model, b, k1, dtype, term)
+        hit = self._contrib_cache.get(key)
+        if hit is not None:
+            return hit
+        d, f = self.get_postings(term)
+        if model == "bm25":
+            c = kernel.bm25_term_contrib(
+                b, k1, f, d, self.relative_doc_lens, self.doc_count, dtype
+            )
+        else:
+            c = kernel.tf_idf_term_contrib(f, d, self.doc_lens, dtype)
+        while self._contrib_bytes + c.nbytes > self.contrib_cache_cap and self._contrib_cache:
+            _, old = self._contrib_cache.popitem()
+            self._contrib_bytes -= old.nbytes
+        self._contrib_cache[key] = c
+        self._contrib_bytes += c.nbytes
+        return c
 
     # -- id mapping ----------------------------------------------------
-    def to_original_ids(self, doc_ids: np.ndarray) -> Tuple[List[str], np.ndarray]:
+    def to_original_ids(self, doc_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """doc_id -> (conv_id, turn_idx); reference
-        base_retriever.py:79-80 equivalent."""
+        base_retriever.py:79-80 equivalent. conv ids come back as an
+        object ndarray (vectorized fancy-index, no python loop)."""
         pos = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
         turns = doc_ids - self.conv_bases[pos]
-        return [self.conv_ids[p] for p in pos], turns.astype(np.int32)
+        return self.conv_ids[pos], turns.astype(np.int32)
 
     # -- postings ------------------------------------------------------
     def _segment(self, shard: int, part: int) -> Dict[str, tuple]:
@@ -181,10 +211,15 @@ class RaySparseRetriever:
             doc_ids.append(d)
             tfs.append(f)
         dtype = np.float32 if self.cfg.score_dtype == "float32" else np.float64
-        if self.cfg.model == "bm25":
+        b, k1 = self.cfg.hyperparams["b"], self.cfg.hyperparams["k1"]
+        model = "bm25" if self.cfg.model == "bm25" else "tf-idf"
+        contribs = [
+            idx.term_contrib(t, model, b, k1, dtype) for t in terms
+        ]
+        if model == "bm25":
             return kernel.bm25(
-                b=self.cfg.hyperparams["b"],
-                k1=self.cfg.hyperparams["k1"],
+                b=b,
+                k1=k1,
                 term_doc_freqs=tfs,
                 doc_ids=doc_ids,
                 relative_doc_lens=idx.relative_doc_lens,
@@ -193,6 +228,7 @@ class RaySparseRetriever:
                 operator=operator,
                 subset_doc_ids=subset,
                 dtype=dtype,
+                contribs=contribs,
             )
         return kernel.tf_idf(
             term_doc_freqs=tfs,
@@ -202,6 +238,7 @@ class RaySparseRetriever:
             operator=operator,
             subset_doc_ids=subset,
             dtype=dtype,
+            contribs=contribs,
         )
 
     # -- public API ----------------------------------------------------
@@ -257,7 +294,7 @@ class RaySparseRetriever:
         queries,
         cutoff: int = 100,
         concurrency: Optional[int] = None,
-        batch_size: int = 256,
+        batch_size: Optional[int] = None,
     ):
         """queries: ray Dataset / pyarrow Table / list of dicts with
         (id, text). Returns a Dataset (q_id, rank, conv_id, turn_idx,
@@ -268,23 +305,66 @@ class RaySparseRetriever:
 
         if concurrency is None:
             concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        n_known = None
         if isinstance(queries, pa.Table):
+            n_known = queries.num_rows
             queries = ray.data.from_arrow(queries)
         elif isinstance(queries, (list, tuple)):
+            n_known = len(queries)
             queries = ray.data.from_items(
                 [{"id": q["id"], "text": q["text"]} for q in queries]
             )
+        if n_known is not None:
+            # task parallelism == block count (batch_size only sets UDF
+            # granularity within a task): spread the queries over ~4
+            # blocks per core, ≥8 queries per block.
+            target_blocks = max(1, min(n_known // 8, 4 * concurrency))
+            if queries.num_blocks() < target_blocks:
+                queries = queries.repartition(target_blocks)
+        if batch_size is None:
+            batch_size = max(8, (n_known or 512) // (4 * concurrency) or 1)
         return queries.map_batches(
-            _QueryScorer,
-            fn_constructor_kwargs=dict(
-                index_dir=self.index_dir,
-                cfg_json=self.cfg.to_json(),
-                cutoff=cutoff,
-            ),
+            _query_scorer_fn(self.index_dir, self.cfg.to_json(), cutoff),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
         )
+
+    def msearch_parallel(
+        self,
+        queries: Sequence[Dict],
+        cutoff: int = 100,
+        num_cpus_per_task: int = 2,
+    ) -> pa.Table:
+        """Low-latency parallel batch search via raw Ray tasks.
+
+        The Dataset path (:meth:`msearch_ds`) carries ~1.5s of
+        per-execution streaming-executor overhead — right for
+        million-query batch jobs, wrong for interactive batches. This
+        path fans the batch out as plain tasks over module-cached
+        per-worker scorers (same cache as the Dataset path) and
+        gathers one small Arrow table. ``num_cpus_per_task=2``
+        deliberately halves concurrency: scoring is memory-bandwidth
+        bound, and >cpus/2 concurrent scorers regress wall time
+        (measured: 16 tasks beat 32 tasks 4.4x on a 32-core box).
+        """
+        import ray
+
+        qt = pa.Table.from_arrays(
+            [
+                pa.array([str(q["id"]) for q in queries], type=pa.string()),
+                pa.array([q["text"] for q in queries], type=pa.string()),
+            ],
+            names=["id", "text"],
+        )
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        slots = max(1, cpus // max(1, num_cpus_per_task))
+        n = qt.num_rows
+        n_chunks = max(1, min(2 * slots, n // 8 or 1))
+        fn = _query_scorer_fn(self.index_dir, self.cfg.to_json(), cutoff)
+        task = ray.remote(num_cpus=num_cpus_per_task)(fn)
+        step = (n + n_chunks - 1) // n_chunks
+        refs = [task.remote(qt.slice(i, step)) for i in range(0, n, step)]
+        return pa.concat_tables(ray.get(refs))
 
     def bsearch(
         self,
@@ -298,19 +378,73 @@ class RaySparseRetriever:
         self.msearch_ds(queries, cutoff, concurrency).write_parquet(path)
 
 
+_SCORER_CACHE: Dict[str, "_QueryScorer"] = {}
+
+
+def _query_scorer_fn(index_dir: str, cfg_json: dict, cutoff: int):
+    """Task-form scorer: the LoadedIndex lives in a module-level
+    per-worker cache keyed by (index_dir, cfg), so query tasks run in
+    Ray's shared warm worker pool — no per-call actor-pool spawn, and
+    the index (plus its decoded-postings cache) persists across
+    msearch_ds calls in the same session."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = f"{index_dir}|{sorted(cfg_json.items())}|{cutoff}"
+        sc = _SCORER_CACHE.get(key)
+        if sc is None:
+            sc = _QueryScorer(index_dir, cfg_json, cutoff)
+            _SCORER_CACHE[key] = sc
+        return sc(batch)
+
+    return fn
+
+
 class _QueryScorer:
-    """map_batches actor: index loaded once per actor (__init__), query
-    batches scored per __call__ — the stateful-stage pattern the
-    reference approximates with numba prange threads."""
+    """Scorer stage body: index loaded once per worker (__init__),
+    query batches scored per __call__ — the stateful-stage pattern the
+    reference approximates with numba prange threads. Used via
+    :func:`_query_scorer_fn` (task pool) or directly as a map_batches
+    callable class (actor pool)."""
 
     def __init__(self, index_dir: str, cfg_json: dict, cutoff: int):
         self.r = RaySparseRetriever(index_dir, SparseConfig.from_json(cfg_json))
         self.cutoff = cutoff
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
         ids = batch.column("id").to_pylist()
         texts = batch.column("text").to_pylist()
+        r, index = self.r, self.r.index
+        q_col: List[str] = []
+        id_arrs: List[np.ndarray] = []
+        sc_arrs: List[np.ndarray] = []
+        rk_arrs: List[np.ndarray] = []
         for q_id, text in zip(ids, texts):
-            out.append(self.r.search_table(text or "", q_id=str(q_id), cutoff=self.cutoff))
-        return pa.concat_tables(out)
+            terms = r.query_terms(text or "")
+            if not terms:
+                continue
+            d, s = r._score(terms, self.cutoff)
+            q_col.extend([str(q_id)] * len(d))
+            id_arrs.append(d)
+            sc_arrs.append(s.astype(np.float64))
+            rk_arrs.append(np.arange(1, len(d) + 1, dtype=np.int32))
+        if id_arrs:
+            doc = np.concatenate(id_arrs)
+            convs, turns = index.to_original_ids(doc)
+        else:
+            doc = np.empty(0, dtype=np.int64)
+            convs, turns = np.empty(0, object), np.empty(0, np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(q_col, type=pa.string()),
+                pa.array(
+                    np.concatenate(rk_arrs) if rk_arrs else np.empty(0, np.int32)
+                ),
+                pa.array(convs, type=pa.string()),
+                pa.array(turns),
+                pa.array(
+                    np.concatenate(sc_arrs) if sc_arrs else np.empty(0, np.float64)
+                ),
+                pa.array(doc, type=pa.int64()),
+            ],
+            names=["q_id", "rank", "conv_id", "turn_idx", "score", "doc_id"],
+        )

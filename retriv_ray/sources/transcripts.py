@@ -81,6 +81,48 @@ def _vocab(rng_tail_size: int = 400) -> tuple[List[str], np.ndarray]:
 _VOCAB, _P = _vocab()
 _VOCAB_ARR = np.asarray(_VOCAB, dtype=object)
 
+# "heavy" profile: realistic transcript shape — bigger vocabulary,
+# role-dependent turn lengths (short user asks, long assistant
+# answers, occasional tool dumps). Used by the bench harness so that
+# compute, not fixed pipeline overhead, dominates the measured build.
+_VOCAB_HEAVY, _P_HEAVY = _vocab(rng_tail_size=5000)
+_VOCAB_HEAVY_ARR = np.asarray(_VOCAB_HEAVY, dtype=object)
+_CUM_P_HEAVY = np.cumsum(_P_HEAVY)
+
+
+def _conv_turns_heavy(conv: int, seed: int) -> dict:
+    rng = np.random.default_rng([seed, conv, 7])
+    n_turns = int(rng.integers(2, 21))
+    conv_id = f"c{conv:09d}"
+    roles = ["user" if t % 2 == 0 else "assistant" for t in range(n_turns)]
+    n_tok = np.where(
+        np.arange(n_turns) % 2 == 0,
+        rng.integers(4, 40, size=n_turns),
+        rng.integers(20, 200, size=n_turns),
+    )
+    # ~10% of assistant turns carry a big tool dump
+    dump = (np.arange(n_turns) % 2 == 1) & (rng.random(n_turns) < 0.10)
+    n_tok = np.where(dump, rng.integers(200, 600, size=n_turns), n_tok)
+    total = int(n_tok.sum())
+    # vectorized Zipf draw: inverse-CDF via searchsorted (≫ rng.choice)
+    codes = np.searchsorted(_CUM_P_HEAVY, rng.random(total), side="right")
+    words = _VOCAB_HEAVY_ARR[codes]
+    bounds = np.cumsum(n_tok)[:-1]
+    texts = [" ".join(chunk) for chunk in np.split(words, bounds)]
+    tools = [
+        str(rng.choice(_TOOLS)) if roles[t] == "assistant" else ""
+        for t in range(n_turns)
+    ]
+    ts = _EPOCH_US + np.int64(conv) * 3_600_000_000 + np.arange(n_turns, dtype=np.int64) * 30_000_000
+    return {
+        "conv_id": [conv_id] * n_turns,
+        "turn_idx": np.arange(n_turns, dtype=np.int32),
+        "role": roles,
+        "text": texts,
+        "tool": tools,
+        "ts": ts,
+    }
+
 
 def conv_turns_table(conv: int, seed: int) -> dict:
     """All turns of one conversation as plain python/np columns."""
@@ -115,10 +157,11 @@ def conv_turns_table(conv: int, seed: int) -> dict:
     }
 
 
-def _convs_to_table(convs: np.ndarray, seed: int) -> pa.Table:
+def _convs_to_table(convs: np.ndarray, seed: int, profile: str = "light") -> pa.Table:
+    gen = _conv_turns_heavy if profile == "heavy" else conv_turns_table
     cols = {name: [] for name in SCHEMA.names}
     for conv in convs:
-        part = conv_turns_table(int(conv), seed)
+        part = gen(int(conv), seed)
         for name in SCHEMA.names:
             cols[name].append(part[name])
     arrays = []
@@ -134,12 +177,14 @@ def _convs_to_table(convs: np.ndarray, seed: int) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=SCHEMA)
 
 
-def transcripts_table(n_convs: int, seed: int = 42) -> pa.Table:
+def transcripts_table(n_convs: int, seed: int = 42, profile: str = "light") -> pa.Table:
     """Local (no Ray) generator — same bytes as the Dataset path."""
-    return _convs_to_table(np.arange(n_convs), seed)
+    return _convs_to_table(np.arange(n_convs), seed, profile)
 
 
-def make_transcripts_dataset(n_convs: int, seed: int = 42, parallelism: int = -1):
+def make_transcripts_dataset(
+    n_convs: int, seed: int = 42, parallelism: int = -1, profile: str = "light"
+):
     """Distributed generator: ``ray.data.range(n_convs)`` ->
     ``map_batches`` where each batch expands its conv ids into turns.
     Content is identical to :func:`transcripts_table` for any
@@ -147,14 +192,17 @@ def make_transcripts_dataset(n_convs: int, seed: int = 42, parallelism: int = -1
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
-        return _convs_to_table(batch.column("id").to_numpy(), seed)
+        return _convs_to_table(batch.column("id").to_numpy(), seed, profile)
 
     ds = ray.data.range(n_convs, override_num_blocks=parallelism if parallelism > 0 else None)
     return ds.map_batches(gen, batch_format="pyarrow")
 
 
-def write_transcripts(path: str, n_convs: int, seed: int = 42, parallelism: int = -1) -> None:
-    make_transcripts_dataset(n_convs, seed, parallelism).write_parquet(path)
+def write_transcripts(
+    path: str, n_convs: int, seed: int = 42, parallelism: int = -1,
+    profile: str = "light",
+) -> None:
+    make_transcripts_dataset(n_convs, seed, parallelism, profile).write_parquet(path)
 
 
 def shane_transcripts() -> pa.Table:
