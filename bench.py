@@ -121,7 +121,7 @@ def main() -> None:
 
     index_dir = os.path.join(BENCH_ROOT, f"index_{n_convs}_cpus{NUM_CPUS}")
     t0 = time.monotonic()
-    build_index(src, index_dir, SparseConfig(), num_parts=16, resume=False)
+    build_index(src, index_dir, SparseConfig(), num_parts=32, resume=False)
     t_build = time.monotonic() - t0
 
     r = RaySparseRetriever(index_dir)

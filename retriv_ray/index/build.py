@@ -410,7 +410,18 @@ def _reduce_group(
         lists_docs.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
     ).astype(np.int64)
     code_rep = np.repeat(row_codes, row_lens)
-    order = np.lexsort((flat_docs, code_rep))
+    # one-key radix sort on a composite (code, doc) key when the
+    # bounds allow (code < 2^22 terms/group, doc < 2^41 ≈ 2·10^12 —
+    # both hold at target scale); ~2x faster than the 2-key lexsort
+    # and the reduce stage is the build's hottest kernel.
+    if len(code_rep) and (
+        len(vocab) < (1 << 22) and flat_docs.max() < (1 << 41)
+    ):
+        key = code_rep.view(np.uint64) << np.uint64(41)
+        key |= flat_docs.view(np.uint64)
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((flat_docs, code_rep))
     c_s, d_s, t_s = code_rep[order], flat_docs[order], flat_tfs[order]
     new = np.empty(len(c_s), dtype=bool)
     if len(c_s):
@@ -559,12 +570,17 @@ def build_index(
         **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
     )
 
+    # num_cpus=2 halves reducer concurrency: the encode kernel is
+    # memory-bandwidth/allocation bound, and >cpus/2 concurrent
+    # reducers inflate per-task time ~5x (measured 69.5 -> 13.7
+    # core-s on a 32-core box). Wall time improves ~1.4x.
     stats_ds = pairs.groupby("gkey").map_groups(
         _reduce_group,
         fn_kwargs=dict(
             index_dir=index_dir, num_parts=num_parts, fingerprint=fingerprint
         ),
         batch_format="pyarrow",
+        num_cpus=2,
     )
     stats = pa.Table.from_batches(_gather(stats_ds))
 

@@ -37,22 +37,41 @@ BLOCK = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts (int8)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int8)
+    for t in _THRESHOLDS:
+        m = v >= t
+        if not m.any():
+            break
+        nb += m
+    return nb
+
+
+def varint_encode(values: np.ndarray, nbytes: np.ndarray = None) -> bytes:
+    """LEB128-encode a uint64 array (vectorized; minimal temporaries —
+    the reduce stage is allocation-bound under concurrency)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nb = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nb += v >= t
-    offs = np.cumsum(nb) - nb
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    for k in range(int(nb.max())):
+    nb = varint_nbytes(v) if nbytes is None else nbytes
+    max_nb = int(nb.max())
+    if max_nb == 1:
+        # fast path: every value < 128 (typical for tfs and in-block
+        # deltas) — the stream IS the byte cast
+        return v.astype(np.uint8).tobytes()
+    offs = np.cumsum(nb, dtype=np.int64)
+    total = int(offs[-1])
+    offs -= nb
+    out = np.zeros(total, dtype=np.uint8)
+    # k=0 exists for every value
+    out[offs] = (v & np.uint64(0x7F)).astype(np.uint8) | ((nb > 1).view(np.uint8) << 7)
+    for k in range(1, max_nb):
         mask = nb > k
         idx = offs[mask] + k
-        byte = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
-        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
-        out[idx] = byte.astype(np.uint8) | cont
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        out[idx] = byte | ((nb[mask] - 1 > k).view(np.uint8) << 7)
     return out.tobytes()
 
 
@@ -138,7 +157,7 @@ def encode_grouped_postings(
     ``encode_postings`` output.
     """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
-    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs)
     t_starts = np.asarray(t_starts, dtype=np.int64)
     t_counts = np.asarray(t_counts, dtype=np.int64)
     n = len(ids)
@@ -159,19 +178,16 @@ def encode_grouped_postings(
     deltas[1:] = ids[1:] - ids[:-1]
     deltas[b_starts] = ids[b_starts]
     # one varint pass for the whole partition, then per-value byte
-    # lengths -> per-term byte spans
-    u = deltas.astype(np.uint64)
-    nbytes = np.ones(n, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += u >= t
-    doc_all = varint_encode(u)
+    # lengths -> per-term byte spans (nbytes computed once and shared
+    # with the encoder)
+    u = deltas.view(np.uint64)
+    nbytes = varint_nbytes(u)
+    doc_all = varint_encode(u, nbytes)
     byte_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=byte_off[1:])
     ut = tf.astype(np.uint64)
-    tbytes_n = np.ones(n, dtype=np.int64)
-    for t in _THRESHOLDS:
-        tbytes_n += ut >= t
-    tf_all = varint_encode(ut)
+    tbytes_n = varint_nbytes(ut)
+    tf_all = varint_encode(ut, tbytes_n)
     tbyte_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tbytes_n, out=tbyte_off[1:])
     # per-block metadata

@@ -105,6 +105,7 @@ def _candidates(
     operator: str,
     subset_doc_ids: Optional[np.ndarray],
     doc_count: int = 0,
+    scratch: Optional[dict] = None,
 ) -> np.ndarray:
     if operator == "AND":
         unique = intersect_sorted_multi(doc_ids)
@@ -116,10 +117,12 @@ def _candidates(
         # posting mass (per-shard serving at 10^12 docs).
         total = sum(len(a) for a in doc_ids)
         if doc_count and doc_count <= 64 * max(total, 1):
-            seen = np.zeros(doc_count, dtype=bool)
+            seen = _scratch_get(scratch, "seen", doc_count, bool)
             for a in doc_ids:
                 seen[a] = True
             unique = np.flatnonzero(seen).astype(doc_ids[0].dtype, copy=False)
+            if scratch is not None:
+                seen[unique] = False  # targeted reset for reuse
         else:
             unique = union_sorted_multi(doc_ids)
     else:
@@ -127,6 +130,20 @@ def _candidates(
     if subset_doc_ids is not None:
         unique = np.intersect1d(unique, subset_doc_ids, assume_unique=True)
     return unique
+
+
+def _scratch_get(scratch: Optional[dict], key: str, n: int, dtype) -> np.ndarray:
+    """Fetch-or-create a reusable zeroed buffer. Per-query
+    ``np.zeros`` page-faulting dominates under concurrency on
+    VM-backed memory; reusing buffers and resetting only touched
+    entries removes that wall. Callers must reset what they touch."""
+    if scratch is None:
+        return np.zeros(n, dtype=dtype)
+    buf = scratch.get(key)
+    if buf is None or len(buf) < n or buf.dtype != np.dtype(dtype):
+        buf = np.zeros(n, dtype=dtype)
+        scratch[key] = buf
+    return buf[:n]
 
 
 def _finalize(
@@ -180,13 +197,15 @@ def bm25(
     subset_doc_ids: Optional[np.ndarray] = None,
     dtype=np.float32,
     contribs: Optional[Sequence[np.ndarray]] = None,
+    scratch: Optional[dict] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """reference bm25.py:16-59. ``relative_doc_lens`` must be the
     float32 full-corpus array (doc_lens / float32-mean).
     ``contribs``: optional pre-computed per-term contribution vectors
-    (see :func:`bm25_term_contrib`) — score-identical fast path."""
-    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count)
-    scores = np.zeros(doc_count, dtype=dtype)
+    (see :func:`bm25_term_contrib`) — score-identical fast path.
+    ``scratch``: optional reusable-buffer dict (see _scratch_get)."""
+    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count, scratch)
+    scores = _scratch_get(scratch, "scores_" + np.dtype(dtype).name, doc_count, dtype)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
         contrib = (
@@ -198,7 +217,21 @@ def bm25(
             )
         )
         scores[indices] += contrib
-    return _finalize(unique, scores, cutoff)
+    out = _finalize(unique, scores, cutoff)
+    if scratch is not None:
+        _reset_scores(scores, unique, doc_ids, operator, subset_doc_ids)
+    return out
+
+
+def _reset_scores(scores, unique, doc_ids, operator, subset) -> None:
+    """Zero exactly the entries the scatter touched (buffer reuse).
+    Under OR with no subset, ``unique`` IS the touched set (one
+    pass); otherwise touched = every posting index."""
+    if operator == "OR" and subset is None:
+        scores[unique] = 0
+    else:
+        for indices in doc_ids:
+            scores[indices] = 0
 
 
 def tf_idf_term_contrib(
@@ -230,13 +263,14 @@ def tf_idf(
     subset_doc_ids: Optional[np.ndarray] = None,
     dtype=np.float32,
     contribs: Optional[Sequence[np.ndarray]] = None,
+    scratch: Optional[dict] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """reference tf_idf.py:16-57. ``doc_lens`` is the float32
     full-corpus array; doc_count = len(doc_lens) exactly as the
     reference does (tf_idf.py:33)."""
     doc_count = len(doc_lens)
-    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count)
-    scores = np.zeros(doc_count, dtype=dtype)
+    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count, scratch)
+    scores = _scratch_get(scratch, "scores_" + np.dtype(dtype).name, doc_count, dtype)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
         contrib = (
@@ -247,4 +281,7 @@ def tf_idf(
             )
         )
         scores[indices] += contrib
-    return _finalize(unique, scores, cutoff)
+    out = _finalize(unique, scores, cutoff)
+    if scratch is not None:
+        _reset_scores(scores, unique, doc_ids, operator, subset_doc_ids)
+    return out

@@ -91,12 +91,14 @@ class LoadedIndex:
         self._seg_cache: Dict[Tuple[int, int], Dict[str, tuple]] = {}
         # term -> decoded (doc_ids, tfs)
         self._post_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._post_bytes = 0
+        self.post_cache_cap = 256 << 20
         # (model, b, k1, dtype, term) -> float64 contribution vector;
         # byte-capped FIFO (hot Zipf terms dominate query mixes, so
         # even a small cap removes most per-query float math).
         self._contrib_cache: Dict[tuple, np.ndarray] = {}
         self._contrib_bytes = 0
-        self.contrib_cache_cap = 512 << 20
+        self.contrib_cache_cap = 256 << 20
 
     def term_contrib(self, term: str, model: str, b, k1, dtype) -> np.ndarray:
         """Cached per-term score-contribution vector (kernel
@@ -174,7 +176,14 @@ class LoadedIndex:
         else:
             db, tb, cn, la, mt = codec.concat_partials(partials)
             out = codec.decode_postings(db, tb, cn)
+        nbytes = out[0].nbytes + out[1].nbytes
+        while (
+            self._post_bytes + nbytes > self.post_cache_cap and self._post_cache
+        ):
+            _, old = self._post_cache.popitem()
+            self._post_bytes -= old[0].nbytes + old[1].nbytes
         self._post_cache[term] = out
+        self._post_bytes += nbytes
         return out
 
 
@@ -186,6 +195,8 @@ class RaySparseRetriever:
         self.cfg = cfg or SparseConfig.from_json(self.index.manifest.config)
         self.pre = TextPreprocessor(self.cfg)
         self.index_dir = index_dir
+        # reusable kernel buffers (see kernel._scratch_get)
+        self._scratch: Dict[str, np.ndarray] = {}
 
     # -- query preprocessing ------------------------------------------
     def query_terms(self, query: str) -> List[str]:
@@ -229,6 +240,7 @@ class RaySparseRetriever:
                 subset_doc_ids=subset,
                 dtype=dtype,
                 contribs=contribs,
+                scratch=self._scratch,
             )
         return kernel.tf_idf(
             term_doc_freqs=tfs,
@@ -239,6 +251,7 @@ class RaySparseRetriever:
             subset_doc_ids=subset,
             dtype=dtype,
             contribs=contribs,
+            scratch=self._scratch,
         )
 
     # -- public API ----------------------------------------------------
@@ -333,20 +346,22 @@ class RaySparseRetriever:
         self,
         queries: Sequence[Dict],
         cutoff: int = 100,
-        num_cpus_per_task: int = 2,
+        num_replicas: Optional[int] = None,
     ) -> pa.Table:
-        """Low-latency parallel batch search via raw Ray tasks.
+        """Low-latency parallel batch search via a persistent scorer
+        actor pool (SURVEY §2.3 ST3).
 
         The Dataset path (:meth:`msearch_ds`) carries ~1.5s of
         per-execution streaming-executor overhead — right for
         million-query batch jobs, wrong for interactive batches. This
-        path fans the batch out as plain tasks over module-cached
-        per-worker scorers (same cache as the Dataset path) and
-        gathers one small Arrow table. ``num_cpus_per_task=2``
-        deliberately halves concurrency: scoring is memory-bandwidth
-        bound, and >cpus/2 concurrent scorers regress wall time
-        (measured: 16 tasks beat 32 tasks 4.4x on a 32-core box).
+        pool holds a bounded number of index replicas (each actor
+        loads once, caches postings/contributions across calls);
+        raw tasks would respawn index state on whichever worker they
+        landed on and balloon memory. Replicas default to cpus/4:
+        scoring is memory-bandwidth bound, so more replicas than that
+        regress wall time AND multiply resident index memory.
         """
+        pool = self._pool(cutoff, num_replicas)
         import ray
 
         qt = pa.Table.from_arrays(
@@ -356,15 +371,31 @@ class RaySparseRetriever:
             ],
             names=["id", "text"],
         )
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        slots = max(1, cpus // max(1, num_cpus_per_task))
         n = qt.num_rows
-        n_chunks = max(1, min(2 * slots, n // 8 or 1))
-        fn = _query_scorer_fn(self.index_dir, self.cfg.to_json(), cutoff)
-        task = ray.remote(num_cpus=num_cpus_per_task)(fn)
+        n_chunks = max(1, min(2 * len(pool), n // 8 or 1))
         step = (n + n_chunks - 1) // n_chunks
-        refs = [task.remote(qt.slice(i, step)) for i in range(0, n, step)]
+        refs = [
+            pool[(i // step) % len(pool)].__call__.remote(qt.slice(i, step))
+            for i in range(0, n, step)
+        ]
         return pa.concat_tables(ray.get(refs))
+
+    def _pool(self, cutoff: int, num_replicas: Optional[int] = None):
+        import ray
+
+        key = (cutoff, num_replicas)
+        if getattr(self, "_pool_actors", None) and self._pool_key == key:
+            return self._pool_actors
+        if num_replicas is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            num_replicas = max(1, cpus // 4)
+        scorer_cls = ray.remote(num_cpus=2)(_QueryScorer)
+        self._pool_actors = [
+            scorer_cls.remote(self.index_dir, self.cfg.to_json(), cutoff)
+            for _ in range(num_replicas)
+        ]
+        self._pool_key = key
+        return self._pool_actors
 
     def bsearch(
         self,
