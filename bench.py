@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -32,7 +33,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROOT = "/tmp/retriv_ray_bench"
 CONVS_PER_SF = 150_000  # heavy profile: ~11 turns/conv, ~80 tok/turn
-SCALING_CONVS = 60_000  # --scaling input: ~670k turns / ~53M tokens
+SCALING_CONVS = 150_000  # --scaling input: ~1.65M turns / ~130M tokens
 WARMUP_CONVS = 200
 N_QUERIES = 1000
 N_LATENCY_QUERIES = 200
@@ -120,6 +121,7 @@ def main() -> None:
     t_warm = time.monotonic() - t0
 
     index_dir = os.path.join(BENCH_ROOT, f"index_{n_convs}_cpus{NUM_CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)  # wipe outside the timer
     t0 = time.monotonic()
     build_index(src, index_dir, SparseConfig(), num_parts=32, resume=False)
     t_build = time.monotonic() - t0

@@ -122,31 +122,20 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        convs = batch.column("conv_id").to_pylist()
-        turns = batch.column("turn_idx").to_numpy()
-        acc: Dict[str, List[int]] = {}
-        for c, t in zip(convs, turns):
-            e = acc.get(c)
-            if e is None:
-                acc[c] = [1, int(t), int(t)]
-            else:
-                e[0] += 1
-                if t < e[1]:
-                    e[1] = int(t)
-                if t > e[2]:
-                    e[2] = int(t)
-        keys = sorted(acc)
-        return pa.Table.from_arrays(
-            [
-                pa.array(keys, type=pa.string()),
-                pa.array([acc[k][0] for k in keys], type=pa.int64()),
-                pa.array([acc[k][1] for k in keys], type=pa.int64()),
-                pa.array([acc[k][2] for k in keys], type=pa.int64()),
-            ],
-            names=["conv_id", "count()", "min(turn_idx)", "max(turn_idx)"],
+        # vectorized per-batch combiner (pyarrow group_by is C++)
+        return pa.TableGroupBy(
+            batch.select(["conv_id", "turn_idx"]), "conv_id"
+        ).aggregate(
+            [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")]
+        ).rename_columns(
+            ["conv_id", "count()", "min(turn_idx)", "max(turn_idx)"]
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    partials = (
+        ds.select_columns(["conv_id", "turn_idx"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
     if partials.count() <= driver_merge_limit:
         t = pa.Table.from_batches(_gather(partials))
         df = t.to_pandas()
@@ -193,8 +182,7 @@ def _gather(ds) -> List[pa.RecordBatch]:
     import ray
 
     out: List[pa.RecordBatch] = []
-    for ref in ds.to_arrow_refs():
-        t = ray.get(ref)
+    for t in ray.get(list(ds.to_arrow_refs())):
         out.extend(t.to_batches())
     if not out:
         raise ValueError("empty input dataset")
@@ -543,10 +531,14 @@ def build_index(
 
     if isinstance(source, (str, list)):
         ds = ray.data.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+        # offsets pass prunes to the two key columns at the parquet
+        # read — the heavy text column never leaves storage for it
+        ds_keys = ray.data.read_parquet(source, columns=["conv_id", "turn_idx"])
     else:
         ds = source.select_columns(["conv_id", "turn_idx", "text"])
+        ds_keys = source.select_columns(["conv_id", "turn_idx"])
 
-    conv_offsets, doc_count = compute_conv_offsets(ds)
+    conv_offsets, doc_count = compute_conv_offsets(ds_keys)
     mf.atomic_write_parquet(
         conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
     )
