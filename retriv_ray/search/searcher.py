@@ -197,6 +197,17 @@ class RaySparseRetriever:
         self.index_dir = index_dir
         # reusable kernel buffers (see kernel._scratch_get)
         self._scratch: Dict[str, np.ndarray] = {}
+        self._metadata = None
+
+    @property
+    def metadata(self):
+        """Lazy MetadataIndex (built via search.metadata.build_metadata;
+        enables the AdvancedRetriever filter DSL in :meth:`search`)."""
+        if self._metadata is None:
+            from retriv_ray.search.metadata import MetadataIndex
+
+            self._metadata = MetadataIndex(self.index_dir)
+        return self._metadata
 
     # -- query preprocessing ------------------------------------------
     def query_terms(self, query: str) -> List[str]:
@@ -257,16 +268,43 @@ class RaySparseRetriever:
     # -- public API ----------------------------------------------------
     def search(
         self,
-        query: str,
+        query,
         cutoff: int = 100,
         operator: str = "OR",
         subset: Optional[np.ndarray] = None,
     ) -> Dict[Tuple[str, int], float]:
         """{(conv_id, turn_idx): score}, descending — the reference's
-        ``{orig_id: score}`` with our composite original id."""
+        ``{orig_id: score}`` with our composite original id.
+
+        ``query`` may be a dict with ``text`` plus the reference
+        filter DSL (``where`` / ``where_not`` / bare field filters —
+        advanced_retriever.py:503-531); filters restrict scoring to
+        the matching doc ids (kernel subset path, J4/J5)."""
+        was_dict = isinstance(query, dict)
+        if was_dict:
+            q_subset = self.metadata.subset_for_query(query)
+            if q_subset is not None:
+                subset = (
+                    q_subset
+                    if subset is None
+                    else np.intersect1d(subset, q_subset, assume_unique=True)
+                )
+            query = query.get("text", "")
         terms = self.query_terms(query)
         if not terms:
-            return {}
+            if not was_dict:
+                # reference SparseRetriever: empty query -> {} (:274-279)
+                return {}
+            # reference AdvancedRetriever filters-only search: every
+            # (filtered) doc with score 1.0, NO cutoff
+            # (advanced_retriever.py:564-570)
+            ids = (
+                np.arange(self.index.doc_count, dtype=np.int64)
+                if subset is None
+                else subset
+            )
+            convs, turns = self.index.to_original_ids(ids)
+            return {(c, int(t)): 1.0 for c, t in zip(convs, turns)}
         ids, scores = self._score(terms, cutoff, operator, subset)
         convs, turns = self.index.to_original_ids(ids)
         return {
@@ -397,6 +435,51 @@ class RaySparseRetriever:
         self._pool_key = key
         return self._pool_actors
 
+    def autotune(
+        self,
+        queries: Sequence[Dict],
+        qrels: Dict[str, Dict],
+        metric: str = "ndcg",
+        n_trials: int = 100,
+        cutoff: int = 100,
+        seed: int = 42,
+    ) -> Dict[str, float]:
+        """Tune (b, k1) by maximizing ``metric`` over the query set —
+        the reference surface (sparse_retriever.py autotune ->
+        autotune/bm25_autotune.py:10-38: optuna TPE over b in [0,1]
+        step .01, k1 in [0,10] step .1, ranx metric). Here: seeded
+        random sampling of ``n_trials`` points from the same grid +
+        the retriv_ray.eval metrics — deterministic and library-free.
+        Sets ``self.cfg.hyperparams`` to the best params and returns
+        them.
+        """
+        from retriv_ray.eval import evaluate
+
+        rng = np.random.default_rng(seed)
+        bs = np.round(rng.integers(0, 101, size=n_trials) * 0.01, 2)
+        k1s = np.round(rng.integers(0, 101, size=n_trials) * 0.1, 1)
+        # always include the default + reference-test corners
+        trials = list({(float(b), float(k)) for b, k in zip(bs, k1s)})
+        trials.extend([(0.75, 1.2), (0.0, 1.0), (1.0, 1.0)])
+        saved = dict(self.cfg.hyperparams)
+        best = (-1.0, saved)
+        try:
+            for b, k1 in trials:
+                self.cfg.hyperparams = dict(b=b, k1=k1)
+                run = {
+                    q["id"]: {
+                        _orig_key(k): v
+                        for k, v in self.search(q["text"], cutoff=cutoff).items()
+                    }
+                    for q in queries
+                }
+                score = evaluate(qrels, run, metric)
+                if score > best[0]:
+                    best = (score, dict(b=b, k1=k1))
+        finally:
+            self.cfg.hyperparams = best[1] if best[0] >= 0 else saved
+        return dict(self.cfg.hyperparams)
+
     def bsearch(
         self,
         queries,
@@ -407,6 +490,16 @@ class RaySparseRetriever:
         """Streaming batch search to partitioned parquet (reference
         bsearch, sparse_retriever.py:380-451)."""
         self.msearch_ds(queries, cutoff, concurrency).write_parquet(path)
+
+
+def _orig_key(k):
+    """Result key -> qrels key string: turn-0 docs (the single-turn
+    mapping used by the compat layer) compare by conv_id alone, other
+    turns as "conv/turn" — always strings, so rank sorting stays
+    well-typed."""
+    if isinstance(k, tuple):
+        return str(k[0]) if k[1] == 0 else f"{k[0]}/{k[1]}"
+    return str(k)
 
 
 _SCORER_CACHE: Dict[str, "_QueryScorer"] = {}

@@ -1,0 +1,114 @@
+"""Drop-in API parity: retriv_ray.compat.SparseRetriever mirrors the
+reference retriv.SparseRetriever surface, including the golden BM25
+scores from reference tests/sparse_retriever/search_engine_test.py.
+"""
+
+import json
+import os
+from math import isclose
+
+import pytest
+
+from retriv_ray.compat import SparseRetriever
+
+SHANE = [
+    {"id": "doc_0", "text": "Shane"},
+    {"id": "doc_1", "text": "Shane C"},
+    {"id": "doc_2", "text": "Shane P Connelly"},
+    {"id": "doc_3", "text": "Shane Connelly"},
+    {"id": "doc_4", "text": "Shane Shane Connelly Connelly"},
+    {"id": "doc_5", "text": "Shane Shane Shane Connelly Connelly Connelly"},
+]
+
+
+@pytest.fixture(scope="module")
+def sr(ray_session):
+    sr = SparseRetriever(
+        index_name="compat-test",
+        tokenizer="whitespace",
+        stemmer="english",
+        stopwords="english",
+        hyperparams=dict(b=0.5, k1=0.0),
+    )
+    sr.index(SHANE)
+    yield sr
+    SparseRetriever.delete("compat-test")
+
+
+def test_golden_scores_b05_k10(sr):
+    # reference search_engine_test.py:34-45 (b=0.5, k1=0.0): every doc
+    # containing "shane" scores idf = ln(1 + (6-6+0.5)/(6+0.5))
+    res = sr.search("shane", cutoff=10)
+    assert len(res) == 6
+    for r in res:
+        assert isclose(r["score"], 0.07410797, rel_tol=1e-6)
+    assert {r["id"] for r in res} == {d["id"] for d in SHANE}
+
+
+def test_return_docs_false(sr):
+    res = sr.search("shane connelly", return_docs=False, cutoff=3)
+    assert isinstance(res, dict) and len(res) == 3
+    assert all(isinstance(k, str) for k in res)
+
+
+def test_msearch_order_and_keys(sr):
+    res = sr.msearch(
+        [{"id": "q1", "text": "shane"}, {"id": "q2", "text": "connelly"}],
+        cutoff=10,
+    )
+    assert list(res) == ["q1", "q2"]
+    assert len(res["q2"]) == 4
+
+
+def test_bsearch_jsonl(sr, tmp_path):
+    out = os.path.join(tmp_path, "run.jsonl")
+    sr.bsearch(
+        [{"id": "q1", "text": "shane"}],
+        cutoff=3,
+        path=out,
+        qrels={"q1": {"doc_5": 1}},
+    )
+    rows = [json.loads(line) for line in open(out)]
+    assert rows[0]["id"] == "q1"
+    assert len(rows[0]["bm25_doc_ids"]) == 3
+    assert rows[0]["rel_doc_ids"] == ["doc_5"]
+
+
+def test_load_roundtrip(sr):
+    sr2 = SparseRetriever.load("compat-test")
+    a = sr.search("shane connelly", return_docs=False, cutoff=5)
+    b = sr2.search("shane connelly", return_docs=False, cutoff=5)
+    assert a == b
+
+
+def test_index_file_jsonl(ray_session, tmp_path):
+    p = os.path.join(tmp_path, "coll.jsonl")
+    with open(p, "w") as f:
+        for d in SHANE:
+            f.write(json.dumps(d) + "\n")
+    sr = SparseRetriever(index_name="compat-file", hyperparams=dict(b=0.5, k1=0.0))
+    sr.index_file(p)
+    res = sr.search("shane", cutoff=10)
+    assert len(res) == 6
+    SparseRetriever.delete("compat-file")
+
+
+def test_autotune_sets_hyperparams(sr):
+    qrels = {"q1": {"doc_5": 1}}
+    best = sr.autotune(
+        [{"id": "q1", "text": "shane connelly"}], qrels, metric="mrr", n_trials=8
+    )
+    assert set(best) == {"b", "k1"}
+    assert sr.hyperparams == best
+
+
+def test_extra_fields_roundtrip(ray_session):
+    docs = [
+        {"id": "a", "text": "hello world", "lang": "en"},
+        {"id": "b", "text": "hallo welt", "lang": "de"},
+    ]
+    sr = SparseRetriever(index_name="compat-extra", stemmer=None, stopwords=None)
+    sr.index(docs)
+    res = sr.search("hello", cutoff=5)
+    assert res[0]["lang"] == "en"
+    SparseRetriever.delete("compat-extra")

@@ -1,0 +1,105 @@
+"""Fusion parity with the reference Merger semantics
+(reference tests/merger/merger_test.py:47-80 and
+score_normalization_test.py) plus dict-vs-Dataset equivalence."""
+
+from math import isclose
+
+import numpy as np
+import pytest
+
+from retriv_ray.merger import (
+    Merger,
+    fuse_runs_ds,
+    max_norm,
+    min_max_norm,
+    sum_norm,
+)
+
+RUN_A = {
+    "q1": {"d1": 2.0, "d2": 0.7, "d3": 0.5},
+    "q2": {"d1": 1.0, "d2": 0.7, "d3": 0.5},
+}
+RUN_B = {
+    "q1": {"d3": 2.0, "d1": 0.7},
+    "q2": {"d1": 1.0, "d2": 0.7, "d3": 0.5},
+}
+
+
+def test_min_max_norm_golden():
+    n = min_max_norm(RUN_A)
+    assert isclose(n["q1"]["d1"], 1.0)
+    assert isclose(n["q1"]["d2"], (0.7 - 0.5) / 1.5)
+    assert isclose(n["q1"]["d3"], 0.0)
+
+
+def test_max_norm_golden():
+    n = max_norm(RUN_A)
+    assert isclose(n["q1"]["d1"], 1.0)
+    assert isclose(n["q1"]["d2"], 0.35)
+    assert isclose(n["q1"]["d3"], 0.25)
+
+
+def test_sum_norm_golden():
+    n = sum_norm(RUN_A)
+    den = (2.0 + 0.7 + 0.5) - 0.5 * 3
+    assert isclose(n["q1"]["d1"], 1.5 / den)
+    assert isclose(n["q1"]["d2"], 0.2 / den)
+    assert isclose(n["q1"]["d3"], 0.0)
+
+
+def test_fuse_reference_semantics():
+    merger = Merger()
+    fused = merger.fuse([RUN_A["q1"], RUN_B["q1"]])
+    na, nb = min_max_norm(RUN_A), min_max_norm(RUN_B)
+    assert isclose(fused["d1"], na["q1"]["d1"] + nb["q1"]["d1"])
+    assert isclose(fused["d2"], na["q1"]["d2"])
+    assert isclose(fused["d3"], na["q1"]["d3"] + nb["q1"]["d3"])
+
+
+def test_mfuse_order_and_cutoff():
+    fused = Merger().mfuse([RUN_A, RUN_B], cutoff=2)
+    assert list(fused["q1"]) == sorted(
+        Merger().mfuse([RUN_A, RUN_B])["q1"], key=lambda d: (
+            -Merger().mfuse([RUN_A, RUN_B])["q1"][d], d)
+    )[:2]
+    assert all(len(r) <= 2 for r in fused.values())
+
+
+def test_weights():
+    fused = Merger(weights=[0.7, 0.3]).mfuse([RUN_A, RUN_B])
+    na, nb = min_max_norm(RUN_A), min_max_norm(RUN_B)
+    assert isclose(
+        fused["q2"]["d2"], 0.7 * na["q2"]["d2"] + 0.3 * nb["q2"]["d2"]
+    )
+
+
+def test_autotune_picks_better_weighting():
+    qrels = {"q1": {"d3": 1}, "q2": {"d1": 1}}
+    m = Merger()
+    cfg = m.autotune(qrels, [RUN_A, RUN_B], metric="ndcg", step=0.25)
+    assert cfg["score"] > 0
+    assert m.params is not None and len(m.params["weights"]) == 2
+
+
+@pytest.mark.parametrize("norm", ["min-max", "max", "sum"])
+def test_fuse_runs_ds_matches_dict_path(ray_session, norm):
+    import ray.data
+
+    rows = []
+    for idx, run in enumerate([RUN_A, RUN_B]):
+        for q_id, results in run.items():
+            for doc_id, score in results.items():
+                rows.append(
+                    {"run_idx": idx, "q_id": q_id, "doc_id": doc_id, "score": score}
+                )
+    ds = ray.data.from_items(rows)
+    got = fuse_runs_ds(ds, norm=norm, weights=[0.6, 0.4], cutoff=10).take_all()
+    want = Merger(norm=norm, weights=[0.6, 0.4]).mfuse([RUN_A, RUN_B], cutoff=10)
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, expected in want.items():
+        rows_q = sorted(got_by_q[q_id], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows_q] == list(expected)
+        for r in rows_q:
+            assert isclose(r["score"], expected[r["doc_id"]], rel_tol=1e-12)
