@@ -33,6 +33,10 @@ class SparseConfig:
     # score_dtype "float32" replicates the reference numba kernels
     # bit-for-bit; "float64" matches SQL oracles (DuckDB math).
     score_dtype: str = "float32"
+    # Block-max pruned scoring (score-safe WAND variant,
+    # retriv_ray/search/pruned.py). Exact by construction; False
+    # forces the exhaustive kernel (used when verifying equality).
+    use_block_max: bool = True
 
     def __post_init__(self) -> None:
         assert self.model.lower() in {"bm25", "tf-idf"}
@@ -66,6 +70,7 @@ class SparseConfig:
             "do_punctuation_removal": self.do_punctuation_removal,
             "hyperparams": dict(self.hyperparams),
             "score_dtype": self.score_dtype,
+            "use_block_max": self.use_block_max,
         }
 
     @classmethod

@@ -83,6 +83,9 @@ SEGMENT_SCHEMA = pa.schema(
         ("counts", pa.list_(pa.int32())),
         ("last", pa.list_(pa.int64())),
         ("max_tf", pa.list_(pa.int32())),
+        # per-block byte lengths: random access for block-skip decode
+        ("doc_blens", pa.list_(pa.int32())),
+        ("tf_blens", pa.list_(pa.int32())),
     ]
 )
 
@@ -440,6 +443,8 @@ def _reduce_group(
             pa.array([enc[i][2] for i in t_order], type=pa.list_(pa.int32())),
             pa.array([enc[i][3] for i in t_order], type=pa.list_(pa.int64())),
             pa.array([enc[i][4] for i in t_order], type=pa.list_(pa.int32())),
+            pa.array([enc[i][5] for i in t_order], type=pa.list_(pa.int32())),
+            pa.array([enc[i][6] for i in t_order], type=pa.list_(pa.int32())),
         ],
         schema=SEGMENT_SCHEMA,
     )

@@ -93,15 +93,14 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
-def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray
-) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple:
     """Encode one term's (ascending doc_ids, tfs) into block streams.
 
-    Returns (doc_bytes, tf_bytes, counts, last, max_tf). Deltas are
-    computed within blocks only; the first entry of each block stays
-    absolute so blocks decode independently (and partials merge by
-    concatenation).
+    Returns (doc_bytes, tf_bytes, counts, last, max_tf, doc_blens,
+    tf_blens). Deltas are computed within blocks only; the first entry
+    of each block stays absolute so blocks decode independently (and
+    partials merge by concatenation). The per-block byte lengths give
+    random access for block-skipping decode (:func:`decode_blocks`).
     """
     n = len(doc_ids)
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
@@ -109,13 +108,20 @@ def encode_postings(
     n_blocks = (n + BLOCK - 1) // BLOCK
     starts = np.arange(n_blocks, dtype=np.int64) * BLOCK
     counts = np.minimum(starts + BLOCK, n) - starts
+    ends = starts + counts
     deltas = np.empty(n, dtype=np.int64)
     deltas[0:1] = ids[0:1]
     deltas[1:] = ids[1:] - ids[:-1]
     deltas[starts] = ids[starts]  # block-first entries stay absolute
-    doc_bytes = varint_encode(deltas.astype(np.uint64))
-    tf_bytes = varint_encode(tf.astype(np.uint64))
-    last = ids[np.minimum(starts + counts - 1, n - 1)]
+    d_nb = varint_nbytes(deltas.view(np.uint64))
+    t_nb = varint_nbytes(tf.astype(np.uint64))
+    doc_bytes = varint_encode(deltas.view(np.uint64), d_nb)
+    tf_bytes = varint_encode(tf.astype(np.uint64), t_nb)
+    d_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(d_nb, out=d_off[1:])
+    t_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(t_nb, out=t_off[1:])
+    last = ids[np.minimum(ends - 1, n - 1)]
     max_tf = np.maximum.reduceat(tf, starts) if n else np.empty(0, np.int64)
     return (
         doc_bytes,
@@ -123,6 +129,8 @@ def encode_postings(
         counts.astype(np.int32),
         last.astype(np.int64),
         max_tf.astype(np.int32),
+        (d_off[ends] - d_off[starts]).astype(np.int32),
+        (t_off[ends] - t_off[starts]).astype(np.int32),
     )
 
 
@@ -190,9 +198,13 @@ def encode_grouped_postings(
     tf_all = varint_encode(ut, tbytes_n)
     tbyte_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tbytes_n, out=tbyte_off[1:])
-    # per-block metadata
+    # per-block metadata (incl. per-block byte lengths: the random
+    # access needed to SKIP decoding pruned blocks at query time —
+    # block-max WAND/MaxScore support)
     last_all = ids[b_ends - 1]
     max_tf_all = np.maximum.reduceat(tf, b_starts)
+    d_blen_all = (byte_off[b_ends] - byte_off[b_starts]).astype(np.int32)
+    t_blen_all = (tbyte_off[b_ends] - tbyte_off[b_starts]).astype(np.int32)
     out = []
     t_ends = t_starts + t_counts
     for i in range(len(t_starts)):
@@ -205,17 +217,39 @@ def encode_grouped_postings(
                 b_counts[fb : fb + nb].astype(np.int32),
                 last_all[fb : fb + nb],
                 max_tf_all[fb : fb + nb].astype(np.int32),
+                d_blen_all[fb : fb + nb],
+                t_blen_all[fb : fb + nb],
             )
         )
     return out
 
 
-def concat_partials(parts: list) -> Tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray]:
+def decode_blocks(
+    doc_bytes: bytes,
+    tf_bytes: bytes,
+    counts: np.ndarray,
+    doc_blens: np.ndarray,
+    tf_blens: np.ndarray,
+    block_sel: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the selected blocks (sorted block indices). Block
+    first-entries are absolute (encode_postings), so any subset of
+    blocks decodes independently — this is what makes block-max
+    pruning skip real work, not just scoring."""
+    counts = np.asarray(counts, dtype=np.int64)
+    d_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(doc_blens, out=d_off[1:])
+    t_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(tf_blens, out=t_off[1:])
+    db = b"".join(doc_bytes[d_off[b] : d_off[b + 1]] for b in block_sel)
+    tb = b"".join(tf_bytes[t_off[b] : t_off[b + 1]] for b in block_sel)
+    return decode_postings(db, tb, counts[block_sel])
+
+
+def concat_partials(parts: list) -> tuple:
     """Merge per-salt partial encodings of one term (salt order ==
     ascending doc_id ranges): pure concatenation, no re-encoding."""
     doc_bytes = b"".join(p[0] for p in parts)
     tf_bytes = b"".join(p[1] for p in parts)
-    counts = np.concatenate([p[2] for p in parts])
-    last = np.concatenate([p[3] for p in parts])
-    max_tf = np.concatenate([p[4] for p in parts])
-    return doc_bytes, tf_bytes, counts, last, max_tf
+    rest = [np.concatenate([p[i] for p in parts]) for i in range(2, len(parts[0]))]
+    return (doc_bytes, tf_bytes, *rest)

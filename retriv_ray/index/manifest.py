@@ -27,7 +27,7 @@ import json
 import os
 from typing import Any, Dict, List, Optional
 
-MANIFEST_VERSION = 1
+MANIFEST_VERSION = 3  # v3: per-block byte lengths in segments (block-skip decode)
 
 
 def atomic_write_text(path: str, text: str) -> None:

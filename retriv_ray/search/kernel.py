@@ -167,6 +167,7 @@ def bm25_term_contrib(
     relative_doc_lens: np.ndarray,
     doc_count: int,
     dtype=np.float32,
+    df: Optional[int] = None,
 ) -> np.ndarray:
     """One term's float64 score-contribution vector (aligned with
     ``indices``). Query-independent for fixed (b, k1), so callers may
@@ -178,8 +179,12 @@ def bm25_term_contrib(
     float64 array, while numpy's legacy value-based casting would keep
     it float32 — a 1-ulp divergence. The float64 result truncates to
     the score dtype on the fancy-index store in :func:`bm25`.
+
+    ``df`` overrides the document frequency for PARTIAL posting
+    slices (block-max pruned path) — idf must always come from the
+    full posting length.
     """
-    df = dtype(len(indices))
+    df = dtype(len(indices) if df is None else df)
     idf = dtype(np.log(1.0 + (((doc_count - df) + 0.5) / (df + 0.5))))
     rel64 = relative_doc_lens[indices].astype(np.float64)
     return idf * ((freqs * (k1 + 1.0)) / (freqs + k1 * (1.0 - b + (b * rel64))))

@@ -75,6 +75,9 @@ class LoadedIndex:
         self.relative_doc_lens = (
             lens / self.avg_doc_len if self.avg_doc_len > 0 else lens
         )
+        self.rel_min = (
+            float(self.relative_doc_lens.min()) if self.doc_count else 0.0
+        )
 
         im = pq.read_table(os.path.join(index_dir, "id_map", "conv_offsets.parquet"))
         self.conv_ids = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
@@ -142,26 +145,28 @@ class LoadedIndex:
             if os.path.exists(path):
                 t = pq.read_table(path)
                 terms = t.column("term").to_pylist()
-                db = t.column("doc_bytes").to_pylist()
-                tb = t.column("tf_bytes").to_pylist()
-                cn = t.column("counts").to_pylist()
-                la = t.column("last").to_pylist()
-                mt = t.column("max_tf").to_pylist()
+                cols = [
+                    t.column(c).to_pylist()
+                    for c in (
+                        "doc_bytes", "tf_bytes", "counts", "last", "max_tf",
+                        "doc_blens", "tf_blens",
+                    )
+                ]
                 for i, term in enumerate(terms):
-                    seg[term] = (db[i], tb[i], cn[i], la[i], mt[i])
+                    seg[term] = tuple(col[i] for col in cols)
             self._seg_cache[key] = seg
         return seg
 
-    def get_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
-        hit = self._post_cache.get(term)
-        if hit is not None:
-            return hit
+    def _encoded(self, term: str):
+        """Concatenated encoded row for a term across shards, or None:
+        (doc_bytes, tf_bytes, counts, last, max_tf, doc_blens,
+        tf_blens) with numpy metadata arrays."""
         part = term_part(term, self.num_parts)
         partials = []
         for shard in self.shards:
             row = self._segment(shard, part).get(term)
             if row is not None:
-                db, tb, cn, la, mt = row
+                db, tb, cn, la, mt, dbl, tbl = row
                 partials.append(
                     (
                         db,
@@ -169,13 +174,23 @@ class LoadedIndex:
                         np.asarray(cn, dtype=np.int64),
                         np.asarray(la, dtype=np.int64),
                         np.asarray(mt, dtype=np.int64),
+                        np.asarray(dbl, dtype=np.int64),
+                        np.asarray(tbl, dtype=np.int64),
                     )
                 )
         if not partials:
+            return None
+        return codec.concat_partials(partials)
+
+    def get_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._post_cache.get(term)
+        if hit is not None:
+            return hit
+        enc = self._encoded(term)
+        if enc is None:
             out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
         else:
-            db, tb, cn, la, mt = codec.concat_partials(partials)
-            out = codec.decode_postings(db, tb, cn)
+            out = codec.decode_postings(enc[0], enc[1], enc[2])
         nbytes = out[0].nbytes + out[1].nbytes
         while (
             self._post_bytes + nbytes > self.post_cache_cap and self._post_cache
@@ -226,15 +241,28 @@ class RaySparseRetriever:
         subset: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         idx = self.index
+        dtype = np.float32 if self.cfg.score_dtype == "float32" else np.float64
+        b, k1 = self.cfg.hyperparams["b"], self.cfg.hyperparams["k1"]
+        model = "bm25" if self.cfg.model == "bm25" else "tf-idf"
+        if (
+            model == "bm25"
+            and operator == "OR"
+            and subset is None
+            and self.cfg.use_block_max
+        ):
+            from retriv_ray.search.pruned import bm25_pruned
+
+            out = bm25_pruned(
+                idx, terms, b, k1, cutoff, dtype, self._scratch
+            )
+            if out is not None:
+                return out
         doc_ids = []
         tfs = []
         for t in terms:
             d, f = idx.get_postings(t)
             doc_ids.append(d)
             tfs.append(f)
-        dtype = np.float32 if self.cfg.score_dtype == "float32" else np.float64
-        b, k1 = self.cfg.hyperparams["b"], self.cfg.hyperparams["k1"]
-        model = "bm25" if self.cfg.model == "bm25" else "tf-idf"
         contribs = [
             idx.term_contrib(t, model, b, k1, dtype) for t in terms
         ]

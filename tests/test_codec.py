@@ -49,7 +49,7 @@ def test_postings_roundtrip(pairs):
     pairs.sort()
     ids = np.array([p[0] for p in pairs], dtype=np.int64)
     tfs = np.array([p[1] for p in pairs], dtype=np.int32)
-    db, tb, counts, last, max_tf = codec.encode_postings(ids, tfs)
+    db, tb, counts, last, max_tf, dbl, tbl = codec.encode_postings(ids, tfs)
     ids2, tfs2 = codec.decode_postings(db, tb, counts)
     assert np.array_equal(ids, ids2)
     assert np.array_equal(tfs, tfs2)
@@ -68,7 +68,7 @@ def test_partial_concat_equals_whole():
     cut = 537
     p1 = codec.encode_postings(ids[:cut], tfs[:cut])
     p2 = codec.encode_postings(ids[cut:], tfs[cut:])
-    db, tb, counts, last, max_tf = codec.concat_partials([p1, p2])
+    db, tb, counts, last, max_tf, dbl, tbl = codec.concat_partials([p1, p2])
     ids2, tfs2 = codec.decode_postings(db, tb, counts)
     assert np.array_equal(ids, ids2)
     assert np.array_equal(tfs, tfs2)
@@ -77,7 +77,7 @@ def test_partial_concat_equals_whole():
 def test_compression_is_effective():
     ids = np.arange(0, 500_000, 3, dtype=np.int64)  # dense ascending
     tfs = np.ones(len(ids), dtype=np.int32)
-    db, tb, counts, _, _ = codec.encode_postings(ids, tfs)
+    db, tb, counts, _, _, _, _ = codec.encode_postings(ids, tfs)
     # delta+varint: ~1 byte/doc vs 8 raw
     assert len(db) < len(ids) * 1.3
     assert len(tb) == len(ids)
@@ -98,5 +98,22 @@ def test_grouped_encode_matches_single():
         single = codec.encode_postings(ids[s : s + c], tfs[s : s + c])
         assert grouped[i][0] == single[0]
         assert grouped[i][1] == single[1]
-        for j in range(2, 5):
+        for j in range(2, 7):
             assert np.array_equal(grouped[i][j], single[j])
+
+
+def test_block_metadata_bytes_and_selective_decode():
+    rng = np.random.RandomState(11)
+    ids = np.unique(rng.randint(0, 10**8, size=3000)).astype(np.int64)[:2500]
+    tfs = rng.randint(1, 300, size=len(ids)).astype(np.int32)
+    db, tb, counts, last, max_tf, dbl, tbl = codec.encode_postings(ids, tfs)
+    assert int(dbl.sum()) == len(db)
+    assert int(tbl.sum()) == len(tb)
+    # decode an arbitrary subset of blocks == slicing the full decode
+    sel = np.array([0, 3, 4, len(counts) - 1])
+    ids_sel, tfs_sel = codec.decode_blocks(db, tb, counts, dbl, tbl, sel)
+    starts = np.cumsum(counts) - counts
+    want_ids = np.concatenate([ids[starts[b]:starts[b]+counts[b]] for b in sel])
+    want_tfs = np.concatenate([tfs[starts[b]:starts[b]+counts[b]] for b in sel])
+    assert np.array_equal(ids_sel, want_ids)
+    assert np.array_equal(tfs_sel, want_tfs)
