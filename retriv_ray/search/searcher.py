@@ -96,6 +96,11 @@ class LoadedIndex:
         self._post_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._post_bytes = 0
         self.post_cache_cap = 256 << 20
+        # term -> concatenated encoded row (bytes + block metadata);
+        # used by the block-max pruned path
+        self._enc_cache: Dict[str, tuple] = {}
+        self._enc_bytes = 0
+        self.enc_cache_cap = 256 << 20
         # (model, b, k1, dtype, term) -> float64 contribution vector;
         # byte-capped FIFO (hot Zipf terms dominate query mixes, so
         # even a small cap removes most per-query float math).
@@ -161,6 +166,9 @@ class LoadedIndex:
         """Concatenated encoded row for a term across shards, or None:
         (doc_bytes, tf_bytes, counts, last, max_tf, doc_blens,
         tf_blens) with numpy metadata arrays."""
+        hit = self._enc_cache.get(term)
+        if hit is not None:
+            return hit
         part = term_part(term, self.num_parts)
         partials = []
         for shard in self.shards:
@@ -180,7 +188,14 @@ class LoadedIndex:
                 )
         if not partials:
             return None
-        return codec.concat_partials(partials)
+        enc = codec.concat_partials(partials)
+        nbytes = len(enc[0]) + len(enc[1])
+        while self._enc_bytes + nbytes > self.enc_cache_cap and self._enc_cache:
+            _, old = self._enc_cache.popitem()
+            self._enc_bytes -= len(old[0]) + len(old[1])
+        self._enc_cache[term] = enc
+        self._enc_bytes += nbytes
+        return enc
 
     def get_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
         hit = self._post_cache.get(term)
