@@ -251,6 +251,96 @@ def _q_multimodal(sf_dir: str):
     return image_features(attach_payload(_docs(sf_dir)), concurrency=2)
 
 
+FILTERED_QUERIES = {
+    "q1": ({"text": "table scan join", "where": {"lang": "en"}},
+           "d.lang = 'en'"),
+    "q2": ({"text": "window batch stream", "where_not": {"lang": "en"}},
+           "d.lang <> 'en'"),
+    "q3": ({"text": "hash merge filter", "where": {"n_chars": ("between", (200, 800))}},
+           "d.n_chars BETWEEN 200 AND 800"),
+    "q4": ({"text": "customer order part", "where": {"lang": "en", "n_chars": ("gte", 300)}},
+           "d.lang = 'en' AND d.n_chars >= 300"),
+}
+FUSION_WEIGHTS = (0.6, 0.4)
+
+
+def _q_filtered_bm25(sf_dir: str):
+    """BM25 restricted by metadata filters (AdvancedRetriever DSL,
+    reference advanced_retriever.py:503-576): global stats, filtered
+    candidates."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    out_q, out_r, out_d = [], [], []
+    for q_id, (query, _sql) in FILTERED_QUERIES.items():
+        res = r.search(dict(query), cutoff=CUTOFF)
+        docs = conv_to_doc_id([c for c, _ in res.keys()])
+        out_q.extend([q_id] * len(docs))
+        out_r.extend(range(1, len(docs) + 1))
+        out_d.extend(docs.tolist())
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_q, type=pa.string()),
+            pa.array(out_r, type=pa.int64()),
+            pa.array(out_d, type=pa.int64()),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
+def _q_fusion_topk(sf_dir: str):
+    """Weighted min-max fusion of the BM25 and TF-IDF runs (reference
+    merger/merger.py:18-49) via the Ray-Data fusion operator."""
+    import ray.data
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.merger import fuse_runs_ds
+    from retriv_ray.pipelines.documents import (
+        ORACLE_TFIDF,
+        conv_to_doc_id,
+        documents_index,
+    )
+
+    rows = []
+    for run_idx, r in enumerate(
+        [_index(sf_dir), documents_index(sf_dir, ORACLE_TFIDF)]
+    ):
+        for q_id, text in TOPK_QUERIES.items():
+            res = r.search(text, cutoff=CUTOFF)
+            docs = conv_to_doc_id([c for c, _ in res.keys()])
+            for d, s in zip(docs.tolist(), res.values()):
+                rows.append(
+                    {
+                        "run_idx": run_idx,
+                        "q_id": q_id,
+                        "doc_id": str(d),
+                        "score": float(s),
+                    }
+                )
+    fused = fuse_runs_ds(
+        ray.data.from_items(rows),
+        norm="min-max",
+        weights=list(FUSION_WEIGHTS),
+        cutoff=CUTOFF,
+    )
+    t = fused.to_pandas()
+    return pa.Table.from_arrays(
+        [
+            pa.array(t["q_id"], type=pa.string()),
+            pa.array(t["rank"].astype("int64")),
+            pa.array(t["doc_id"].astype("int64")),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_bm25_full_chain(sf_dir: str):
     """Default retriv preprocessing (stemmer+stopwords, float32) —
     not SQL-expressible; rows-only check, parity pinned by the golden
@@ -269,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
+        "filtered_bm25_topk": _q_filtered_bm25,
+        "fusion_topk": _q_fusion_topk,
         "bm25_full_chain": _q_bm25_full_chain,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -324,7 +416,84 @@ _BPE_RE_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
 
 def oracle_sql() -> dict[str, str]:
     k1, b = 1.2, 0.75
+    _filter_cases = " OR ".join(
+        f"(s.q_id = '{q}' AND {cond})" for q, (_qd, cond) in FILTERED_QUERIES.items()
+    )
+    _fq_values = " , ".join(
+        f"('{q}', '{qd['text']}')" for q, (qd, _c) in FILTERED_QUERIES.items()
+    )
+    _fqterms = (
+        "qterms AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term "
+        f"FROM (VALUES {_fq_values}) AS q(q_id, qtext))"
+    )
+    wa, wb = FUSION_WEIGHTS
     return {
+        "filtered_bm25_topk": f"""
+            WITH {_BASE_CTES}, {_fqterms},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT s.q_id, s.doc_id,
+                row_number() OVER (PARTITION BY s.q_id ORDER BY s.score DESC, s.doc_id) AS rank
+              FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+              WHERE {_filter_cases})
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "fusion_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            bm AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            ti AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( (tf.tf / dl.dl) * (ln((1 + s.n) / (1 + df.df)) + 1) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            bmc AS (SELECT * FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM bm) WHERE rnk <= {CUTOFF}),
+            tic AS (SELECT * FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM ti) WHERE rnk <= {CUTOFF}),
+            bmn AS (SELECT q_id, doc_id,
+              (score - min(score) OVER (PARTITION BY q_id))
+              / greatest(max(score) OVER (PARTITION BY q_id)
+                         - min(score) OVER (PARTITION BY q_id), 1e-9) AS ns
+              FROM bmc),
+            tin AS (SELECT q_id, doc_id,
+              (score - min(score) OVER (PARTITION BY q_id))
+              / greatest(max(score) OVER (PARTITION BY q_id)
+                         - min(score) OVER (PARTITION BY q_id), 1e-9) AS ns
+              FROM tic),
+            fused AS (
+              SELECT coalesce(b.q_id, t.q_id) AS q_id,
+                     coalesce(b.doc_id, t.doc_id) AS doc_id,
+                     coalesce({wa} * b.ns, 0) + coalesce({wb} * t.ns, 0) AS fs
+              FROM bmn b FULL OUTER JOIN tin t
+              ON b.q_id = t.q_id AND b.doc_id = t.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
+              FROM fused)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
         "vocabulary": f"""
             WITH {_BASE_CTES}
             SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf

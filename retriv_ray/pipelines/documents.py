@@ -87,6 +87,43 @@ def documents_index(sf_dir: str, cfg: SparseConfig) -> RaySparseRetriever:
     return r
 
 
+def ensure_documents_metadata(sf_dir: str, r: RaySparseRetriever) -> None:
+    """Build the metadata sidecar (lang/source keyword, n_chars
+    number) for a documents index if absent — enables the
+    AdvancedRetriever filter DSL on it."""
+    import ray.data
+
+    from retriv_ray.search.metadata import build_metadata
+
+    if os.path.exists(os.path.join(r.index_dir, "metadata", "schema.json")):
+        return
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def to_meta(batch):
+        import pyarrow as pa
+
+        ids = batch.column("doc_id").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"d{i:012d}" for i in ids], type=pa.string()),
+                pa.array(np.zeros(len(ids), dtype=np.int32)),
+                batch.column("lang"),
+                batch.column("source"),
+                batch.column("n_chars"),
+            ],
+            names=["conv_id", "turn_idx", "lang", "source", "n_chars"],
+        )
+
+    build_metadata(
+        ds.map_batches(to_meta, batch_format="pyarrow"),
+        r.index_dir,
+        {"lang": "keyword", "source": "keyword", "n_chars": "number"},
+    )
+
+
 def topk_table(
     r: RaySparseRetriever, queries: Dict[str, str], cutoff: int
 ) -> pa.Table:
