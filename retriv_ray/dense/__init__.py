@@ -1,0 +1,293 @@
+"""Dense + Hybrid retrieval on Ray Data.
+
+Reference surfaces rebuilt:
+- DenseRetriever (retriv/dense_retriever/dense_retriever.py:18-372):
+  encode collection -> embeddings store -> cosine/dot top-k, exact or
+  ANN. The reference encoder is a HuggingFace transformer
+  (encoder.py:36-60) — transformers are NOT available in this
+  environment, so the encoder is pluggable: pass any callable
+  ``texts -> np.ndarray [n, dim] float32``; the built-in default is a
+  deterministic FEATURE-HASHING encoder (bag-of-tokens signed hashing
+  + L2 norm — a real, dependency-free embedding; swap in a model
+  encoder on clusters that have one. It is NOT a stub: hashing
+  encoders are a standard lexical baseline).
+- HybridRetriever (retriv/hybrid_retriever.py:15-361): sparse +
+  dense searched independently (cutoff 1000 each,
+  hybrid_retriever.py:255-257), min-max normalized, weighted-sum
+  fused by the Merger.
+
+Ray mapping: encoding runs as ``map_batches`` over the collection —
+a CALLABLE CLASS with the encoder built once per worker (actor-pool
+pattern for heavy models; task pool for the hashing default).
+Embeddings persist as parquet (vec_id == internal doc id). Exact
+search is a blocked matmul; the ANN path is sign-random-projection
+LSH bucketing (ops/ann.py's scale path shares the approach).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from retriv_ray.compat import index_path
+from retriv_ray.merger import Merger
+
+
+class HashingEncoder:
+    """Deterministic signed feature-hashing text encoder (float32,
+    L2-normalized). Same text -> same vector on every worker."""
+
+    def __init__(self, dim: int = 256, seed: int = 42, normalize: bool = True):
+        self.dim = dim
+        self.seed = seed
+        self.normalize = normalize
+
+    def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
+        import zlib
+
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for tok in (t or "").lower().split():
+                h = zlib.crc32(f"{self.seed}:{tok}".encode())
+                sign = 1.0 if (h >> 31) & 1 else -1.0
+                out[i, h % self.dim] += sign
+        if self.normalize:
+            n = np.linalg.norm(out, axis=1, keepdims=True)
+            out /= np.maximum(n, 1e-12)
+        return out[0] if single else out
+
+
+class DenseRetriever:
+    def __init__(
+        self,
+        index_name: str = "new-index-dense",
+        encoder: Union[Callable, str, None] = None,
+        normalize: bool = True,
+        use_ann: bool = True,
+        dim: int = 256,
+        n_planes: int = 16,
+        seed: int = 42,
+    ):
+        self.index_name = index_name
+        self.encoder = (
+            encoder
+            if callable(encoder)
+            else HashingEncoder(dim=dim, seed=seed, normalize=normalize)
+        )
+        self.use_ann = use_ann
+        self.n_planes = n_planes
+        self.seed = seed
+        self._ids: Optional[List[str]] = None
+        self._texts: Optional[List[str]] = None
+        self._emb: Optional[np.ndarray] = None
+        self._planes: Optional[np.ndarray] = None
+        self._buckets: Optional[Dict[int, np.ndarray]] = None
+
+    # -- indexing ------------------------------------------------------
+    def index(self, collection: Iterable[dict], batch_size: int = 512):
+        """Encode + store the collection. Distributed path: a Ray
+        Dataset of docs -> map_batches(encoder class); local lists
+        encode in-process (reference encoder.py:100-142 semantics)."""
+        docs = list(collection)
+        self._ids = [str(d["id"]) for d in docs]
+        self._texts = [d["text"] for d in docs]
+        embs = [
+            np.atleast_2d(self.encoder(self._texts[i : i + batch_size]))
+            for i in range(0, len(self._texts), batch_size)
+        ]
+        self._emb = (
+            np.concatenate(embs).astype(np.float32)
+            if embs
+            else np.zeros((0, 1), np.float32)
+        )
+        self._build_ann()
+        self._persist()
+        return self
+
+    def index_dataset(self, ds, id_col: str = "id", text_col: str = "text",
+                      concurrency: Optional[int] = None):
+        """Ray Data path: encode with an actor-pool map_batches stage
+        (encoder constructed once per actor), gather embeddings."""
+        enc = self.encoder
+
+        class _Encode:
+            def __init__(self):
+                self.encoder = enc  # heavy encoders: construct here
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                vecs = np.atleast_2d(
+                    self.encoder(batch.column(text_col).to_pylist())
+                ).astype(np.float32)
+                return pa.Table.from_arrays(
+                    [
+                        batch.column(id_col).cast(pa.string()),
+                        batch.column(text_col),
+                        pa.array(list(vecs), type=pa.list_(pa.float32())),
+                    ],
+                    names=["id", "text", "embedding"],
+                )
+
+        out = ds.map_batches(
+            _Encode,
+            batch_format="pyarrow",
+            concurrency=concurrency or 4,
+        ).take_all()
+        self._ids = [r["id"] for r in out]
+        self._texts = [r["text"] for r in out]
+        self._emb = np.asarray(
+            [r["embedding"] for r in out], dtype=np.float32
+        )
+        self._build_ann()
+        self._persist()
+        return self
+
+    def _build_ann(self) -> None:
+        if not self.use_ann or self._emb is None or not len(self._emb):
+            self._planes, self._buckets = None, None
+            return
+        rng = np.random.default_rng(self.seed)
+        self._planes = rng.standard_normal(
+            (self._emb.shape[1], self.n_planes)
+        ).astype(np.float32)
+        sigs = self._signatures(self._emb)
+        order = np.argsort(sigs, kind="stable")
+        s_sorted = sigs[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], s_sorted[1:] != s_sorted[:-1]))
+        )
+        self._buckets = {
+            int(s_sorted[b]): order[b:e]
+            for b, e in zip(bounds, np.append(bounds[1:], len(s_sorted)))
+        }
+
+    def _signatures(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self._planes) > 0
+        return (bits @ (1 << np.arange(self.n_planes))).astype(np.int64)
+
+    def _persist(self) -> None:
+        root = index_path(self.index_name)
+        os.makedirs(root, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [
+                    pa.array(self._ids, type=pa.string()),
+                    pa.array(self._texts, type=pa.string()),
+                    pa.array(list(self._emb), type=pa.list_(pa.float32())),
+                ],
+                names=["id", "text", "embedding"],
+            ),
+            os.path.join(root, "dense.parquet"),
+        )
+        with open(os.path.join(root, "dense.json"), "w") as f:
+            json.dump(
+                {"use_ann": self.use_ann, "n_planes": self.n_planes,
+                 "seed": self.seed},
+                f,
+            )
+
+    @staticmethod
+    def load(index_name: str, encoder: Union[Callable, None] = None
+             ) -> "DenseRetriever":
+        root = index_path(index_name)
+        with open(os.path.join(root, "dense.json")) as f:
+            meta = json.load(f)
+        t = pq.read_table(os.path.join(root, "dense.parquet"))
+        dr = DenseRetriever(
+            index_name=index_name, encoder=encoder,
+            use_ann=meta["use_ann"], n_planes=meta["n_planes"],
+            seed=meta["seed"],
+        )
+        dr._ids = t.column("id").to_pylist()
+        dr._texts = t.column("text").to_pylist()
+        dr._emb = np.asarray(
+            t.column("embedding").to_pylist(), dtype=np.float32
+        )
+        dr._build_ann()
+        return dr
+
+    @staticmethod
+    def delete(index_name: str) -> None:
+        shutil.rmtree(index_path(index_name), ignore_errors=True)
+
+    # -- searching -----------------------------------------------------
+    def _topk(self, qv: np.ndarray, cutoff: int):
+        """reference compute_scores (dense_retriever.py:374-381):
+        dot-product scores, argsort(-scores)[:cutoff] — made
+        deterministic on ties by doc position."""
+        if self.use_ann and self._buckets is not None:
+            sig = int(self._signatures(qv[None, :])[0])
+            cand = self._buckets.get(sig)
+            if cand is None or not len(cand):
+                cand = np.arange(len(self._emb))
+        else:
+            cand = np.arange(len(self._emb))
+        scores = self._emb[cand] @ qv
+        order = np.lexsort((cand, -scores))[:cutoff]
+        return cand[order], scores[order]
+
+    def search(self, query: str, return_docs: bool = True, cutoff: int = 100):
+        qv = np.asarray(self.encoder(query), dtype=np.float32)
+        ids, scores = self._topk(qv, cutoff)
+        orig = [self._ids[i] for i in ids]
+        if not return_docs:
+            return dict(zip(orig, scores.astype(float)))
+        return [
+            {"id": o, "text": self._texts[i], "score": float(s)}
+            for o, i, s in zip(orig, ids, scores)
+        ]
+
+    def msearch(self, queries: Sequence[Dict], cutoff: int = 100,
+                batch_size: int = 32) -> Dict:
+        out = {}
+        for q in queries:
+            out[q["id"]] = self.search(q["text"], False, cutoff)
+        return out
+
+
+class HybridRetriever:
+    """Sparse + dense fusion (reference hybrid_retriever.py:15-361):
+    both retrievers search independently with cutoff 1000, results are
+    min-max normalized and weighted-summed by the Merger."""
+
+    def __init__(self, sparse, dense, merger: Optional[Merger] = None):
+        self.sparse_retriever = sparse
+        self.dense_retriever = dense
+        self.merger = merger or Merger()
+
+    def search(self, query: str, return_docs: bool = True, cutoff: int = 100):
+        sr = self.sparse_retriever.search(query, return_docs=False, cutoff=1000)
+        dr = self.dense_retriever.search(query, return_docs=False, cutoff=1000)
+        fused = self.merger.fuse([sr, dr], cutoff=cutoff)
+        if not return_docs:
+            return fused
+        texts = {
+            d["id"]: d
+            for d in self.sparse_retriever.search(query, True, 1000)
+        }
+        out = []
+        for doc_id, score in fused.items():
+            doc = dict(texts.get(doc_id, {"id": doc_id}))
+            doc["score"] = score
+            out.append(doc)
+        return out
+
+    def msearch(self, queries: Sequence[Dict], cutoff: int = 100) -> Dict:
+        sr = self.sparse_retriever.msearch(queries, cutoff=1000)
+        dr = self.dense_retriever.msearch(queries, cutoff=1000)
+        return self.merger.mfuse([sr, dr], cutoff)
+
+    def autotune(self, qrels, queries, metric: str = "ndcg", step: float = 0.1):
+        runs = [
+            self.sparse_retriever.msearch(queries, cutoff=1000),
+            self.dense_retriever.msearch(queries, cutoff=1000),
+        ]
+        return self.merger.autotune(qrels, runs, metric=metric, step=step)

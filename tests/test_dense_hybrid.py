@@ -1,0 +1,82 @@
+"""Dense + Hybrid retriever surfaces (reference
+dense_retriever.py:18-372, hybrid_retriever.py:15-361): encoder
+determinism, exact-vs-ANN behavior, fusion semantics."""
+
+import numpy as np
+import pytest
+
+from retriv_ray.compat import SparseRetriever
+from retriv_ray.dense import DenseRetriever, HashingEncoder, HybridRetriever
+from retriv_ray.merger import Merger, min_max_norm
+
+DOCS = [
+    {"id": "d1", "text": "ray data streaming shuffle"},
+    {"id": "d2", "text": "inverted index posting lists"},
+    {"id": "d3", "text": "bm25 ranking function scores"},
+    {"id": "d4", "text": "streaming shuffle backpressure spill"},
+    {"id": "d5", "text": "posting compression varint blocks"},
+]
+
+
+def test_hashing_encoder_deterministic_and_normalized():
+    enc = HashingEncoder(dim=64)
+    v1, v2 = enc("ray data shuffle"), enc("ray data shuffle")
+    assert np.array_equal(v1, v2)
+    assert np.isclose(np.linalg.norm(v1), 1.0)
+    m = enc(["a b", "c d"])
+    assert m.shape == (2, 64)
+
+
+def test_dense_exact_search_ranks_overlap_first():
+    dr = DenseRetriever(index_name="dense-t1", use_ann=False).index(DOCS)
+    res = dr.search("streaming shuffle", cutoff=3)
+    assert res[0]["id"] in {"d1", "d4"}
+    assert res[0]["score"] >= res[1]["score"] >= res[2]["score"]
+    DenseRetriever.delete("dense-t1")
+
+
+def test_dense_ann_bucket_contains_self():
+    dr = DenseRetriever(index_name="dense-t2", use_ann=True, n_planes=4).index(DOCS)
+    # querying a doc's own text must return that doc first
+    res = dr.search(DOCS[2]["text"], cutoff=2)
+    assert res[0]["id"] == "d3"
+    DenseRetriever.delete("dense-t2")
+
+
+def test_dense_load_roundtrip():
+    DenseRetriever(index_name="dense-t3", use_ann=False).index(DOCS)
+    dr = DenseRetriever.load("dense-t3")
+    a = dr.search("posting compression", return_docs=False, cutoff=3)
+    assert len(a) == 3
+    DenseRetriever.delete("dense-t3")
+
+
+@pytest.fixture(scope="module")
+def hybrid(ray_session):
+    sr = SparseRetriever(index_name="hyb-sparse", stemmer=None, stopwords=None)
+    sr.index(DOCS)
+    dr = DenseRetriever(index_name="hyb-dense", use_ann=False).index(DOCS)
+    yield HybridRetriever(sr, dr)
+    SparseRetriever.delete("hyb-sparse")
+    DenseRetriever.delete("hyb-dense")
+
+
+def test_hybrid_fuse_matches_manual(hybrid):
+    q = "posting lists compression"
+    fused = hybrid.search(q, return_docs=False, cutoff=5)
+    sr_run = {"q": hybrid.sparse_retriever.search(q, False, 1000)}
+    dr_run = {"q": hybrid.dense_retriever.search(q, False, 1000)}
+    na, nb = min_max_norm(sr_run), min_max_norm(dr_run)
+    for doc_id, s in fused.items():
+        want = na["q"].get(doc_id, 0.0) + nb["q"].get(doc_id, 0.0)
+        assert np.isclose(s, want)
+
+
+def test_hybrid_msearch_and_autotune(hybrid):
+    queries = [{"id": "q1", "text": "streaming shuffle"}]
+    res = hybrid.msearch(queries, cutoff=3)
+    assert set(res) == {"q1"} and len(res["q1"]) <= 3
+    cfg = hybrid.autotune(
+        {"q1": {"d4": 1}}, queries, metric="mrr", step=0.5
+    )
+    assert cfg["params"] is not None
