@@ -609,6 +609,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM docs GROUP BY source ORDER BY source
         """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            grp AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS g
+              FROM lagged)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM grp GROUP BY user_id, g
+            ORDER BY user_id, session_start
+        """,
         "events_hourly": """
             SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
                    count(*)::BIGINT AS n_events,

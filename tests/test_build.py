@@ -224,3 +224,26 @@ def test_multishard_layout(tmp_path, ray_session):
         assert np.array_equal(d_a, d_b) and np.array_equal(f_a, f_b), term
     q = "the running test deployment"
     assert r1.search(q, cutoff=20) == r2.search(q, cutoff=20)
+
+
+def test_msearch_parallel_matches_search(synth, ray_session):
+    """Persistent scorer actor pool returns exactly the per-query
+    search results (same kernel, same order)."""
+    _table, _src, cfg, index_dir, _man, _idx, _ids = synth
+    r = RaySparseRetriever(index_dir, cfg)
+    queries = [
+        {"id": "q1", "text": "the running test"},
+        {"id": "q2", "text": "deployment error file"},
+        {"id": "q3", "text": ""},
+    ]
+    tbl = r.msearch_parallel(queries, cutoff=7, num_replicas=2)
+    by_q = {}
+    for row in tbl.to_pylist():
+        by_q.setdefault(row["q_id"], []).append(row)
+    for q in queries:
+        want = r.search(q["text"], cutoff=7)
+        got = sorted(by_q.get(q["id"], []), key=lambda r_: r_["rank"])
+        assert [(r_["conv_id"], r_["turn_idx"]) for r_ in got] == [
+            k for k in want
+        ]
+        assert [r_["score"] for r_ in got] == [float(v) for v in want.values()]
