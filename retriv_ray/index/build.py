@@ -558,6 +558,12 @@ def build_index(
     # lazily per worker process via a module cache, so the stage rides
     # Ray's shared warm workers; ``tokenize_concurrency`` caps it only
     # if explicitly requested.
+    # The explicit materialize() is deliberate: the sort-based shuffle
+    # materializes its map outputs in the object store regardless, but
+    # letting the tokenize stage fuse into the shuffle's map tasks
+    # schedules pathologically here (measured 37-53s vs 17s staged on
+    # 1.65M turns) — the barrier costs nothing extra and pins the
+    # fast plan. Spilling still bounds memory at scale.
     pairs = ds.map_batches(
         tokenize_partials_fn(
             cfg.to_json(), conv_map_ref, num_parts, shard_docs
@@ -565,7 +571,7 @@ def build_index(
         batch_format="pyarrow",
         batch_size=batch_size,
         **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
-    )
+    ).materialize()
 
     # num_cpus=2 halves reducer concurrency: the encode kernel is
     # memory-bandwidth/allocation bound, and >cpus/2 concurrent
