@@ -64,11 +64,15 @@ from retriv_ray.index import manifest as mf
 from retriv_ray.text.pipeline import TextPreprocessor
 
 # Reserved part index for doc-length rows (gkey = shard*(P+1) + P).
+# doc_ids are SHARD-LOCAL int32 (doc_id - shard*shard_docs): every
+# group is one (shard, part), so the base is implied by gkey, and the
+# exchange — the build's only full-volume all-to-all — moves half the
+# bytes. Requires shard_docs <= 2^31 (enforced in build_index).
 PAIR_SCHEMA = pa.schema(
     [
         ("gkey", pa.int64()),
         ("term", pa.string()),
-        ("doc_ids", pa.list_(pa.int64())),
+        ("doc_ids", pa.list_(pa.int32())),
         ("tfs", pa.list_(pa.int32())),
     ]
 )
@@ -297,7 +301,8 @@ class _TokenizePartials:
             r_gkey = shard[r_starts] * (P + 1) + r_parts
             rows_gkey.append(r_gkey)
             rows_term.append(r_terms)
-            flat_docs.append(u_doc)
+            # shard-local int32 ids (base implied by gkey's shard)
+            flat_docs.append((u_doc % shard_docs).astype(np.int32))
             flat_tfs.append(tf)
             offsets.extend((r_ends).tolist())
 
@@ -316,7 +321,7 @@ class _TokenizePartials:
                 np.asarray([ds_sorted[s] * (self.P + 1) + self.P], dtype=np.int64)
             )
             rows_term.append(np.asarray([""], dtype=object))
-            flat_docs.append(d_sorted[s:e])
+            flat_docs.append((d_sorted[s:e] % self.shard_docs).astype(np.int32))
             flat_tfs.append(l_sorted[s:e].astype(np.int32))
             last += e - s
             offsets.append(last)
@@ -324,7 +329,7 @@ class _TokenizePartials:
         gkey = np.concatenate(rows_gkey) if rows_gkey else np.empty(0, np.int64)
         terms = np.concatenate(rows_term) if rows_term else np.empty(0, object)
         docs_flat = (
-            np.concatenate(flat_docs) if flat_docs else np.empty(0, np.int64)
+            np.concatenate(flat_docs) if flat_docs else np.empty(0, np.int32)
         )
         tfs_flat = (
             np.concatenate(flat_tfs) if flat_tfs else np.empty(0, np.int32)
@@ -334,7 +339,7 @@ class _TokenizePartials:
             [
                 pa.array(gkey, type=pa.int64()),
                 pa.array(terms, type=pa.string()),
-                pa.ListArray.from_arrays(off, pa.array(docs_flat, type=pa.int64())),
+                pa.ListArray.from_arrays(off, pa.array(docs_flat, type=pa.int32())),
                 pa.ListArray.from_arrays(off, pa.array(tfs_flat, type=pa.int32())),
             ],
             schema=PAIR_SCHEMA,
@@ -347,11 +352,13 @@ class _TokenizePartials:
 
 
 def _reduce_group(
-    group: pa.Table, index_dir: str, num_parts: int, fingerprint: str
+    group: pa.Table, index_dir: str, num_parts: int, fingerprint: str,
+    shard_docs: int = 1 << 22,
 ) -> pa.Table:
     t0 = time.monotonic()
     gkey = int(group.column("gkey")[0].as_py())
     shard, part = divmod(gkey, num_parts + 1)
+    base = np.int64(shard) * np.int64(shard_docs)  # locals -> absolutes
     is_doclen = part == num_parts
 
     lin = mf.lineage_path(index_dir, gkey)
@@ -371,7 +378,9 @@ def _reduce_group(
 
     if is_doclen:
         order = np.argsort(flat_docs, kind="stable")
-        d, l = flat_docs[order], flat_tfs[order]
+        d = flat_docs[order].astype(np.int64)
+        d += base
+        l = flat_tfs[order]
         path = os.path.join(index_dir, "doc_lens", f"shard-{shard:05d}.parquet")
         tbl = pa.Table.from_arrays(
             [pa.array(d, type=pa.int64()), pa.array(l, type=pa.int32())],
@@ -401,19 +410,19 @@ def _reduce_group(
         lists_docs.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
     ).astype(np.int64)
     code_rep = np.repeat(row_codes, row_lens)
-    # one-key radix sort on a composite (code, doc) key when the
-    # bounds allow (code < 2^22 terms/group, doc < 2^41 ≈ 2·10^12 —
-    # both hold at target scale); ~2x faster than the 2-key lexsort
-    # and the reduce stage is the build's hottest kernel.
-    if len(code_rep) and (
-        len(vocab) < (1 << 22) and flat_docs.max() < (1 << 41)
-    ):
-        key = code_rep.view(np.uint64) << np.uint64(41)
-        key |= flat_docs.view(np.uint64)
+    # one-key radix sort on a composite (code, local-doc) key: local
+    # ids are < shard_docs <= 2^31, so (code << 32) | local fits int64
+    # for up to 2^31 terms per group; ~2x faster than the 2-key
+    # lexsort and the reduce stage is the build's hottest kernel.
+    if len(code_rep) and len(vocab) < (1 << 31):
+        key = code_rep.view(np.uint64) << np.uint64(32)
+        key |= flat_docs.astype(np.uint64)
         order = np.argsort(key, kind="stable")
     else:
         order = np.lexsort((flat_docs, code_rep))
-    c_s, d_s, t_s = code_rep[order], flat_docs[order], flat_tfs[order]
+    c_s, t_s = code_rep[order], flat_tfs[order]
+    d_s = flat_docs[order].astype(np.int64)
+    d_s += base  # locals -> absolute doc ids for the encoded segment
     new = np.empty(len(c_s), dtype=bool)
     if len(c_s):
         new[0] = True
@@ -497,7 +506,7 @@ def build_index(
     index_dir: str,
     cfg: Optional[SparseConfig] = None,
     *,
-    num_parts: int = 8,
+    num_parts: Optional[int] = None,
     shard_docs: int = 1 << 22,
     tokenize_concurrency: Optional[int] = None,
     batch_size: int = 4096,
@@ -512,7 +521,21 @@ def build_index(
     import ray.data
 
     cfg = cfg or SparseConfig()
+    assert shard_docs <= (1 << 31), "shard-local ids are int32"
     input_desc = source if isinstance(source, (str, list)) else "<dataset>"
+    if num_parts is None:
+        # auto-size term-hash parts to ~2.5M postings per reduce
+        # group: big groups anti-scale (allocation/bandwidth storms
+        # — measured 36.7s -> 7.5s reduce wall going 32 -> 128 parts
+        # on 520M tokens), tiny groups waste per-task overhead.
+        if isinstance(source, (str, list)):
+            import ray.data as _rd
+
+            est = _rd.read_parquet(source, columns=["text"]).size_bytes()
+            est_tokens = max(1, int(est) // 7)
+            num_parts = int(min(1024, max(16, est_tokens // 2_500_000)))
+        else:
+            num_parts = 32
     fingerprint = mf.build_fingerprint(
         input_desc, cfg.to_json(), num_parts, shard_docs
     )
@@ -534,8 +557,23 @@ def build_index(
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
     mf.atomic_write_text(marker, json.dumps({"fingerprint": fingerprint}))
 
+    # Block budget: the sort-shuffle creates O(map_blocks x
+    # reduce_blocks) transfer objects, and Ray's default parquet
+    # splitting over-fragments small-file inputs (measured 3-5MB
+    # blocks -> 2.7x slower shuffle). Target ~4 blocks per core with
+    # a ~256MB-per-block ceiling so the same formula holds when the
+    # input is 100TB on a big cluster.
     if isinstance(source, (str, list)):
-        ds = ray.data.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+        est = ray.data.read_parquet(
+            source, columns=["conv_id", "turn_idx", "text"]
+        ).size_bytes()
+        # cluster-size-independent plan: same partitioning at N and 4N
+        target_blocks = max(64, int(est // (256 << 20)) + 1)
+        ds = ray.data.read_parquet(
+            source,
+            columns=["conv_id", "turn_idx", "text"],
+            override_num_blocks=target_blocks,
+        )
         # offsets pass prunes to the two key columns at the parquet
         # read — the heavy text column never leaves storage for it
         ds_keys = ray.data.read_parquet(source, columns=["conv_id", "turn_idx"])
@@ -580,7 +618,8 @@ def build_index(
     stats_ds = pairs.groupby("gkey").map_groups(
         _reduce_group,
         fn_kwargs=dict(
-            index_dir=index_dir, num_parts=num_parts, fingerprint=fingerprint
+            index_dir=index_dir, num_parts=num_parts, fingerprint=fingerprint,
+            shard_docs=shard_docs,
         ),
         batch_format="pyarrow",
         num_cpus=2,
