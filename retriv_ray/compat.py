@@ -39,6 +39,36 @@ BASE_DIR = os.environ.get(
     "RETRIV_RAY_COLLECTIONS", os.path.join("/tmp", "retriv_ray_collections")
 )
 
+__all__ = [
+    "SparseRetriever",
+    "SearchEngine",
+    "DenseRetriever",
+    "HybridRetriever",
+    "Merger",
+    "Encoder",
+    "index_path",
+]
+
+
+def __getattr__(name):
+    # Reference top-level surface (retriv/__init__.py:1-9): lazy so
+    # importing the sparse compat class doesn't pull the dense stack.
+    if name == "SearchEngine":  # reference alias for SparseRetriever
+        return SparseRetriever
+    if name in ("DenseRetriever", "HybridRetriever"):
+        import retriv_ray.dense as _d
+
+        return getattr(_d, name)
+    if name == "Encoder":  # reference Encoder -> pluggable hashing default
+        from retriv_ray.dense import HashingEncoder
+
+        return HashingEncoder
+    if name == "Merger":
+        from retriv_ray.merger import Merger
+
+        return Merger
+    raise AttributeError(name)
+
 
 def index_path(index_name: str) -> str:
     return os.path.join(BASE_DIR, index_name)

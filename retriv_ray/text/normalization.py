@@ -27,6 +27,23 @@ _ACRONYMS_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
 _PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
 
 
+def normalize_diacritics(x: str) -> str:
+    """ASCII-fold accented latin characters (reference
+    normalization.py:15-16 uses unidecode; that dependency is absent
+    here, so NFKD-decompose + drop combining marks — identical for
+    latin accents, e.g. "übermensch" -> "ubermensch"). NOTE: like the
+    reference, this is exported but NOT wired into the default
+    pipeline (reference preprocessing/__init__.py:31-63 never calls
+    it despite the docstring at sparse_retriever.py:61)."""
+    import unicodedata
+
+    return "".join(
+        c
+        for c in unicodedata.normalize("NFKD", x)
+        if not unicodedata.combining(c)
+    )
+
+
 def lowercasing(x: str) -> str:
     """reference normalization.py:7-8"""
     return x.lower()
