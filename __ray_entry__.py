@@ -203,6 +203,16 @@ def _q_ann_lsh(sf_dir: str):
     return cosine_topk_lsh(ds, q_ids, q_vecs, k=ANN_K)
 
 
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from retriv_ray.ops.dedup import embedding_near_dup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dup(ds, threshold=0.4)
+    return out.select_columns(["vec_id_a", "vec_id_b"])
+
+
 def _q_quality(sf_dir: str):
     from retriv_ray.ops.textstats import quality_stats
 
@@ -368,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "language_id": _q_langid,
@@ -577,6 +588,13 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rank
               FROM sims)
             WHERE rank <= {ANN_K} ORDER BY q_vec_id, rank
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY vec_id_a, vec_id_b
         """,
         "quality_stats": f"""
             WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents)

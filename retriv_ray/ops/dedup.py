@@ -369,3 +369,72 @@ def simhash64(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.Table.from_arrays(arrs, names=names)
 
     return ds.map_batches(sim, batch_format="pyarrow")
+
+
+def embedding_near_dup(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: Optional[int] = None,
+):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine(v_a, v_b) >= threshold, sim as floor(sim*10000) int64 for
+    exact SQL-oracle hashing.
+
+    Exact path: the (optionally id-bounded) vector matrix is
+    L2-normalized and broadcast once via ``ray.put``; each batch
+    matmuls against it (blocked all-pairs — O(n^2) but vectorized and
+    embarrassingly parallel). The 10^9-vector scale path is the
+    LSH-bucketed variant (cosine_topk_lsh's bucketing with in-bucket
+    pairwise), trading exactness for candidate recall; this exact
+    operator doubles as its verification oracle on samples.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    base = ds
+    if max_id is not None:
+        bound = max_id
+
+        def _bound(b: pa.Table) -> pa.Table:
+            return b.filter(pc.less(b.column(id_col), bound))
+
+        base = base.map_batches(_bound, batch_format="pyarrow")
+    rows = base.select_columns([id_col, vec_col]).take_all()
+    all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    ref = ray.put((all_ids, mat))
+    thr = threshold
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        if max_id is not None:
+            keep = ids < max_id
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+        if not len(ids):
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 3,
+                names=["vec_id_a", "vec_id_b", "sim_e4"],
+            )
+        m = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m_all.T
+        bi, bj = np.nonzero(sims >= thr)
+        a = ids[bi]
+        b = ids_all[bj]
+        mask = a < b  # each unordered pair once, no self-pairs
+        return pa.Table.from_arrays(
+            [
+                pa.array(a[mask]),
+                pa.array(b[mask]),
+                pa.array(np.floor(sims[bi, bj][mask] * 10000).astype(np.int64)),
+            ],
+            names=["vec_id_a", "vec_id_b", "sim_e4"],
+        )
+
+    return base.map_batches(pairs, batch_format="pyarrow")
