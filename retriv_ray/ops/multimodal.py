@@ -102,3 +102,130 @@ def image_features(ds, concurrency: int = 4, batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioFeatures:
+    """Actor-pool audio decode + frame-level feature stage.
+
+    Mirrors :class:`ImageFeatures` for audio payloads: the real
+    decoder (torchaudio / soundfile, absent here) is gated behind an
+    import-try; the deterministic fake treats payload bytes as int16
+    PCM and computes real windowed features (RMS energy + zero
+    crossings per frame) so the Ray-side plumbing — actor signature,
+    frame windowing, list-column output — is exercised end to end.
+    """
+
+    def __init__(self, frame: int = 256, sample_rate: int = 16000):
+        try:  # pragma: no cover - not present in this container
+            import soundfile  # type: ignore  # noqa: F401
+
+            self._have_decoder = True
+        except ImportError:
+            self._have_decoder = False
+        self.frame = frame
+        self.sample_rate = sample_rate
+
+    def _decode_pcm(self, payload: bytes) -> np.ndarray:
+        if self._have_decoder:  # pragma: no cover
+            raise NotImplementedError("real audio decode not wired in sandbox")
+        buf = payload[: (len(payload) // 2) * 2]
+        return np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(batch.schema.names[0])
+        payloads = batch.column("payload").to_pylist()
+        rms_rows, zc_rows, n_frames = [], [], []
+        for p in payloads:
+            x = self._decode_pcm(p or b"")
+            n = len(x) // self.frame
+            if n == 0:
+                rms_rows.append([]); zc_rows.append([]); n_frames.append(0)
+                continue
+            fr = x[: n * self.frame].reshape(n, self.frame)
+            rms_rows.append(np.sqrt((fr ** 2).mean(axis=1)).tolist())
+            zc_rows.append(
+                (np.abs(np.diff(np.signbit(fr), axis=1)).sum(axis=1)).astype(
+                    np.int64
+                ).tolist()
+            )
+            n_frames.append(n)
+        return pa.Table.from_arrays(
+            [
+                ids,
+                pa.array(n_frames, type=pa.int64()),
+                pa.array(rms_rows, type=pa.list_(pa.float64())),
+                pa.array(zc_rows, type=pa.list_(pa.int64())),
+            ],
+            names=[batch.schema.names[0], "n_frames", "frame_rms", "frame_zero_crossings"],
+        )
+
+
+def audio_features(ds, concurrency: int = 4, batch_size: int = 32):
+    """Audio payloads -> per-frame features (actor pool; small batches
+    because binary rows are wide)."""
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage for video payloads.
+
+    Real decode (PyAV) is gated; the fake treats the payload as a
+    byte stream of fixed-size "frames" and samples every k-th one,
+    emitting per-sampled-frame byte offsets + digests — the shape a
+    real frame sampler produces (frame index, timestamp, thumbnail
+    bytes) without the codec dependency.
+    """
+
+    def __init__(self, frame_bytes: int = 1024, every_k: int = 10, fps: float = 30.0):
+        try:  # pragma: no cover
+            import av  # type: ignore  # noqa: F401
+
+            self._have_decoder = True
+        except ImportError:
+            self._have_decoder = False
+        self.frame_bytes = frame_bytes
+        self.every_k = every_k
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        id_name = batch.schema.names[0]
+        ids = batch.column(id_name).to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_fi, out_ts, out_dg = [], [], [], []
+        for d, p in zip(ids, payloads):
+            p = p or b""
+            n_frames = len(p) // self.frame_bytes
+            for fi in range(0, n_frames, self.every_k):
+                chunk = p[fi * self.frame_bytes : (fi + 1) * self.frame_bytes]
+                out_id.append(d)
+                out_fi.append(fi)
+                out_ts.append(fi / self.fps)
+                out_dg.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id),
+                pa.array(out_fi, type=pa.int64()),
+                pa.array(out_ts, type=pa.float64()),
+                pa.array(out_dg, type=pa.string()),
+            ],
+            names=[id_name, "frame_idx", "ts_sec", "frame_digest"],
+        )
+
+
+def video_frame_samples(ds, every_k: int = 10, concurrency: int = 4, batch_size: int = 16):
+    """Video payloads -> sampled frame rows (flat_map-style expansion
+    inside an actor pool)."""
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs=dict(every_k=every_k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -90,3 +90,25 @@ def test_subset_restriction(edge_index):
 def test_empty_query_and_unknown_terms(edge_index):
     assert edge_index.search("", cutoff=5) == {}
     assert edge_index.search("zzzzz unknownterm", cutoff=5) == {}
+
+
+def test_audio_video_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.multimodal import (
+        attach_payload,
+        audio_features,
+        video_frame_samples,
+    )
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": f"sample audio text {i} " * 50} for i in range(8)]
+    )
+    with_payload = attach_payload(ds)
+    af = audio_features(with_payload, concurrency=2).take_all()
+    assert len(af) == 8
+    assert all(r["n_frames"] >= 1 for r in af)
+    assert all(len(r["frame_rms"]) == r["n_frames"] for r in af)
+    vf = video_frame_samples(with_payload, every_k=1, concurrency=2).take_all()
+    assert len(vf) > 8  # expansion: multiple sampled frames per doc
+    assert {len(r["frame_digest"]) for r in vf} == {16}
