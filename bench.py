@@ -126,6 +126,25 @@ def main() -> None:
     build_index(src, index_dir, SparseConfig(), resume=False)
     t_build = time.monotonic() - t0
 
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        # scaling legs: build throughput only (queries don't feed the
+        # efficiency rule and cost minutes on multi-M-doc indexes)
+        out = {
+            "metric": "index-build (turns/sec)",
+            "value": round(t_build, 3),
+            "unit": "sec",
+            "queries": {"index_build": round(t_build, 3)},
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "n_turns": int(n_turns),
+            "warmup_sec": round(t_warm, 3),
+            "build_turns_per_sec": round(n_turns / t_build, 1),
+            "msearch_qps": None,
+        }
+        ray.shutdown()
+        print(json.dumps(out))
+        return
+
     r = RaySparseRetriever(index_dir)
     qs = bench_queries(N_QUERIES)
 
@@ -236,6 +255,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_CONVS=str(SCALING_CONVS),
+            GRAFT_SKIP_QUERIES="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
