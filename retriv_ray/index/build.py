@@ -133,9 +133,14 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         return pa.TableGroupBy(
             batch.select(["conv_id", "turn_idx"]), "conv_id"
         ).aggregate(
-            [("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")]
+            [
+                ("turn_idx", "count"),
+                ("turn_idx", "min"),
+                ("turn_idx", "max"),
+                ("turn_idx", "sum"),
+            ]
         ).rename_columns(
-            ["conv_id", "count()", "min(turn_idx)", "max(turn_idx)"]
+            ["conv_id", "count()", "min(turn_idx)", "max(turn_idx)", "sum(turn_idx)"]
         )
 
     partials = (
@@ -147,18 +152,29 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         t = pa.Table.from_batches(_gather(partials))
         df = t.to_pandas()
         g = df.groupby("conv_id", sort=True).agg(
-            {"count()": "sum", "min(turn_idx)": "min", "max(turn_idx)": "max"}
+            {
+                "count()": "sum",
+                "min(turn_idx)": "min",
+                "max(turn_idx)": "max",
+                "sum(turn_idx)": "sum",
+            }
         )
         conv = g.index.tolist()
         n = g["count()"].to_numpy()
         tmin = g["min(turn_idx)"].to_numpy()
         tmax = g["max(turn_idx)"].to_numpy()
+        tsum = g["sum(turn_idx)"].to_numpy()
     else:
         from ray.data.aggregate import Max, Min, Sum
 
         agg = (
             partials.groupby("conv_id")
-            .aggregate(Sum("count()"), Min("min(turn_idx)"), Max("max(turn_idx)"))
+            .aggregate(
+                Sum("count()"),
+                Min("min(turn_idx)"),
+                Max("max(turn_idx)"),
+                Sum("sum(turn_idx)"),
+            )
             .sort("conv_id")
         )
         t = pa.Table.from_batches(_gather(agg))
@@ -166,11 +182,21 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         n = t.column("sum(count())").to_numpy()
         tmin = t.column("min(min(turn_idx))").to_numpy()
         tmax = t.column("max(max(turn_idx))").to_numpy()
-    if len(n) and (tmin.min() != 0 or not np.array_equal(tmax + 1, n)):
-        bad = np.flatnonzero((tmin != 0) | (tmax + 1 != n))[:5]
+        tsum = t.column("sum(sum(turn_idx))").to_numpy()
+    # contiguity: min==0, max+1==count, AND sum==n(n-1)/2 — the sum
+    # guard catches a duplicate turn_idx compensating a gap (e.g.
+    # [0,1,1,3]), which would silently corrupt doc_id assignment.
+    if len(n) and (
+        tmin.min() != 0
+        or not np.array_equal(tmax + 1, n)
+        or not np.array_equal(tsum.astype(np.int64), n * (n - 1) // 2)
+    ):
+        bad = np.flatnonzero(
+            (tmin != 0) | (tmax + 1 != n) | (tsum.astype(np.int64) != n * (n - 1) // 2)
+        )[:5]
         raise ValueError(
-            "turn_idx must be 0-based and contiguous per conv_id; "
-            f"violations e.g. conv_ids {[conv[i] for i in bad]}"
+            "turn_idx must be 0-based, contiguous and duplicate-free per "
+            f"conv_id; violations e.g. conv_ids {[conv[i] for i in bad]}"
         )
     base = np.cumsum(n) - n
     table = pa.Table.from_arrays(
@@ -511,18 +537,29 @@ def build_index(
     tokenize_concurrency: Optional[int] = None,
     batch_size: int = 4096,
     resume: bool = True,
+    source_token: Optional[str] = None,
 ) -> mf.IndexManifest:
     """Build an index directory from transcript parquet.
 
     ``source`` is a path/list of paths (read with column pruning) or a
-    ray.data.Dataset with (conv_id, turn_idx, text).
+    ray.data.Dataset with (conv_id, turn_idx, text). Dataset sources
+    have no stable content identity for the resume fingerprint, so
+    pass ``source_token`` (any caller-chosen content tag) to enable
+    resume; without one, resume is disabled (full rebuild) so stale
+    lineage from a different Dataset's contents can never be reused.
     """
     import ray
     import ray.data
 
     cfg = cfg or SparseConfig()
     assert shard_docs <= (1 << 31), "shard-local ids are int32"
-    input_desc = source if isinstance(source, (str, list)) else "<dataset>"
+    if isinstance(source, (str, list)):
+        input_desc = source
+    elif source_token is not None:
+        input_desc = f"<dataset:{source_token}>"
+    else:
+        input_desc = "<dataset>"
+        resume = False
     if num_parts is None:
         # auto-size term-hash parts to ~2.5M postings per reduce
         # group: big groups anti-scale (allocation/bandwidth storms

@@ -125,7 +125,7 @@ class LoadedIndex:
         else:
             c = kernel.tf_idf_term_contrib(f, d, self.doc_lens, dtype)
         while self._contrib_bytes + c.nbytes > self.contrib_cache_cap and self._contrib_cache:
-            _, old = self._contrib_cache.popitem()
+            old = self._contrib_cache.pop(next(iter(self._contrib_cache)))
             self._contrib_bytes -= old.nbytes
         self._contrib_cache[key] = c
         self._contrib_bytes += c.nbytes
@@ -191,7 +191,7 @@ class LoadedIndex:
         enc = codec.concat_partials(partials)
         nbytes = len(enc[0]) + len(enc[1])
         while self._enc_bytes + nbytes > self.enc_cache_cap and self._enc_cache:
-            _, old = self._enc_cache.popitem()
+            old = self._enc_cache.pop(next(iter(self._enc_cache)))
             self._enc_bytes -= len(old[0]) + len(old[1])
         self._enc_cache[term] = enc
         self._enc_bytes += nbytes
@@ -210,7 +210,7 @@ class LoadedIndex:
         while (
             self._post_bytes + nbytes > self.post_cache_cap and self._post_cache
         ):
-            _, old = self._post_cache.popitem()
+            old = self._post_cache.pop(next(iter(self._post_cache)))
             self._post_bytes -= old[0].nbytes + old[1].nbytes
         self._post_cache[term] = out
         self._post_bytes += nbytes

@@ -247,3 +247,23 @@ def test_msearch_parallel_matches_search(synth, ray_session):
             k for k in want
         ]
         assert [r_["score"] for r_ in got] == [float(v) for v in want.values()]
+
+
+def test_duplicate_turn_idx_compensating_gap_fails_loudly(ray_session):
+    """turn_idx [0,1,1,3] passes a min/max/count check (count=4,
+    max=3) but would assign duplicate doc_ids; the sum invariant
+    (sum == n(n-1)/2) must reject it."""
+    import ray.data
+
+    from retriv_ray.index.build import compute_conv_offsets
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["c1"] * 4),
+            pa.array([0, 1, 1, 3], type=pa.int32()),
+            pa.array(["a", "b", "c", "d"]),
+        ],
+        names=["conv_id", "turn_idx", "text"],
+    )
+    with pytest.raises(ValueError, match="duplicate-free"):
+        compute_conv_offsets(ray.data.from_arrow(t))
