@@ -7,11 +7,16 @@ Implemented pipelines (SURVEY.md §2 + training-data operators):
 - inverted-index build products (vocabulary / doc_lens / postings)
 - BM25 and TF-IDF top-k (rank-level vs a float64 DuckDB oracle;
   exact ties break by doc_id in both engines — see kernel.py)
-- dedup: exact, n-gram Jaccard (exact SQL oracle), MinHash-LSH and
-  SimHash (rows-only)
-- ANN cosine top-k: brute-force (SQL oracle) and LSH (rows-only)
+- dedup: exact, n-gram Jaccard, MinHash-LSH with join-based exact
+  verification (both against the exact-Jaccard SQL oracle), SimHash
+  (md5-based, bit-exact SQL oracle), embedding near-dup (distributed
+  block-pair exact, SQL oracle)
+- ANN cosine top-k: brute-force and LSH-with-exact-rerank (both
+  against the brute-force SQL oracle; the LSH query runs at
+  recall-1.0 parameters, verified deterministic)
 - text analysis: quality stats, BPE-ish token counts, language-ID
   heuristic, per-source token totals, winnowing fingerprints
+  (rolling-hash SQL oracle)
 - events: tumbling-window aggregate (integer-cents exact)
 - multimodal: payload plumbing + stubbed decode features (rows-only)
 """
@@ -160,9 +165,13 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_minhash_lsh(sf_dir: str):
+    """Banded-LSH candidates + join-based exact verification. LSH
+    candidate recall is 1.0 on this corpus at (num_perm=64, bands=16)
+    — verified against the exact operator — so the output equals
+    ngram_jaccard_pairs and shares its SQL oracle."""
     from retriv_ray.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(sf_dir), n=3, threshold=0.5)
+    return minhash_lsh_pairs(_docs(sf_dir), n=3, threshold=0.5, join_partitions=8)
 
 
 def _q_simhash(sf_dir: str):
@@ -194,13 +203,18 @@ def _q_ann_cosine(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH candidates + exact re-rank. At (n_tables=32,
+    n_bits=4) candidate recall is empirically 1.0 on this corpus
+    (deterministic seed), so the output equals brute-force top-k and
+    shares its SQL oracle; production parameters trade recall for
+    candidate volume."""
     import ray.data
 
     from retriv_ray.ops.ann import cosine_topk_lsh
 
     q_ids, q_vecs = _ann_queries(sf_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return cosine_topk_lsh(ds, q_ids, q_vecs, k=ANN_K)
+    return cosine_topk_lsh(ds, q_ids, q_vecs, k=ANN_K, n_tables=32, n_bits=4)
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -424,6 +438,45 @@ _LANG_COUNTS = ", ".join(
 
 _BPE_RE_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
 
+# winnowing fingerprint oracle constants (must match ops/textstats.py:
+# base 1000003 mod 2^61-1, window 8, md5_number_lower token hashes)
+_WINNOW_P = (1 << 61) - 1
+_WINNOW_PW_VALUES = " , ".join(
+    f"({off}, {pow(1000003, 7 - off, _WINNOW_P)})" for off in range(8)
+)
+
+_ANN_TOPK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+    sims AS (
+      SELECT q.q_vec_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_vec_id)
+    SELECT q_vec_id, rank, vec_id FROM (
+      SELECT q_vec_id, vec_id,
+        row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    WHERE rank <= 10 ORDER BY q_vec_id, rank
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+    WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM docs, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*)::DOUBLE AS i
+      FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+      GROUP BY g1.doc_id, g2.doc_id)
+    SELECT a AS doc_id_a, b AS doc_id_b,
+           floor(10000 * i / (sa.sz + sb.sz - i))::BIGINT AS jaccard_e4
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     k1, b = 1.2, 0.75
@@ -559,36 +612,59 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
         """,
-        "ngram_jaccard_pairs": f"""
-            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents),
-            grams AS (
-              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-              FROM docs, unnest(generate_series(1, len(t) - 2)) AS u(i)
-              WHERE len(t) >= 3),
-            sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM grams GROUP BY doc_id),
-            inter AS (
-              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*)::DOUBLE AS i
-              FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
-              GROUP BY g1.doc_id, g2.doc_id)
-            SELECT a AS doc_id_a, b AS doc_id_b,
-                   floor(10000 * i / (sa.sz + sb.sz - i))::BIGINT AS jaccard_e4
-            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-            WHERE i / (sa.sz + sb.sz - i) >= 0.5
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        # minhash_lsh_pairs verifies candidates with EXACT jaccard, and
+        # LSH recall is 1.0 on this corpus (checked against the exact
+        # operator), so its output equals ngram_jaccard_pairs.
+        "minhash_lsh_pairs": _NGRAM_JACCARD_SQL,
+        "simhash": f"""
+            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS w FROM docs),
+            bits AS (
+              SELECT doc_id, bb.b,
+                     sum(CASE WHEN (md5_number_lower(w) >> bb.b) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM tok, (SELECT unnest(generate_series(0,63)) AS b) bb
+              GROUP BY doc_id, bb.b),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote >= 0 THEN (1::HUGEINT << b)
+                         ELSE 0::HUGEINT END) AS ufp
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+              (CASE WHEN coalesce(f.ufp,0) >= 9223372036854775808::HUGEINT
+                    THEN coalesce(f.ufp,0) - 18446744073709551616::HUGEINT
+                    ELSE coalesce(f.ufp,0) END)::BIGINT AS simhash,
+              ((coalesce(f.ufp,0) >> 0) & 65535)::BIGINT AS band0,
+              ((coalesce(f.ufp,0) >> 16) & 65535)::BIGINT AS band1,
+              ((coalesce(f.ufp,0) >> 32) & 65535)::BIGINT AS band2,
+              ((coalesce(f.ufp,0) >> 48) & 65535)::BIGINT AS band3
+            FROM docs d LEFT JOIN fp f ON f.doc_id = d.doc_id ORDER BY d.doc_id
         """,
-        "ann_cosine_topk": f"""
-            WITH q AS (
-              SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qv
-              FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
-            sims AS (
-              SELECT q.q_vec_id, e.vec_id,
-                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
-              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_vec_id)
-            SELECT q_vec_id, rank, vec_id FROM (
-              SELECT q_vec_id, vec_id,
-                row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rank
-              FROM sims)
-            WHERE rank <= {ANN_K} ORDER BY q_vec_id, rank
+        "doc_fingerprint": f"""
+            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents),
+            tok AS (SELECT doc_id, len(toks) AS L, u.i,
+                           (md5_number_lower(toks[u.i]) % {_WINNOW_P}) AS v
+                    FROM docs, unnest(generate_series(1, len(toks))) u(i)),
+            pw(off, p8) AS (VALUES {_WINNOW_PW_VALUES}),
+            wh AS (SELECT a.doc_id, a.i,
+                     (sum((b.v::HUGEINT * pw.p8::HUGEINT) % {_WINNOW_P}) % {_WINNOW_P}) AS h
+                   FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                                        AND b.i BETWEEN a.i AND a.i + 7
+                   JOIN pw ON pw.off = b.i - a.i
+                   WHERE a.i + 7 <= a.L
+                   GROUP BY a.doc_id, a.i),
+            agg AS (SELECT doc_id, min(h) AS fp, count(*) AS ng FROM wh GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(agg.fp, 0)::BIGINT AS fingerprint,
+                   coalesce(agg.ng, 0)::BIGINT AS n_grams
+            FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id
         """,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        # ann_lsh_topk re-ranks candidates with exact cosine, and the
+        # driver query's (n_tables=32, n_bits=4) gives candidate recall
+        # 1.0 on this corpus (deterministic seed, checked against the
+        # brute-force operator) — so its output equals brute-force.
+        "ann_lsh_topk": _ANN_TOPK_SQL,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -3,36 +3,61 @@
 All operators take a ``ray.data.Dataset`` with at least
 ``(doc_id: int64, text: string)`` and are Ray-Data-first: per-batch
 vectorized maps + key shuffles; nothing materializes the corpus on
-the driver. Scale notes per operator.
+the driver (driver-side state is limited to O(#query/#block-ref)
+metadata). Scale notes per operator.
 
 - :func:`exact_dedup` — content-hash groupby; the shuffle moves
   (sha1, doc_id) pairs only, never the text.
 - :func:`ngram_jaccard_pairs` — EXACT all-pairs Jaccard over word
   n-gram shingle sets via the inverted-pair expansion: shingle ->
-  (shingle, doc) -> groupby(shingle) -> co-occurring pairs ->
-  groupby(pair) count = |A ∩ B|. Pair volume is Σ_shingle df² — fine
-  for moderately selective shingles; at 100 TB you cap hot shingles
-  (drop shingles with df > D, a standard prefix-filter bound that
-  cannot remove pairs above the threshold when D is chosen from the
-  threshold) — the cap is exposed as ``max_shingle_df``.
+  (shingle, doc, set_size) -> groupby(shingle) -> co-occurring pairs
+  -> groupby(pair) count = |A ∩ B|. Set sizes ride along on each
+  shingle row (8 extra bytes/row), so the Jaccard finalize is fully
+  row-local — no driver-side size map. Pair volume is Σ_shingle df²;
+  at 100 TB cap hot shingles with ``max_shingle_df`` (makes the
+  result approximate: a pair ALL of whose shared shingles are hot is
+  missed — log-noted per dropped group).
 - :func:`minhash_lsh_pairs` — MinHash signatures (vectorized over
   64 hash seeds) -> banded LSH keys -> groupby(band) -> candidate
-  pairs -> exact-Jaccard verification. The scalable near-dup path:
-  candidate volume is tunable via (num_perm, bands).
+  pairs -> exact-Jaccard verification via two hash-shuffle joins of
+  the candidate pairs against the per-doc shingle table (packed
+  binary) — no whole-corpus driver map. Candidate volume is tunable
+  via (num_perm, bands); completeness vs the exact operator is the
+  LSH recall (1.0 on the test corpora at the default parameters —
+  the exact operator doubles as its oracle).
 - :func:`simhash64` — 64-bit SimHash fingerprints per doc (hamming
-  near-dup grouping via 4x16-bit band buckets).
+  near-dup grouping via 4x16-bit band buckets). Token hashes are the
+  low 8 bytes of md5 (= DuckDB ``md5_number_lower``), so the whole
+  fingerprint is reproducible in SQL for the correctness oracle.
+- :func:`embedding_near_dup` — cosine near-dup pairs with two paths:
+  ``method='exact'`` distributes the O(n²) all-pairs matmul over
+  block-pair Ray tasks (driver holds block refs only — works until
+  n² compute itself is the wall); ``method='lsh'`` buckets by
+  random-hyperplane signatures and does in-bucket pairwise only (the
+  10^9-vector path; recall < 1 possible, exact path doubles as its
+  oracle on samples).
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
 import zlib
 from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _md5_low64(s: str) -> int:
+    """Low 8 bytes of md5, little-endian — matches DuckDB
+    ``md5_number_lower`` so SQL oracles can reproduce token hashes."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
 
 
 def _shingle_hashes(tokens: List[str], n: int) -> np.ndarray:
@@ -100,73 +125,82 @@ def ngram_jaccard_pairs(
 ):
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >=
     threshold, plus the exact jaccard as cents (int64, floor(j*10000))
-    so the result hashes exactly against a SQL oracle."""
-    import ray
-    import ray.data
+    so the result hashes exactly against a SQL oracle.
+
+    Each (shingle, doc) row carries the doc's shingle-set size, so the
+    final Jaccard is computed row-locally after the pair groupby — no
+    driver-side size map and no extra shuffle. With ``max_shingle_df``
+    set, groups larger than the cap emit no pairs (approximate; pairs
+    whose shared shingles are ALL hot are missed — a warning is logged
+    per dropped group with its df)."""
 
     def shingles(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
         texts = batch.column(text_col).to_pylist()
         out_s: List[np.ndarray] = []
         out_d: List[np.ndarray] = []
+        out_z: List[np.ndarray] = []
         for d, t in zip(ids, texts):
             h = _shingle_hashes(_tokens(t), n)
             out_s.append(h)
             out_d.append(np.full(len(h), d, dtype=np.int64))
+            out_z.append(np.full(len(h), len(h), dtype=np.int64))
         s = np.concatenate(out_s) if out_s else np.empty(0, np.uint64)
         return pa.Table.from_arrays(
             [
                 pa.array(s.astype(np.int64)),
                 pa.array(np.concatenate(out_d) if out_d else np.empty(0, np.int64)),
+                pa.array(np.concatenate(out_z) if out_z else np.empty(0, np.int64)),
             ],
-            names=["sh", id_col],
+            names=["sh", id_col, "sz"],
         )
 
     sh = ds.map_batches(shingles, batch_format="pyarrow")
 
-    # per-doc shingle-set sizes (small side -> broadcast)
-    from ray.data.aggregate import Count
-
-    sizes_tbl = pa.Table.from_pandas(
-        sh.groupby(id_col).aggregate(Count()).to_pandas()
-    )
-    size_map = dict(
-        zip(
-            sizes_tbl.column(id_col).to_pylist(),
-            sizes_tbl.column("count()").to_pylist(),
-        )
-    )
-    size_ref = ray.put(size_map)
+    from ray.data.aggregate import Count, Max
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        docs = np.sort(group.column(id_col).to_numpy())
+        order = np.argsort(group.column(id_col).to_numpy())
+        docs = group.column(id_col).to_numpy()[order]
+        sizes = group.column("sz").to_numpy()[order]
         if max_shingle_df is not None and len(docs) > max_shingle_df:
+            logger.warning(
+                "ngram_jaccard_pairs: dropping hot shingle with df=%d > cap %d",
+                len(docs),
+                max_shingle_df,
+            )
             docs = docs[:0]
         if len(docs) < 2:
             return pa.Table.from_arrays(
-                [pa.array([], type=pa.int64())] * 2, names=["a", "b"]
+                [pa.array([], type=pa.int64())] * 4,
+                names=["a", "b", "sa", "sb"],
             )
         ai, bi = np.triu_indices(len(docs), k=1)
         return pa.Table.from_arrays(
-            [pa.array(docs[ai]), pa.array(docs[bi])], names=["a", "b"]
+            [
+                pa.array(docs[ai]),
+                pa.array(docs[bi]),
+                pa.array(sizes[ai]),
+                pa.array(sizes[bi]),
+            ],
+            names=["a", "b", "sa", "sb"],
         )
 
     pair_counts = (
         sh.groupby("sh")
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Count())
+        .aggregate(Count(), Max("sa"), Max("sb"))
     )
 
     thr = threshold
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(size_ref)
         a = batch.column("a").to_numpy()
         b = batch.column("b").to_numpy()
         inter = batch.column("count()").to_numpy().astype(np.float64)
-        sa = np.fromiter((sizes[x] for x in a), dtype=np.float64, count=len(a))
-        sb = np.fromiter((sizes[x] for x in b), dtype=np.float64, count=len(b))
+        sa = batch.column("max(sa)").to_numpy().astype(np.float64)
+        sb = batch.column("max(sb)").to_numpy().astype(np.float64)
         j = inter / (sa + sb - inter)
         keep = j >= thr
         return pa.Table.from_arrays(
@@ -211,17 +245,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    join_partitions: int = 32,
 ):
     """Candidate pairs via banded MinHash-LSH, verified with exact
     Jaccard over the shingle sets. Returns (doc_id_a, doc_id_b,
     jaccard_e4) for verified pairs >= threshold.
 
-    Verification uses a broadcast {doc_id -> shingle hashes} map —
-    fine up to ~1e7 docs per verification partition; the 100 TB path
-    re-joins candidate pairs against the shingle table by doc_id
-    instead (two more shuffles, same semantics)."""
-    import ray
-
+    Verification is a shuffle join: the per-doc shingle table (one
+    packed-binary row per doc) is hash-joined against the candidate
+    pairs on each side's doc id, then the exact Jaccard is computed
+    row-locally — no whole-corpus driver map anywhere. Output is a
+    subset of :func:`ngram_jaccard_pairs` (equal when LSH candidate
+    recall is 1.0, which the exact operator verifies on samples)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     a, b = _perm_params(num_perm)
@@ -266,38 +301,54 @@ def minhash_lsh_pairs(
     # distinct candidate pairs
     from ray.data.aggregate import Count
 
-    cand = cand.groupby(["a", "b"]).aggregate(Count())
+    cand = (
+        cand.groupby(["a", "b"])
+        .aggregate(Count())
+        .select_columns(["a", "b"])
+    )
 
-    # exact verification against broadcast shingle sets
-    shingle_map = {}
-    for batch in ds.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [
-                t.column(id_col),
-                pa.array(
-                    [
-                        _shingle_hashes(_tokens(x), n).astype(np.int64)
-                        for x in t.column(text_col).to_pylist()
-                    ],
-                    type=pa.list_(pa.int64()),
-                ),
-            ],
-            names=[id_col, "sh"],
-        ),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        for d, s in zip(batch.column(id_col).to_pylist(), batch.column("sh").to_pylist()):
-            shingle_map[d] = np.asarray(s, dtype=np.int64)
-    sh_ref = ray.put(shingle_map)
+    # per-doc shingle sets, one packed-binary row per doc (sorted
+    # uint64 hashes as raw little-endian bytes — compact through the
+    # join shuffle, zero-copy decode with np.frombuffer)
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        packed = pa.array(
+            [_shingle_hashes(_tokens(t), n).tobytes() for t in texts],
+            type=pa.binary(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column(id_col), packed], names=[id_col, "sh"]
+        )
+
+    sh_tbl = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    # candidate pairs ⨝ shingles (a side), then ⨝ shingles (b side)
+    joined = cand.join(
+        sh_tbl,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("a",),
+        right_on=(id_col,),
+    ).rename_columns({"sh": "sh_a"})
+    joined = joined.join(
+        sh_tbl,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("b",),
+        right_on=(id_col,),
+    ).rename_columns({"sh": "sh_b"})
+
     thr = threshold
 
     def verify(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sh_ref)
         a_ = batch.column("a").to_numpy()
         b_ = batch.column("b").to_numpy()
+        sh_a = batch.column("sh_a").to_pylist()
+        sh_b = batch.column("sh_b").to_pylist()
         out_j = np.empty(len(a_), dtype=np.float64)
         for i in range(len(a_)):
-            sa, sb = sm[a_[i]], sm[b_[i]]
+            sa = np.frombuffer(sh_a[i] or b"", dtype=np.uint64)
+            sb = np.frombuffer(sh_b[i] or b"", dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             out_j[i] = inter / union if union else 0.0
@@ -311,7 +362,7 @@ def minhash_lsh_pairs(
             names=["doc_id_a", "doc_id_b", "jaccard_e4"],
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def _group_pairs(group: pa.Table, id_col: str) -> pa.Table:
@@ -332,8 +383,12 @@ def _group_pairs(group: pa.Table, id_col: str) -> pa.Table:
 
 
 def simhash64(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """64-bit SimHash per doc over unigram token hashes, plus 4x16-bit
-    band keys for hamming-neighborhood bucketing. Deterministic."""
+    """64-bit SimHash per doc over unigram token hashes (md5 low 8
+    bytes — reproducible as DuckDB ``md5_number_lower``), plus 4x16-bit
+    band keys for hamming-neighborhood bucketing. Deterministic and
+    SQL-expressible: fingerprint bit b is set iff
+    sum_tokens(2*bit_b(md5_low64(tok)) - 1) >= 0, counted WITH token
+    multiplicity."""
 
     def sim(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -345,14 +400,7 @@ def simhash64(ds, text_col: str = "text", id_col: str = "doc_id"):
                 fps[i] = 0
                 continue
             hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                    )
-                    for w in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
+                (_md5_low64(w) for w in toks), dtype=np.uint64, count=len(toks)
             )
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
                 np.int64
@@ -371,26 +419,41 @@ def simhash64(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(sim, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
 def embedding_near_dup(
     ds,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_id: Optional[int] = None,
+    method: str = "exact",
+    block_rows: int = 8192,
+    n_tables: int = 16,
+    n_bits: int = 6,
+    seed: int = 11,
 ):
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cosine(v_a, v_b) >= threshold, sim as floor(sim*10000) int64 for
     exact SQL-oracle hashing.
 
-    Exact path: the (optionally id-bounded) vector matrix is
-    L2-normalized and broadcast once via ``ray.put``; each batch
-    matmuls against it (blocked all-pairs — O(n^2) but vectorized and
-    embarrassingly parallel). The 10^9-vector scale path is the
-    LSH-bucketed variant (cosine_topk_lsh's bucketing with in-bucket
-    pairwise), trading exactness for candidate recall; this exact
-    operator doubles as its verification oracle on samples.
+    ``method='exact'``: the (optionally id-bounded) table is
+    materialized into the OBJECT STORE as ~``block_rows``-row blocks;
+    one Ray task per block pair (i <= j) computes the cross-block
+    matmul. The driver holds only block refs — no ``take_all``. O(n²)
+    compute is inherent to the exact semantics; use 'lsh' beyond
+    ~10^6 vectors.
+
+    ``method='lsh'``: random-hyperplane band keys per vector (any of
+    ``n_tables`` tables); groupby(table, key) -> in-bucket pairwise
+    exact cosine -> distinct. Fully streaming, scales to 10^9+
+    vectors; recall < 1 possible (collision prob per table =
+    (1 - theta/pi)^n_bits) — the exact path doubles as its oracle on
+    samples.
     """
-    import ray
     import pyarrow.compute as pc
 
     base = ds
@@ -401,40 +464,134 @@ def embedding_near_dup(
             return b.filter(pc.less(b.column(id_col), bound))
 
         base = base.map_batches(_bound, batch_format="pyarrow")
-    rows = base.select_columns([id_col, vec_col]).take_all()
-    all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    ref = ray.put((all_ids, mat))
+    base = base.select_columns([id_col, vec_col])
+    if method == "exact":
+        return _near_dup_exact(base, threshold, id_col, vec_col, block_rows)
+    if method == "lsh":
+        return _near_dup_lsh(
+            base, threshold, id_col, vec_col, n_tables, n_bits, seed
+        )
+    raise ValueError(f"unknown method {method!r} (expected 'exact' or 'lsh')")
+
+
+def _block_id_vecs(t: pa.Table, id_col: str, vec_col: str):
+    ids = t.column(id_col).to_numpy()
+    m = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+    if m.size == 0:
+        return ids, np.empty((0, 1), dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ids, m
+
+
+def _pair_table(a: np.ndarray, b: np.ndarray, s: np.ndarray) -> pa.Table:
+    mask = a < b  # each unordered pair once, no self-pairs
+    return pa.Table.from_arrays(
+        [
+            pa.array(a[mask]),
+            pa.array(b[mask]),
+            pa.array(np.floor(s[mask] * 10000).astype(np.int64)),
+        ],
+        names=["vec_id_a", "vec_id_b", "sim_e4"],
+    )
+
+
+def _near_dup_exact(base, threshold: float, id_col: str, vec_col: str, block_rows: int):
+    """Distributed exact all-pairs: block-pair cross tasks over object
+    store refs. Results come back as a Dataset via from_arrow_refs
+    (never gathered to the driver)."""
+    import ray
+    import ray.data
+
+    mat = base.materialize()
+    n = mat.count()
+    num_blocks = max(1, math.ceil(n / block_rows))
+    refs = list(mat.repartition(num_blocks).materialize().to_arrow_refs())
     thr = threshold
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
-        ids = batch.column(id_col).to_numpy()
-        if max_id is not None:
-            keep = ids < max_id
-            batch = batch.filter(pa.array(keep))
-            ids = ids[keep]
-        if not len(ids):
-            return pa.Table.from_arrays(
-                [pa.array([], type=pa.int64())] * 3,
-                names=["vec_id_a", "vec_id_b", "sim_e4"],
+    @ray.remote
+    def block_pair(ti: pa.Table, tj: pa.Table, same: bool) -> pa.Table:
+        ids_i, mi = _block_id_vecs(ti, id_col, vec_col)
+        ids_j, mj = _block_id_vecs(tj, id_col, vec_col)
+        if not len(ids_i) or not len(ids_j):
+            return _pair_table(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
             )
-        m = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m_all.T
+        sims = mi @ mj.T
         bi, bj = np.nonzero(sims >= thr)
-        a = ids[bi]
-        b = ids_all[bj]
-        mask = a < b  # each unordered pair once, no self-pairs
+        a, b = ids_i[bi], ids_j[bj]
+        if not same:
+            # blocks aren't id-ordered: normalize so the smaller id is
+            # always 'a' (same-block pairs appear twice in the symmetric
+            # sims matrix, so there the a<b mask alone dedups them)
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return _pair_table(a, b, sims[bi, bj])
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(block_pair.remote(refs[i], refs[j], i == j))
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def _near_dup_lsh(
+    base, threshold: float, id_col: str, vec_col: str,
+    n_tables: int, n_bits: int, seed: int,
+):
+    """Streaming near-dup: per-vector band keys (one row per table),
+    groupby(table, key), in-bucket pairwise exact cosine, distinct
+    via a (a, b) groupby. The bucket groupby is the only shuffle and
+    moves (table, key, id, vec) rows."""
+    powers = 1 << np.arange(n_bits, dtype=np.int64)
+    planes: Optional[np.ndarray] = None
+    thr = threshold
+
+    def keys(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        ids, m = _block_id_vecs(batch, id_col, vec_col)
+        if planes is None:
+            # dim discovered from the first batch; rng is seeded so
+            # every task draws identical planes
+            r = np.random.default_rng(seed)
+            planes = r.standard_normal((n_tables, n_bits, m.shape[1]))
+        out_t, out_k, out_i, out_v = [], [], [], []
+        for t in range(n_tables):
+            sig = ((m @ planes[t].T) > 0) @ powers
+            out_t.append(np.full(len(ids), t, dtype=np.int64))
+            out_k.append(sig.astype(np.int64))
+            out_i.append(ids)
+            out_v.append(batch.column(vec_col))
         return pa.Table.from_arrays(
             [
-                pa.array(a[mask]),
-                pa.array(b[mask]),
-                pa.array(np.floor(sims[bi, bj][mask] * 10000).astype(np.int64)),
+                pa.array(np.concatenate(out_t)),
+                pa.array(np.concatenate(out_k)),
+                pa.array(np.concatenate(out_i)),
+                pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_v]
+                ),
             ],
-            names=["vec_id_a", "vec_id_b", "sim_e4"],
+            names=["tbl", "key", id_col, vec_col],
         )
 
-    return base.map_batches(pairs, batch_format="pyarrow")
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids, m = _block_id_vecs(group, id_col, vec_col)
+        if len(ids) < 2:
+            return _pair_table(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+            )
+        sims = m @ m.T
+        bi, bj = np.nonzero(sims >= thr)
+        return _pair_table(ids[bi], ids[bj], sims[bi, bj])
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        base.map_batches(keys, batch_format="pyarrow")
+        .groupby(["tbl", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # distinct across tables (sim identical wherever the pair appears)
+    return (
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .aggregate(Max("sim_e4"))
+        .rename_columns({"max(sim_e4)": "sim_e4"})
+    )

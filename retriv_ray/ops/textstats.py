@@ -151,7 +151,9 @@ def doc_fingerprint(
     """Winnowing-style fingerprint: polynomial rolling hash (base
     1000003 mod 2^61-1) over the token stream, windowed minimum ->
     (id, fingerprint int64, n_grams). Deterministic; docs sharing a
-    fingerprint share at least one ``window``-gram."""
+    fingerprint share at least one ``window``-gram. Token hashes are
+    md5 low 8 bytes (= DuckDB ``md5_number_lower``) so the whole
+    fingerprint is reproducible by a SQL oracle."""
     P = np.uint64((1 << 61) - 1)
     BASE = np.uint64(1000003)
 
@@ -169,10 +171,7 @@ def doc_fingerprint(
                 continue
             p, base = int(P), int(BASE)
             vals = [
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
-                % p
+                int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little") % p
                 for w in toks
             ]
             top = pow(base, window, p)

@@ -1,0 +1,115 @@
+"""Dedup-family scale-path tests: join-based MinHash verification,
+block-pair distributed exact near-dup (including the cross-block
+id-ordering case), LSH-bucketed near-dup recall, and the hot-shingle
+cap."""
+
+import numpy as np
+import pytest
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOCS = [
+    {"doc_id": 0, "text": BASE},
+    {"doc_id": 1, "text": BASE},  # exact dup of 0
+    {"doc_id": 2, "text": BASE.replace("lazy", "sleepy")},  # near-dup of 0
+    {"doc_id": 3, "text": "completely different words about compilers and parsers here now"},
+    {"doc_id": 4, "text": "another unrelated document mentioning databases indexes and transactions"},
+]
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(DOCS)
+
+
+def _pairs(df):
+    if len(df) == 0:
+        return set()
+    return set(zip(df["doc_id_a"].tolist(), df["doc_id_b"].tolist()))
+
+
+def test_minhash_join_verify_equals_exact(docs_ds):
+    from retriv_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.3).to_pandas()
+    mh = minhash_lsh_pairs(
+        docs_ds, n=3, threshold=0.3, join_partitions=2
+    ).to_pandas()
+    # verification is exact, so minhash output ⊆ exact; on this corpus
+    # (identical + one-word-off dups) banded LSH recall is 1.0 -> equal
+    assert _pairs(mh) == _pairs(exact)
+    assert (0, 1) in _pairs(mh)
+    j_mh = dict(zip(zip(mh["doc_id_a"], mh["doc_id_b"]), mh["jaccard_e4"]))
+    assert j_mh[(0, 1)] == 10000  # identical docs -> jaccard 1.0 exactly
+
+
+def test_ngram_hot_shingle_cap_is_subset(docs_ds):
+    from retriv_ray.ops.dedup import ngram_jaccard_pairs
+
+    full = _pairs(ngram_jaccard_pairs(docs_ds, n=3, threshold=0.3).to_pandas())
+    capped = _pairs(
+        ngram_jaccard_pairs(
+            docs_ds, n=3, threshold=0.3, max_shingle_df=2
+        ).to_pandas()
+    )
+    assert capped <= full
+
+
+def _vec_items(seed=3, n=12, d=8):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    m[5] = m[0] + 0.01 * rng.standard_normal(d)  # near-dup pair (0, 5)
+    m[9] = -m[2]  # anti-correlated, never a near-dup
+    # shuffled ids: id order != row order, so block-pair tasks see
+    # unordered ids (regression for the cross-block min/max normalize)
+    ids = rng.permutation(n)
+    return [
+        {"vec_id": int(ids[i]), "embedding": m[i].tolist()} for i in range(n)
+    ], {int(ids[i]): m[i] for i in range(n)}
+
+
+def _brute_pairs(by_id, thr):
+    out = set()
+    for a in by_id:
+        for b in by_id:
+            if a < b:
+                va, vb = by_id[a], by_id[b]
+                sim = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                if sim >= thr:
+                    out.add((a, b))
+    return out
+
+def test_embedding_near_dup_exact_block_pairs(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import embedding_near_dup
+
+    items, by_id = _vec_items()
+    ds = ray.data.from_items(items)
+    got = embedding_near_dup(
+        ds, threshold=0.8, method="exact", block_rows=3
+    ).to_pandas()
+    want = _brute_pairs(by_id, 0.8)
+    assert set(zip(got["vec_id_a"], got["vec_id_b"])) == want
+    assert len(got) == len(set(zip(got["vec_id_a"], got["vec_id_b"])))  # no dups
+
+
+def test_embedding_near_dup_lsh_subset_finds_identicals(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import embedding_near_dup
+
+    items, by_id = _vec_items()
+    ds = ray.data.from_items(items)
+    exact = _brute_pairs(by_id, 0.8)
+    lsh = embedding_near_dup(
+        ds, threshold=0.8, method="lsh", n_tables=16, n_bits=4
+    ).to_pandas()
+    lsh_pairs = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    assert lsh_pairs <= exact
+    # the engineered near-identical pair (rows 0 and 5, whatever ids
+    # they were shuffled to) lands in the same bucket in essentially
+    # every table -> must be found
+    pair = tuple(sorted([items[0]["vec_id"], items[5]["vec_id"]]))
+    assert pair in lsh_pairs
