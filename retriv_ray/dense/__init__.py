@@ -116,8 +116,20 @@ class DenseRetriever:
     def index_dataset(self, ds, id_col: str = "id", text_col: str = "text",
                       concurrency: Optional[int] = None):
         """Ray Data path: encode with an actor-pool map_batches stage
-        (encoder constructed once per actor), gather embeddings."""
+        (encoder constructed once per actor) and STREAM the embeddings
+        to parquet shards — nothing is gathered to the driver. The LSH
+        bucket artifact (id, signature) is likewise built distributed
+        from the persisted shards. In-RAM serving state (`_emb`,
+        buckets) loads lazily on first `search()` — the
+        reference-equivalent mode for corpora that fit a node; use
+        :meth:`msearch_ds` for the fully streaming path."""
         enc = self.encoder
+        root = index_path(self.index_name)
+        shards_dir = os.path.join(root, "dense_shards")
+        sigs_dir = os.path.join(root, "dense_sigs")
+        shutil.rmtree(shards_dir, ignore_errors=True)
+        shutil.rmtree(sigs_dir, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
 
         class _Encode:
             def __init__(self):
@@ -136,19 +148,164 @@ class DenseRetriever:
                     names=["id", "text", "embedding"],
                 )
 
-        out = ds.map_batches(
+        ds.map_batches(
             _Encode,
             batch_format="pyarrow",
             concurrency=concurrency or 4,
-        ).take_all()
-        self._ids = [r["id"] for r in out]
-        self._texts = [r["text"] for r in out]
-        self._emb = np.asarray(
-            [r["embedding"] for r in out], dtype=np.float32
-        )
-        self._build_ann()
-        self._persist()
+        ).write_parquet(shards_dir)
+
+        if self.use_ann:
+            # distributed bucket build: per-batch signature map over the
+            # persisted shards -> (id, sig) parquet. Planes are a tiny
+            # seeded matrix recreated in every task; only signatures
+            # (16 bytes/vector) ever move.
+            import ray.data
+
+            dim = self._shard_dim(shards_dir)
+            seed, n_planes = self.seed, self.n_planes
+
+            def sig_map(batch: pa.Table) -> pa.Table:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+                m = np.asarray(
+                    batch.column("embedding").to_pylist(), dtype=np.float32
+                )
+                bits = (m @ planes) > 0
+                sigs = (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+                return pa.Table.from_arrays(
+                    [batch.column("id"), pa.array(sigs)], names=["id", "sig"]
+                )
+
+            ray.data.read_parquet(
+                shards_dir, columns=["id", "embedding"]
+            ).map_batches(sig_map, batch_format="pyarrow").write_parquet(sigs_dir)
+
+        with open(os.path.join(root, "dense.json"), "w") as f:
+            json.dump(
+                {"use_ann": self.use_ann, "n_planes": self.n_planes,
+                 "seed": self.seed, "sharded": True},
+                f,
+            )
+        # serving state loads lazily (first search) — indexing a 100 TB
+        # corpus must not imply holding it in driver RAM
+        self._ids = self._texts = self._emb = None
+        self._planes = self._buckets = None
         return self
+
+    @staticmethod
+    def _shard_dim(shards_dir: str) -> int:
+        import glob
+
+        first = sorted(glob.glob(os.path.join(shards_dir, "*.parquet")))[0]
+        t = pq.read_table(first, columns=["embedding"])
+        return len(t.column("embedding")[0])
+
+    def _ensure_loaded(self) -> None:
+        """Lazy in-RAM serving state from the streamed shards (compat
+        mode; sorted file order keeps row positions deterministic)."""
+        if self._emb is not None:
+            return
+        import glob
+
+        root = index_path(self.index_name)
+        shards_dir = os.path.join(root, "dense_shards")
+        if not os.path.isdir(shards_dir):
+            raise RuntimeError("index() or index_dataset() first")
+        files = sorted(glob.glob(os.path.join(shards_dir, "*.parquet")))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        self._ids = t.column("id").to_pylist()
+        self._texts = t.column("text").to_pylist()
+        self._emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+        if self.use_ann:
+            sig_files = sorted(
+                glob.glob(os.path.join(root, "dense_sigs", "*.parquet"))
+            )
+            st = pa.concat_tables([pq.read_table(f) for f in sig_files])
+            pos = {d: i for i, d in enumerate(self._ids)}
+            sigs = np.zeros(len(self._ids), dtype=np.int64)
+            for d, s in zip(st.column("id").to_pylist(), st.column("sig").to_pylist()):
+                sigs[pos[d]] = s
+            rng = np.random.default_rng(self.seed)
+            self._planes = rng.standard_normal(
+                (self._emb.shape[1], self.n_planes)
+            ).astype(np.float32)
+            order = np.argsort(sigs, kind="stable")
+            s_sorted = sigs[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], s_sorted[1:] != s_sorted[:-1]))
+            )
+            self._buckets = {
+                int(s_sorted[b]): order[b:e]
+                for b, e in zip(bounds, np.append(bounds[1:], len(s_sorted)))
+            }
+
+    def msearch_ds(self, queries: Sequence[Dict], cutoff: int = 100):
+        """Fully streaming search over the persisted embedding shards
+        (never loads the corpus in RAM): broadcast query matrix (one
+        ``ray.put``), per-batch partial top-k, tiny per-query merge.
+        Returns a Dataset (q_id, rank, id, score) — dot-product scores
+        like the reference's compute_scores, ties by doc id."""
+        import ray
+        import ray.data
+
+        root = index_path(self.index_name)
+        shards_dir = os.path.join(root, "dense_shards")
+        q_names = [str(q["id"]) for q in queries]
+        qv = np.atleast_2d(
+            self.encoder([q["text"] for q in queries])
+        ).astype(np.float64)
+        q_ref = ray.put((q_names, qv))
+        k = cutoff
+
+        def partial(batch: pa.Table) -> pa.Table:
+            names, qmat = ray.get(q_ref)
+            ids = batch.column("id").to_pylist()
+            m = np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float64
+            )
+            sims = qmat @ m.T  # [Q, B]
+            out_q, out_i, out_s = [], [], []
+            kk = min(k, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                out_q.extend([names[qi]] * len(idx))
+                out_i.extend([ids[j] for j in idx])
+                out_s.append(row[idx])
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out_q, type=pa.string()),
+                    pa.array(out_i, type=pa.string()),
+                    pa.array(np.concatenate(out_s) if out_s else np.empty(0)),
+                ],
+                names=["q_id", "id", "score"],
+            )
+
+        def merge(group: pa.Table) -> pa.Table:
+            q = group.column("q_id")[0].as_py()
+            ids = np.asarray(group.column("id").to_pylist(), dtype=object)
+            s = group.column("score").to_numpy()
+            order = np.lexsort((ids, -s))[:k]
+            return pa.Table.from_arrays(
+                [
+                    pa.array([q] * len(order), type=pa.string()),
+                    pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                    pa.array([ids[i] for i in order], type=pa.string()),
+                    pa.array(s[order]),
+                ],
+                names=["q_id", "rank", "id", "score"],
+            )
+
+        return (
+            ray.data.read_parquet(shards_dir, columns=["id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("q_id")
+            .map_groups(merge, batch_format="pyarrow")
+        )
 
     def _build_ann(self) -> None:
         if not self.use_ann or self._emb is None or not len(self._emb):
@@ -200,12 +357,14 @@ class DenseRetriever:
         root = index_path(index_name)
         with open(os.path.join(root, "dense.json")) as f:
             meta = json.load(f)
-        t = pq.read_table(os.path.join(root, "dense.parquet"))
         dr = DenseRetriever(
             index_name=index_name, encoder=encoder,
             use_ann=meta["use_ann"], n_planes=meta["n_planes"],
             seed=meta["seed"],
         )
+        if meta.get("sharded"):
+            return dr  # serving state loads lazily from dense_shards/
+        t = pq.read_table(os.path.join(root, "dense.parquet"))
         dr._ids = t.column("id").to_pylist()
         dr._texts = t.column("text").to_pylist()
         dr._emb = np.asarray(
@@ -235,6 +394,8 @@ class DenseRetriever:
         return cand[order], scores[order]
 
     def search(self, query: str, return_docs: bool = True, cutoff: int = 100):
+        if self._emb is None:
+            self._ensure_loaded()
         qv = np.asarray(self.encoder(query), dtype=np.float32)
         ids, scores = self._topk(qv, cutoff)
         orig = [self._ids[i] for i in ids]

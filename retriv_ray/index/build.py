@@ -769,49 +769,90 @@ def _merge_part_terms(files: List[str], out_path: str, min_df: int):
     return tbl.num_rows, pruned
 
 
+def _collect_pruned_mass(
+    f: str, pruned: frozenset
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Per-segment task body: decode postings of pruned terms in one
+    segment file, return (shard, doc_ids, tf_mass) aggregated per doc.
+    Pruned terms have global df < min_df, so the returned arrays are
+    tiny."""
+    t = pq.read_table(f, columns=["term", "doc_bytes", "tf_bytes", "counts"])
+    terms = t.column("term").to_pylist()
+    hit = [i for i, term in enumerate(terms) if term in pruned]
+    shard = int(os.path.basename(f).split("-")[1])
+    if not hit:
+        return shard, np.empty(0, np.int64), np.empty(0, np.int64)
+    all_d, all_f = [], []
+    for i in hit:
+        d_ids, tfs = codec.decode_postings(
+            t.column("doc_bytes")[i].as_py(),
+            t.column("tf_bytes")[i].as_py(),
+            np.asarray(t.column("counts")[i].as_py(), dtype=np.int64),
+        )
+        all_d.append(d_ids.astype(np.int64))
+        all_f.append(tfs.astype(np.int64))
+    d = np.concatenate(all_d)
+    fmass = np.concatenate(all_f)
+    uniq, inv = np.unique(d, return_inverse=True)
+    agg = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(agg, inv, fmass)
+    return shard, uniq, agg
+
+
+def _apply_shard_doc_len_adjust(
+    index_dir: str, shard: int, docs: np.ndarray, subs: np.ndarray
+) -> int:
+    """Per-shard task body: subtract pruned tf mass from one shard's
+    doc_lens file (vectorized searchsorted scatter)."""
+    path = os.path.join(index_dir, "doc_lens", f"shard-{shard:05d}.parquet")
+    t = pq.read_table(path)
+    d = t.column("doc_id").to_numpy()
+    l = t.column("doc_len").to_numpy().copy()
+    idx = np.searchsorted(d, docs)
+    np.subtract.at(l, idx, subs.astype(l.dtype))
+    mf.atomic_write_parquet(
+        pa.Table.from_arrays(
+            [pa.array(d, type=pa.int64()), pa.array(l, type=pa.int32())],
+            names=["doc_id", "doc_len"],
+        ),
+        path,
+    )
+    return int(subs.sum())
+
+
 def _apply_min_df_pruning(
     index_dir: str, seg_files: List[str], pruned_tbl: pa.Table, min_df: int
 ) -> int:
     """min_df > 1: doc_lens must count only retained terms (reference
     build_inverted_index.py:35-63 — pruning happens BEFORE doc_lens).
-    Pruned terms have global df < min_df, so their postings are tiny:
-    decode them, subtract their tf mass from the per-shard doc_lens
-    files. Returns the total subtracted mass. Pruned term set is
-    broadcast (a scale build would bucket-join instead; documented)."""
-    pruned = set(pruned_tbl.column("term").to_pylist())
+    Parallelized: one Ray task per segment file collects the pruned tf
+    mass; one task per shard applies the adjustment. The pruned term
+    set is broadcast once via ray.put (tiny by construction — every
+    member has global df < min_df; a trillion-doc build would
+    bucket-join instead). Returns the total subtracted mass."""
+    import ray
+
+    pruned = frozenset(pruned_tbl.column("term").to_pylist())
     if not pruned:
         return 0
+    pruned_ref = ray.put(pruned)
+    collect = ray.remote(num_cpus=1)(_collect_pruned_mass)
+    parts = ray.get([collect.remote(f, pruned_ref) for f in seg_files])
     adjust: Dict[int, Dict[int, int]] = {}
-    for f in seg_files:
-        t = pq.read_table(f, columns=["term", "doc_bytes", "tf_bytes", "counts"])
-        terms = t.column("term").to_pylist()
-        hit = [i for i, term in enumerate(terms) if term in pruned]
-        # shard comes from the filename (seg-SSSSS-PPPP.parquet)
-        shard = int(os.path.basename(f).split("-")[1])
-        for i in hit:
-            d_ids, tfs = codec.decode_postings(
-                t.column("doc_bytes")[i].as_py(),
-                t.column("tf_bytes")[i].as_py(),
-                np.asarray(t.column("counts")[i].as_py(), dtype=np.int64),
+    for shard, docs, subs in parts:
+        sub = adjust.setdefault(shard, {})
+        for doc, s in zip(docs.tolist(), subs.tolist()):
+            sub[doc] = sub.get(doc, 0) + s
+    apply_task = ray.remote(num_cpus=1)(_apply_shard_doc_len_adjust)
+    totals = ray.get(
+        [
+            apply_task.remote(
+                index_dir,
+                shard,
+                np.asarray(sorted(sub), dtype=np.int64),
+                np.asarray([sub[k] for k in sorted(sub)], dtype=np.int64),
             )
-            sub = adjust.setdefault(shard, {})
-            for d, tf in zip(d_ids.tolist(), tfs.tolist()):
-                sub[d] = sub.get(d, 0) + int(tf)
-    total = 0
-    for shard, sub in adjust.items():
-        path = os.path.join(index_dir, "doc_lens", f"shard-{shard:05d}.parquet")
-        t = pq.read_table(path)
-        d = t.column("doc_id").to_numpy()
-        l = t.column("doc_len").to_numpy().copy()
-        idx = np.searchsorted(d, np.asarray(sorted(sub), dtype=np.int64))
-        for j, doc in zip(idx, sorted(sub)):
-            l[j] -= sub[doc]
-            total += sub[doc]
-        mf.atomic_write_parquet(
-            pa.Table.from_arrays(
-                [pa.array(d, type=pa.int64()), pa.array(l, type=pa.int32())],
-                names=["doc_id", "doc_len"],
-            ),
-            path,
-        )
-    return total
+            for shard, sub in adjust.items()
+        ]
+    )
+    return int(sum(totals))

@@ -70,22 +70,21 @@ def token_counts_by(ds, group_col: str, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        groups = batch.column(group_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        acc: Dict[str, List[int]] = {}
-        for g, t in zip(groups, texts):
-            e = acc.setdefault(g, [0, 0])
-            e[0] += len((t or "").split())
-            e[1] += 1
-        keys = sorted(acc)
-        return pa.Table.from_arrays(
-            [
-                pa.array(keys, type=pa.string()),
-                pa.array([acc[k][0] for k in keys], type=pa.int64()),
-                pa.array([acc[k][1] for k in keys], type=pa.int64()),
-            ],
-            names=[group_col, "tok", "doc"],
+        # token count per row == number of \S+ runs (exactly python
+        # str.split() semantics); fully pyarrow.compute, no row loop
+        ntok = pc.cast(
+            pc.fill_null(
+                pc.count_substring_regex(batch.column(text_col), r"\S+"), 0
+            ),
+            pa.int64(),
         )
+        t = pa.Table.from_arrays(
+            [batch.column(group_col), ntok], names=[group_col, "tok"]
+        )
+        g = pa.TableGroupBy(t, group_col).aggregate(
+            [("tok", "sum"), ("tok", "count")]
+        )
+        return g.rename_columns([group_col, "tok", "doc"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")

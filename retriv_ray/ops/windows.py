@@ -11,8 +11,6 @@ of summation order.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -40,24 +38,14 @@ def tumbling_window(
             pc.round(pc.multiply(batch.column(value_col), pa.scalar(100.0))),
             pa.int64(),
         )
-        keys = batch.column(key_col).to_pylist()
-        wins = win.to_pylist()
-        c = cents.to_numpy()
-        acc: Dict[Tuple, List[int]] = {}
-        for i, kw in enumerate(zip(keys, wins)):
-            e = acc.setdefault(kw, [0, 0])
-            e[0] += 1
-            e[1] += int(c[i])
-        rows = sorted(acc)
-        return pa.Table.from_arrays(
-            [
-                pa.array([k for k, _ in rows], type=pa.string()),
-                pa.array([w for _, w in rows], type=pa.int64()),
-                pa.array([acc[kw][0] for kw in rows], type=pa.int64()),
-                pa.array([acc[kw][1] for kw in rows], type=pa.int64()),
-            ],
-            names=[key_col, "window_start_s", "n", "cents"],
+        t = pa.Table.from_arrays(
+            [batch.column(key_col), win, cents],
+            names=[key_col, "window_start_s", "c"],
         )
+        g = pa.TableGroupBy(t, [key_col, "window_start_s"]).aggregate(
+            [("c", "count"), ("c", "sum")]
+        )
+        return g.rename_columns([key_col, "window_start_s", "n", "cents"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -80,3 +80,39 @@ def test_hybrid_msearch_and_autotune(hybrid):
         {"q1": {"d4": 1}}, queries, metric="mrr", step=0.5
     )
     assert cfg["params"] is not None
+
+
+def test_index_dataset_streams_shards_and_serves(ray_session):
+    """index_dataset writes parquet shards + distributed sig artifact
+    (no driver gather); search() lazy-loads; load() round-trips; the
+    streaming msearch_ds agrees with in-RAM search on ranks."""
+    import os
+
+    import ray.data
+
+    from retriv_ray.compat import index_path
+
+    ds = ray.data.from_items(DOCS)
+    dr = DenseRetriever(index_name="dense-stream", use_ann=True, n_planes=4)
+    dr.index_dataset(ds, concurrency=2)
+    root = index_path("dense-stream")
+    assert os.path.isdir(os.path.join(root, "dense_shards"))
+    assert os.path.isdir(os.path.join(root, "dense_sigs"))
+    assert dr._emb is None  # nothing gathered at index time
+
+    res = dr.search("streaming shuffle", return_docs=False, cutoff=3)
+    assert dr._emb is not None  # lazy load happened
+    assert set(res) <= {d["id"] for d in DOCS}
+    assert "d1" in res or "d4" in res
+
+    lr = DenseRetriever.load("dense-stream", encoder=HashingEncoder())
+    res2 = lr.search("streaming shuffle", return_docs=False, cutoff=3)
+    assert list(res2) == list(res)
+
+    exact = DenseRetriever(index_name="dense-stream-x", use_ann=False)
+    exact.index(DOCS)
+    want = exact.search("streaming shuffle", return_docs=False, cutoff=3)
+    t = dr.msearch_ds(
+        [{"id": "q0", "text": "streaming shuffle"}], cutoff=3
+    ).to_pandas()
+    assert t.sort_values("rank")["id"].tolist() == list(want)
