@@ -41,6 +41,7 @@ BASE_DIR = os.environ.get(
 
 __all__ = [
     "SparseRetriever",
+    "AdvancedRetriever",
     "SearchEngine",
     "DenseRetriever",
     "HybridRetriever",
@@ -318,3 +319,205 @@ class SparseRetriever:
         best = eng.autotune(queries, qrels_conv, metric, n_trials, cutoff)
         self.cfg.hyperparams = best
         return best
+
+
+# ---------------------------------------------------------------------------
+# AdvancedRetriever (reference experimental/advanced_retriever.py:27-576)
+# ---------------------------------------------------------------------------
+
+ADV_KIND_LIST = ["id", "text", "number", "bool", "keyword", "keywords"]
+
+
+class AdvancedRetriever(SparseRetriever):
+    """Schema-typed collection indexing + metadata-filtered search
+    (reference retriv/experimental/advanced_retriever.py:27-576): the
+    constructor declares a field schema ({name: id|text|number|bool|
+    keyword|keywords}); ``index`` validates the collection against it
+    and builds the text index plus a doc_id-aligned metadata sidecar;
+    ``search`` accepts a plain query string or a dict with ``text`` /
+    ``where`` / ``where_not`` / bare field filters, replicating the
+    reference DSL (filters intersect; filters-only queries return
+    every matching doc with score 1.0)."""
+
+    def __init__(
+        self,
+        schema: Dict[str, str],
+        index_name: str = "new-index",
+        model: str = "bm25",
+        min_df: int = 1,
+        tokenizer: Union[str, Callable, None] = "whitespace",
+        stemmer: Union[str, Callable, None] = "english",
+        stopwords: Union[str, List[str], Set[str], None] = "english",
+        do_lowercasing: bool = True,
+        do_ampersand_normalization: bool = True,
+        do_special_chars_normalization: bool = True,
+        do_acronyms_normalization: bool = True,
+        do_punctuation_removal: bool = True,
+        hyperparams: Optional[dict] = None,
+    ):
+        self.check_schema(schema)
+        super().__init__(
+            index_name=index_name,
+            model=model,
+            min_df=min_df,
+            tokenizer=tokenizer,
+            stemmer=stemmer,
+            stopwords=stopwords,
+            do_lowercasing=do_lowercasing,
+            do_ampersand_normalization=do_ampersand_normalization,
+            do_special_chars_normalization=do_special_chars_normalization,
+            do_acronyms_normalization=do_acronyms_normalization,
+            do_punctuation_removal=do_punctuation_removal,
+            hyperparams=hyperparams,
+        )
+        self.schema = schema
+        self.text_field = [k for k, v in schema.items() if v == "text"][0]
+
+    # -- validation (reference advanced_retriever.py:162-222) ----------
+    @staticmethod
+    def check_schema(schema: Dict[str, str]) -> bool:
+        if "id" not in schema:
+            raise ValueError("Schema must contain an id field")
+        for k in schema:
+            if not isinstance(k, str):
+                raise TypeError("Schema keys must be strings")
+        text_found = False
+        for value in schema.values():
+            if value not in ADV_KIND_LIST:
+                raise ValueError(f"Type {value} not supported")
+            if value == "text":
+                if text_found:
+                    raise ValueError("Only one field can be text")
+                text_found = True
+        return True
+
+    def check_collection(self, collection, schema: Dict[str, str]) -> bool:
+        for i, doc in enumerate(collection):
+            if "id" not in doc:
+                raise ValueError(f"Doc #{i} has no id")
+            doc_id = doc["id"]
+            for field in schema:
+                if field not in doc:
+                    raise ValueError(f"Field {field} not in doc {doc_id}")
+            for field, value in doc.items():
+                if field not in schema:
+                    raise ValueError(f"Field {field} not in schema")
+                kind = schema[field]
+                if kind == "id" and not isinstance(value, (int, str)):
+                    raise TypeError(f"Field {field} of doc #{i} has wrong type")
+                if kind == "text" and not isinstance(value, str):
+                    raise TypeError(f"Field {field} of doc {doc_id} has wrong type")
+                if kind == "number" and not isinstance(value, (int, float)):
+                    raise TypeError(f"Field {field} of doc {doc_id} has wrong type")
+                if kind == "bool" and not isinstance(value, bool):
+                    raise TypeError(f"Field {field} of doc {doc_id} has wrong type")
+                if kind == "keyword" and not isinstance(value, str):
+                    raise TypeError(f"Field {field} of doc {doc_id} has wrong type")
+                if kind == "keywords" and not isinstance(value, (list, set, tuple)):
+                    raise TypeError(f"Field {field} of doc {doc_id} has wrong type")
+        return True
+
+    # -- indexing ------------------------------------------------------
+    def index(self, collection: Iterable[dict], callback: Optional[Callable] = None):
+        from retriv_ray.search.metadata import build_metadata
+
+        docs = list(collection)
+        if callback is not None:
+            docs = [callback(d) for d in docs]
+        self.check_collection(docs, self.schema)
+        base_docs = []
+        for d in docs:
+            base = {"id": d["id"], "text": d[self.text_field]}
+            for k, v in d.items():
+                if k not in ("id", self.text_field):
+                    base[k] = list(v) if isinstance(v, (set, tuple)) else v
+            base_docs.append(base)
+        super().index(base_docs)
+
+        # metadata sidecar: conv_id/turn_idx-aligned parquet of the
+        # typed fields, built through the engine's build_metadata pass
+        meta_fields = {
+            k: v for k, v in self.schema.items() if v not in ("id", "text")
+        }
+        if meta_fields:
+            root = index_path(self.index_name)
+            arrays = [
+                pa.array([f"{i:012d}" for i in range(len(docs))], type=pa.string()),
+                pa.array(np.zeros(len(docs), dtype=np.int32)),
+            ]
+            names = ["conv_id", "turn_idx"]
+            for f, kind in meta_fields.items():
+                vals = [d[f] for d in docs]
+                if kind == "keywords":
+                    arrays.append(
+                        pa.array([list(v) for v in vals], type=pa.list_(pa.string()))
+                    )
+                else:
+                    arrays.append(pa.array(vals))
+                names.append(f)
+            meta_src = os.path.join(root, "meta_turns.parquet")
+            pq.write_table(pa.Table.from_arrays(arrays, names=names), meta_src)
+            build_metadata(meta_src, os.path.join(root, "index"), meta_fields)
+        mf_path = os.path.join(index_path(self.index_name), "advanced.json")
+        with open(mf_path, "w") as f:
+            json.dump({"schema": self.schema}, f)
+        return self
+
+    @staticmethod
+    def load(index_name: str = "new-index") -> "AdvancedRetriever":
+        root = index_path(index_name)
+        with open(os.path.join(root, "advanced.json")) as f:
+            schema = json.load(f)["schema"]
+        base = SparseRetriever.load(index_name)
+        ar = AdvancedRetriever(schema, index_name=index_name)
+        ar.cfg = base.cfg
+        ar._engine = base._engine
+        ar._docs = base._docs
+        return ar
+
+    # -- filter surface (reference advanced_retriever.py:358-501) ------
+    def filter_doc_ids(self, field, clause, value=None, operator=None):
+        return self._require().metadata.filter_doc_ids(field, clause, value, operator)
+
+    def get_filtered_doc_ids(self, filters):
+        return self._require().metadata.get_filtered_doc_ids(filters)
+
+    def format_filters(self, filters, clause: str = "must"):
+        return self._require().metadata.format_filters(filters, clause)
+
+    # -- searching -----------------------------------------------------
+    def search(
+        self,
+        query: Union[Dict, str],
+        return_docs: bool = True,
+        cutoff: int = 100,
+        operator: str = "OR",
+        subset_doc_ids: Optional[List] = None,
+    ):
+        eng = self._require()
+        subset = None
+        if subset_doc_ids is not None:
+            id_col = self._docs.column("id").to_pylist()
+            pos = {o: i for i, o in enumerate(id_col)}
+            subset = np.asarray(
+                sorted(pos[d] for d in subset_doc_ids), dtype=np.int64
+            )
+        res = eng.search(query, cutoff=cutoff, operator=operator, subset=subset)
+        convs = [c for (c, _t) in res]
+        orig = self._orig_ids(convs)
+        scores = list(res.values())
+        if not return_docs:
+            return dict(zip(orig, scores))
+        out = []
+        id_col = self._docs.column("id")
+        text_col = self._docs.column("text")
+        extra_col = self._docs.column("extra")
+        for c, s in zip(convs, scores):
+            i = int(c)
+            doc = {"id": id_col[i].as_py(), self.text_field: text_col[i].as_py()}
+            extra = extra_col[i].as_py()
+            if extra:
+                doc.update(json.loads(extra))
+            doc["score"] = s
+            out.append(doc)
+        return out
