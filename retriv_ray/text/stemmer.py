@@ -5,7 +5,10 @@ resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
 None of those packages is available here; we ship a from-scratch
 Porter2 implementation (retriv_ray.text.porter2) for the default
 "english" stemmer — the reference's "english" is NLTK's Snowball
-english (stemmer.py:23), i.e. the same published Porter2 algorithm.
+english (stemmer.py:23), i.e. the same published Porter2 algorithm —
+and a from-scratch classic Porter 1980 (retriv_ray.text.porter1) for
+"porter" (the reference's "porter" is NLTK's PorterStemmer,
+stemmer.py:116; see porter1.py's parity note on NLTK's extensions).
 Other names raise with a clear message; custom callables pass
 through; ``None`` -> identity (reference stemmer.py:215-223).
 """
@@ -14,10 +17,11 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
 from retriv_ray.text.tokenizer import identity_function
 
-_STEMMERS = {"english": english_stem}
+_STEMMERS = {"english": english_stem, "porter": porter1_stem}
 
 
 def get_stemmer(stemmer: Union[str, Callable, None]) -> Callable:

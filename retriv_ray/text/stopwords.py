@@ -7,6 +7,11 @@ verbatim so no corpus download is needed. Other languages are accepted
 only as explicit user-provided lists/sets (reference supports 29 NLTK
 languages; shipping every list is out of scope for v1 — pass your own).
 
+The major non-english languages (de/fr/es/it/pt/ru) ship via
+:mod:`retriv_ray.text.stopword_lists` (Snowball project lists, public
+data). Remaining reference languages are accepted only as explicit
+user-provided lists/sets.
+
 ``get_stopwords`` mirrors reference stopwords.py:46-56: str -> named
 list, list/set -> as given, None -> [].
 """
@@ -14,6 +19,8 @@ list, list/set -> as given, None -> [].
 from __future__ import annotations
 
 from typing import List, Set, Union
+
+from retriv_ray.text.stopword_lists import LISTS as _EXTRA_LISTS
 
 ENGLISH = [
     "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
@@ -42,17 +49,17 @@ ENGLISH = [
     "wouldn't",
 ]
 
-_NAMED = {"english": ENGLISH}
+_NAMED = {"english": ENGLISH, **_EXTRA_LISTS}
 
 
 def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
-    """reference stopwords.py:46-56 (named lists limited to english)."""
+    """reference stopwords.py:46-56 (named set: english + 6 embedded)."""
     if isinstance(sw_list, str):
         name = sw_list.lower()
         if name not in _NAMED:
             raise NotImplementedError(
-                f"Only the 'english' named stop-word list ships with "
-                f"retriv_ray; pass an explicit list for {sw_list!r}."
+                f"Named stop-word lists shipped with retriv_ray: "
+                f"{sorted(_NAMED)}; pass an explicit list for {sw_list!r}."
             )
         return list(_NAMED[name])
     elif type(sw_list) is list and all(isinstance(x, str) for x in sw_list):

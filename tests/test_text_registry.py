@@ -1,0 +1,188 @@
+"""Unit vectors for the round-2 text-prep registry additions:
+classic Porter ("porter"), Treebank word tokenizer ("word"),
+rule-based sentence splitter ("sent"), multi-language stopwords.
+
+Reference parity targets:
+- stemmers: reference retriv/sparse_retriever/preprocessing/stemmer.py:116
+- tokenizers: reference preprocessing/tokenizer.py:13-21
+- stopwords: reference preprocessing/stopwords.py:5-43
+"""
+
+import pytest
+
+from retriv_ray.text.porter1 import stem as porter1
+from retriv_ray.text.stemmer import get_stemmer
+from retriv_ray.text.stopwords import get_stopwords
+from retriv_ray.text.tokenizer import get_tokenizer
+from retriv_ray.text.treebank import treebank_word_tokenizer
+
+
+# End-to-end outputs of the original published Porter algorithm
+# (cross-checked against the official voc.txt/output.txt pairs).
+PORTER_VECTORS = [
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("ties", "ti"),
+    ("cats", "cat"),
+    ("feed", "feed"),
+    ("agreed", "agre"),
+    ("plastered", "plaster"),
+    ("bled", "bled"),
+    ("motoring", "motor"),
+    ("sing", "sing"),
+    ("troubled", "troubl"),
+    ("sized", "size"),
+    ("hopping", "hop"),
+    ("tanned", "tan"),
+    ("falling", "fall"),
+    ("hissing", "hiss"),
+    ("fizzed", "fizz"),
+    ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"),
+    ("sky", "sky"),
+    ("relational", "relat"),
+    ("conditional", "condit"),
+    ("rational", "ration"),
+    ("digitizer", "digit"),
+    ("operator", "oper"),
+    ("feudalism", "feudal"),
+    ("decisiveness", "decis"),
+    ("hopefulness", "hope"),
+    ("callousness", "callous"),
+    ("electricity", "electr"),
+    ("electrical", "electr"),
+    ("hopeful", "hope"),
+    ("goodness", "good"),
+    ("revival", "reviv"),
+    ("allowance", "allow"),
+    ("inference", "infer"),
+    ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"),
+    ("defensible", "defens"),
+    ("irritant", "irrit"),
+    ("replacement", "replac"),
+    ("adjustment", "adjust"),
+    ("dependent", "depend"),
+    ("adoption", "adopt"),
+    ("communism", "commun"),
+    ("activate", "activ"),
+    ("effective", "effect"),
+    ("probate", "probat"),
+    ("rate", "rate"),
+    ("cease", "ceas"),
+    ("controlling", "control"),
+    ("rolling", "roll"),
+    ("generalizations", "gener"),
+    ("oscillators", "oscil"),
+]
+
+
+@pytest.mark.parametrize("word,expected", PORTER_VECTORS)
+def test_porter1_vectors(word, expected):
+    assert porter1(word) == expected
+
+
+def test_porter1_short_words_untouched():
+    for w in ("a", "as", "is", "be", "on"):
+        assert porter1(w) == w
+
+
+def test_stemmer_registry_porter():
+    fn = get_stemmer("porter")
+    assert fn("running") == "run"
+    assert fn("relational") == "relat"
+
+
+def test_stemmer_registry_unknown_still_raises():
+    with pytest.raises(NotImplementedError):
+        get_stemmer("klingon")
+
+
+TREEBANK_VECTORS = [
+    (
+        "Good muffins cost $3.88 in New York.",
+        ["Good", "muffins", "cost", "$", "3.88", "in", "New", "York", "."],
+    ),
+    (
+        "They'll save and invest more.",
+        ["They", "'ll", "save", "and", "invest", "more", "."],
+    ),
+    (
+        "hi, my name can't hello,",
+        ["hi", ",", "my", "name", "ca", "n't", "hello", ","],
+    ),
+    (
+        '"We beat some pretty good teams," he said.',
+        ["``", "We", "beat", "some", "pretty", "good", "teams", ",", "''",
+         "he", "said", "."],
+    ),
+    (
+        "I cannot do it; gonna pass.",
+        ["I", "can", "not", "do", "it", ";", "gon", "na", "pass", "."],
+    ),
+    (
+        "A (simple) test -- with dashes.",
+        ["A", "(", "simple", ")", "test", "--", "with", "dashes", "."],
+    ),
+]
+
+
+@pytest.mark.parametrize("text,expected", TREEBANK_VECTORS)
+def test_treebank_vectors(text, expected):
+    assert treebank_word_tokenizer(text) == expected
+
+
+def test_tokenizer_registry_word_and_sent():
+    word = get_tokenizer("word")
+    assert word("Don't stop.") == ["Do", "n't", "stop", "."]
+    sent = get_tokenizer("sent")
+    out = sent("First sentence. Second one! Dr. Smith agreed. Done?")
+    assert out == [
+        "First sentence.",
+        "Second one!",
+        "Dr. Smith agreed.",
+        "Done?",
+    ]
+
+
+def test_sent_tokenizer_initials_and_tail():
+    sent = get_tokenizer("sent")
+    assert sent("J. K. Rowling wrote it. It sold well") == [
+        "J. K. Rowling wrote it.",
+        "It sold well",
+    ]
+
+
+def test_stopword_languages():
+    checks = {
+        "german": ["und", "der", "nicht", "ist"],
+        "french": ["le", "et", "pas", "vous"],
+        "spanish": ["el", "de", "que", "los"],
+        "italian": ["il", "che", "di", "non"],
+        "portuguese": ["de", "que", "para", "como"],
+        "russian": ["и", "не", "что", "как"],
+    }
+    for lang, words in checks.items():
+        sw = get_stopwords(lang)
+        assert len(sw) > 100, lang
+        assert len(set(sw)) == len(sw), f"{lang} has duplicates"
+        for w in words:
+            assert w in sw, (lang, w)
+
+
+def test_stopword_unknown_still_raises():
+    with pytest.raises(NotImplementedError):
+        get_stopwords("klingon")
+
+
+def test_pipeline_accepts_new_names():
+    # the full chain resolves the new registry names end-to-end
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.text.pipeline import TextPreprocessor
+
+    cfg = SparseConfig(tokenizer="word", stemmer="porter", stopwords="german")
+    prep = TextPreprocessor(cfg)
+    out = prep.tokens("Die Katzen laufen schnell und springen.")
+    assert "und" not in out and len(out) > 0
