@@ -266,7 +266,9 @@ def _q_events_hourly(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     from retriv_ray.ops.windows import sessionize
 
-    return sessionize(_events(sf_dir), gap_seconds=1800)
+    # day-salted split-and-stitch path (identical output to unsalted;
+    # exercises the hot-key-safe shape in the oracle gate)
+    return sessionize(_events(sf_dir), gap_seconds=1800, salt_seconds=86400)
 
 
 def _q_multimodal(sf_dir: str):

@@ -55,34 +55,99 @@ def tumbling_window(
     return out.rename_columns({"sum(n)": "n_events", "sum(cents)": "value_cents"})
 
 
+def _session_table(
+    key: int, ts_us: np.ndarray, n_ev: np.ndarray | None,
+    gap_us: int, key_col: str,
+) -> pa.Table:
+    """Sessions over SORTED int64-us timestamps. ``n_ev`` is the event
+    count each row represents (None -> 1, the raw-event case); counts
+    are summed per session so the stitch pass can reuse this kernel."""
+    gaps = np.diff(ts_us) > gap_us
+    starts = np.concatenate(([0], np.flatnonzero(gaps) + 1))
+    bounds = np.append(starts, len(ts_us))
+    if n_ev is None:
+        counts = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    else:
+        counts = np.add.reduceat(n_ev.astype(np.int64), starts)
+    ends = bounds[1:] - 1
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.full(len(starts), key, dtype=np.int64)),
+            pa.array(ts_us[starts].astype("datetime64[us]"), type=pa.timestamp("us")),
+            pa.array(ts_us[ends].astype("datetime64[us]"), type=pa.timestamp("us")),
+            pa.array(counts),
+        ],
+        names=[key_col, "session_start", "session_end", "n_events"],
+    )
+
+
 def sessionize(
     ds,
     gap_seconds: int = 1800,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    salt_seconds: int | None = None,
 ):
     """Session windows per key: events sorted by ts within a key are
     split where the gap exceeds ``gap_seconds``. Returns one row per
     session (key, session_start, session_end, n_events).
 
-    Partitioning assumption: one key's events fit in one group
-    (map_groups materializes per-key history) — holds for per-user
-    event streams; salt by day for pathological keys."""
+    ``salt_seconds=None`` groups by key alone — fine when one key's
+    events fit in one group. For pathological hot keys, pass a salt
+    period (e.g. 86400): stage 1 sessionizes per (key, time-bucket)
+    group, stage 2 stitches each key's per-bucket sessions — merging
+    where the cross-bucket gap is within threshold — over SESSION
+    rows, which are smaller than event rows by the per-session event
+    count. Both paths produce byte-identical output (time buckets are
+    disjoint and ordered, so bucket-local sessions + the same gap rule
+    over their boundaries reconstruct the unsalted split exactly)."""
+    gap_us = gap_seconds * 1_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
         key = group.column(key_col)[0].as_py()
-        ts = np.sort(group.column(ts_col).to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > gap_seconds * 1_000_000
-        starts = np.concatenate(([0], np.flatnonzero(gaps) + 1))
-        ends = np.append(starts[1:], len(ts)) - 1
+        ts = np.sort(
+            group.column(ts_col).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return _session_table(key, ts, None, gap_us, key_col)
+
+    if salt_seconds is None:
+        return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+
+    salt_us = salt_seconds * 1_000_000
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(ts_col), pa.int64())
+        return batch.append_column(
+            "_salt", pc.divide(ts, pa.scalar(salt_us, type=pa.int64()))
+        )
+
+    def stitch(group: pa.Table) -> pa.Table:
+        key = group.column(key_col)[0].as_py()
+        s = group.column("session_start").to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = group.column("session_end").to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = group.column("n_events").to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, e, n = s[order], e[order], n[order]
+        # same gap rule, applied between consecutive sessions: bucket
+        # time-disjointness makes ends nondecreasing in start order,
+        # so next_start - prev_end is the true inter-session gap.
+        brk = (s[1:] - e[:-1]) > gap_us
+        starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
+        bounds = np.append(starts, len(s))
+        ends = bounds[1:] - 1
         return pa.Table.from_arrays(
             [
                 pa.array(np.full(len(starts), key, dtype=np.int64)),
-                pa.array(ts[starts].astype("datetime64[us]"), type=pa.timestamp("us")),
-                pa.array(ts[ends].astype("datetime64[us]"), type=pa.timestamp("us")),
-                pa.array((ends - starts + 1).astype(np.int64)),
+                pa.array(s[starts].astype("datetime64[us]"), type=pa.timestamp("us")),
+                pa.array(e[ends].astype("datetime64[us]"), type=pa.timestamp("us")),
+                pa.array(np.add.reduceat(n.astype(np.int64), starts)),
             ],
             names=[key_col, "session_start", "session_end", "n_events"],
         )
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+    partials = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key_col, "_salt"])
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+    return partials.groupby(key_col).map_groups(stitch, batch_format="pyarrow")

@@ -1,0 +1,106 @@
+"""Windowing-op tests: salted split-and-stitch sessionize equals the
+unsalted path AND the SQL oracle, including a pathological hot key
+whose events span many salt buckets (verdict round-1 item 8)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+GAP = 1800
+SALT = 3600  # 1h buckets -> the 3-day hot key spans ~72 buckets
+
+
+def _mk_events():
+    rng = np.random.default_rng(7)
+    rows = []
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    # hot key 1: 5000 events over 3 days, gaps mostly < GAP with
+    # occasional session breaks; many events sit exactly on bucket
+    # boundaries' neighborhoods
+    t = base
+    for i in range(5000):
+        step = int(rng.choice([30, 300, 900, 2400], p=[0.5, 0.3, 0.15, 0.05]))
+        t = t + np.timedelta64(step, "s")
+        rows.append((1, t))
+    # normal keys
+    for uid in (2, 3):
+        t = base
+        for i in range(50):
+            t = t + np.timedelta64(int(rng.integers(60, 4000)), "s")
+            rows.append((uid, t))
+    # key with a single event, and one whose session spans an empty
+    # bucket (gap 2500s > SALT would break... keep gap < GAP but > one
+    # bucket is impossible with SALT=3600>GAP; instead exercise
+    # boundary-straddling: events at bucket edges)
+    edge = np.datetime64("2025-06-05T00:59:59", "us")
+    rows.append((4, edge))
+    rows.append((4, edge + np.timedelta64(2, "s")))  # crosses 01:00 bucket line
+    rows.append((5, base))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    return df.sample(frac=1.0, random_state=3).reset_index(drop=True)  # unsorted
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    import ray.data
+
+    df = _mk_events()
+    return df, ray.data.from_pandas(df).repartition(8)
+
+
+def _oracle(df):
+    con = duckdb.connect()
+    con.register("events", df)
+    out = con.execute(f"""
+        WITH lagged AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {GAP} SECONDS
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        grp AS (
+          SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS g
+          FROM lagged)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM grp GROUP BY user_id, g
+        ORDER BY user_id, session_start
+    """).df()
+    con.close()
+    return out
+
+
+def _norm(df):
+    return (
+        df.sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)[["user_id", "session_start", "session_end", "n_events"]]
+    )
+
+
+def test_salted_equals_unsalted_and_oracle(events):
+    from retriv_ray.ops.windows import sessionize
+
+    df, ds = events
+    oracle = _norm(_oracle(df))
+    unsalted = _norm(sessionize(ds, gap_seconds=GAP).to_pandas())
+    salted = _norm(sessionize(ds, gap_seconds=GAP, salt_seconds=SALT).to_pandas())
+    pd.testing.assert_frame_equal(unsalted, oracle, check_dtype=False)
+    pd.testing.assert_frame_equal(salted, oracle, check_dtype=False)
+    # the hot key really spans many buckets and stitching really merged
+    hot = salted[salted.user_id == 1]
+    span_s = (hot.session_end.max() - hot.session_start.min()).total_seconds()
+    assert span_s > 20 * SALT
+    assert (hot.n_events.sum()) == 5000
+
+
+def test_salted_day_buckets(events):
+    from retriv_ray.ops.windows import sessionize
+
+    df, ds = events
+    oracle = _norm(_oracle(df))
+    salted = _norm(sessionize(ds, gap_seconds=GAP, salt_seconds=86400).to_pandas())
+    pd.testing.assert_frame_equal(salted, oracle, check_dtype=False)
