@@ -297,6 +297,31 @@ class SparseRetriever:
                     f.write(json.dumps(row) + "\n")
         return None
 
+    def bsearch_parquet(
+        self,
+        queries: Sequence[Dict],
+        path: str,
+        cutoff: int = 100,
+        with_docs: bool = True,
+        doc_cols: Optional[Sequence[str]] = None,
+        **kwargs,
+    ) -> None:
+        """Batch search streamed to partitioned parquet, one row per
+        (query, hit), with the hit's document columns attached via the
+        doc-store join (broadcast for small stores, distributed hash
+        join for big ones — see RaySparseRetriever.bsearch). The
+        scale-path counterpart of the reference's JSONL ``bsearch``."""
+        eng = self._require()
+        docs_path = (
+            os.path.join(os.path.dirname(eng.index_dir), "docs.parquet")
+            if with_docs
+            else None
+        )
+        eng.bsearch(
+            list(queries), path, cutoff=cutoff, docs_path=docs_path,
+            doc_cols=doc_cols, **kwargs,
+        )
+
     def autotune(
         self,
         queries: Sequence[Dict],

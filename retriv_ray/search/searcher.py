@@ -36,6 +36,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from retriv_ray.config import SparseConfig
@@ -529,10 +530,70 @@ class RaySparseRetriever:
         path: str,
         cutoff: int = 100,
         concurrency: Optional[int] = None,
+        docs_path: Optional[str] = None,
+        doc_cols: Optional[Sequence[str]] = None,
+        broadcast_max_bytes: int = 256 << 20,
     ) -> None:
         """Streaming batch search to partitioned parquet (reference
-        bsearch, sparse_retriever.py:380-451)."""
-        self.msearch_ds(queries, cutoff, concurrency).write_parquet(path)
+        bsearch, sparse_retriever.py:380-451).
+
+        With ``docs_path`` (a parquet doc store keyed by ``conv_id``),
+        each result row is joined with its document columns before the
+        write — broadcast-join when the store is small (``ray.put``
+        once, zero-copy ``pc.index_in`` lookup per batch; never
+        re-shipped per task) and a distributed hash join otherwise.
+        Never materializes results or the big-side docs on the driver.
+        """
+        res = self.msearch_ds(queries, cutoff, concurrency)
+        if docs_path is None:
+            res.write_parquet(path)
+            return
+        import ray
+        import ray.data
+
+        cols = None
+        if doc_cols is not None:
+            cols = ["conv_id"] + [c for c in doc_cols if c != "conv_id"]
+        store_bytes = (
+            os.path.getsize(docs_path)
+            if os.path.isfile(docs_path)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(docs_path)
+                for f in fs
+            )
+        )
+        if store_bytes <= broadcast_max_bytes:
+            docs_tbl = pq.read_table(docs_path, columns=cols)
+            ref = ray.put(docs_tbl.combine_chunks())
+
+            def attach(batch: pa.Table) -> pa.Table:
+                docs = ray.get(ref)  # zero-copy view of the shared copy
+                idx = pc.index_in(
+                    batch.column("conv_id"), value_set=docs.column("conv_id")
+                )
+                taken = docs.take(idx)
+                for name in taken.column_names:
+                    if name == "conv_id":
+                        continue
+                    out_name = (
+                        f"doc_{name}" if name in batch.column_names else name
+                    )
+                    batch = batch.append_column(out_name, taken.column(name))
+                return batch
+
+            res.map_batches(attach, batch_format="pyarrow").write_parquet(path)
+            return
+        docs_ds = ray.data.read_parquet(docs_path, columns=cols)
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        joined = res.join(
+            docs_ds,
+            join_type="left_outer",
+            num_partitions=max(4, n_cpus),
+            on=("conv_id",),
+            right_suffix="_doc",
+        )
+        joined.write_parquet(path)
 
 
 def _orig_key(k):

@@ -112,3 +112,29 @@ def test_extra_fields_roundtrip(ray_session):
     res = sr.search("hello", cutoff=5)
     assert res[0]["lang"] == "en"
     SparseRetriever.delete("compat-extra")
+
+
+@pytest.mark.parametrize("broadcast_max", [256 << 20, 0])
+def test_bsearch_parquet_with_docs(sr, tmp_path, broadcast_max):
+    """Docs-attached parquet bsearch: broadcast path (big cap) and
+    distributed hash-join path (cap 0) agree with search(return_docs)."""
+    import pandas as pd
+
+    queries = [
+        {"id": "q0", "text": "shane"},
+        {"id": "q1", "text": "connelly"},
+    ]
+    out = str(tmp_path / f"bs_{broadcast_max}")
+    sr.bsearch_parquet(
+        queries, out, cutoff=3, broadcast_max_bytes=broadcast_max
+    )
+    df = pd.read_parquet(out)
+    assert set(df.q_id) == {"q0", "q1"}
+    assert {"id", "text", "score", "rank"} <= set(df.columns)
+    for q in queries:
+        want = sr.search(q["text"], return_docs=True, cutoff=3)
+        got = df[df.q_id == q["id"]].sort_values("rank")
+        assert got.id.tolist() == [d["id"] for d in want]
+        assert got.text.tolist() == [d["text"] for d in want]
+        for a, b in zip(got.score.tolist(), [d["score"] for d in want]):
+            assert isclose(a, b, rel_tol=1e-6)
