@@ -23,6 +23,7 @@ Implemented pipelines (SURVEY.md §2 + training-data operators):
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from typing import Any
@@ -140,6 +141,50 @@ def _q_bm25_topk(sf_dir: str):
     from retriv_ray.pipelines.documents import topk_table
 
     return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
+
+
+def _q_bm25_topk_sharded(sf_dir: str):
+    """Same result contract as bm25_topk (same oracle SQL), served by
+    the per-doc-shard scorer fan-out/merge layout — small shard_docs
+    so the sf corpus spans several doc shards and the exactness of the
+    per-shard top-k merge is oracle-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.index.build import build_index
+    from retriv_ray.pipelines.documents import (
+        CACHE_ROOT,
+        ORACLE_BM25,
+        conv_to_doc_id,
+        documents_as_transcripts,
+    )
+    from retriv_ray.search.sharded import ShardedSearcher
+
+    key = hashlib.sha1(
+        f"sharded|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"sharded-{key}")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_index(
+            documents_as_transcripts(sf_dir), index_dir, ORACLE_BM25,
+            num_parts=3, shard_docs=2048,
+        )
+    sh = ShardedSearcher(index_dir, ORACLE_BM25, shards_per_scorer=1)
+    try:
+        tbl = sh.msearch(
+            [{"id": q, "text": t} for q, t in TOPK_QUERIES.items()],
+            cutoff=CUTOFF,
+        )
+    finally:
+        sh.close()
+    return pa.Table.from_arrays(
+        [
+            tbl.column("q_id"),
+            pc.cast(tbl.column("rank"), pa.int64()),
+            pa.array(conv_to_doc_id(tbl.column("conv_id").to_pylist())),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
 
 
 def _q_tfidf_topk(sf_dir: str):
@@ -384,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lens": _q_doc_lens,
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_sharded": _q_bm25_topk_sharded,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
         "fusion_topk": _q_fusion_topk,
@@ -493,7 +539,7 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (VALUES {_fq_values}) AS q(q_id, qtext))"
     )
     wa, wb = FUSION_WEIGHTS
-    return {
+    out = {
         "filtered_bm25_topk": f"""
             WITH {_BASE_CTES}, {_fqterms},
             scores AS (
@@ -731,3 +777,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, window_start_s
         """,
     }
+    # sharded serving must reproduce the monolithic result exactly —
+    # same oracle as bm25_topk
+    out["bm25_topk_sharded"] = out["bm25_topk"]
+    return out

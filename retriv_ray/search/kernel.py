@@ -244,17 +244,24 @@ def tf_idf_term_contrib(
     indices: np.ndarray,
     doc_lens: np.ndarray,
     dtype=np.float32,
+    df: Optional[int] = None,
+    doc_count: Optional[int] = None,
 ) -> np.ndarray:
     """One term's TF-IDF contribution vector (cacheable per term).
 
     Cast to the score dtype BEFORE dividing: the reference divides
     int16 tfs by float32 doc_lens which numba/numpy keep in float32;
     our int32 tfs would promote to float64 and break bit parity (tf
-    counts are exactly representable in float32)."""
-    doc_count = len(doc_lens)
+    counts are exactly representable in float32).
+
+    ``df``/``doc_count`` override the posting length / corpus size for
+    shard-sliced postings (per-doc-shard serving) — idf must always
+    come from the GLOBAL statistics."""
+    if doc_count is None:
+        doc_count = len(doc_lens)
     dl = doc_lens if dtype == np.float32 else doc_lens.astype(np.float64)
     tf = freqs.astype(dtype) / dl[indices]
-    df = dtype(len(indices))
+    df = dtype(len(indices) if df is None else df)
     idf = dtype(np.log((1.0 + doc_count) / (1.0 + df)) + 1.0)
     return tf * idf
 

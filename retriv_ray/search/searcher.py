@@ -26,7 +26,12 @@ per-actor serving of indexes up to ~10^8 docs. The 10^12-doc layout
 keeps everything sharded: scorer actors each own a doc-shard slice
 (segments seg-S-*, doc_lens/shard-S) and queries fan out over shards,
 merging per-shard top-k (scores are per-doc independent, so the merge
-is exact); global df comes from the terms table either way.
+is exact); global df comes from the terms table either way. That
+layout is IMPLEMENTED: ``LoadedIndex(shard_range=(s0, s1))`` is the
+memory-sliced per-shard view, and retriv_ray.search.sharded's
+``ShardedSearcher`` is the fan-out/merge serving layer (equality vs
+this monolithic path pinned by tests/test_sharded.py and the
+``bm25_topk_sharded`` driver oracle).
 """
 
 from __future__ import annotations
@@ -48,11 +53,35 @@ from retriv_ray.text.pipeline import TextPreprocessor
 
 
 class LoadedIndex:
-    def __init__(self, index_dir: str):
+    def __init__(
+        self,
+        index_dir: str,
+        shard_range: Optional[Tuple[int, int]] = None,
+    ):
+        """``shard_range=(s0, s1)`` (inclusive) restricts this view to
+        a contiguous run of doc shards: only those shards' segments
+        and doc-length slices are loaded, postings/doc ids are LOCAL
+        (global - ``doc_base``), and per-doc arrays are sized to the
+        slice — the per-doc-shard scorer layout for 10^9+-doc serving.
+        Global statistics (doc_count, avg_doc_len, term df) still come
+        from the manifest/terms table so scores are bit-identical to
+        the monolithic view. ``to_original_ids`` accepts local ids."""
         self.index_dir = index_dir
         self.manifest = mf.IndexManifest.load(index_dir)
         self.doc_count = self.manifest.doc_count
         self.num_parts = self.manifest.num_parts
+        salt_docs = getattr(self.manifest, "salt_docs", 0) or self.doc_count
+        if shard_range is not None:
+            s0, s1 = shard_range
+            self.doc_base = s0 * salt_docs
+            self.local_count = (
+                min((s1 + 1) * salt_docs, self.doc_count) - self.doc_base
+            )
+        else:
+            s0 = s1 = None
+            self.doc_base = 0
+            self.local_count = self.doc_count
+        self.shard_range = shard_range
 
         terms_dir = os.path.join(index_dir, "terms")
         self.term_df: Dict[str, int] = {}
@@ -65,19 +94,25 @@ class LoadedIndex:
             )
 
         dl_dir = os.path.join(index_dir, "doc_lens")
-        lens = np.zeros(self.doc_count, dtype=np.float32)
+        lens = np.zeros(self.local_count, dtype=np.float32)
         for name in sorted(os.listdir(dl_dir)):
             if not name.endswith(".parquet"):
                 continue
+            if shard_range is not None:
+                shard_no = int(name.split("-")[1].split(".")[0])
+                if not (s0 <= shard_no <= s1):
+                    continue
             t = pq.read_table(os.path.join(dl_dir, name))
-            lens[t.column("doc_id").to_numpy()] = t.column("doc_len").to_numpy()
+            lens[t.column("doc_id").to_numpy() - self.doc_base] = (
+                t.column("doc_len").to_numpy()
+            )
         self.doc_lens = lens
         self.avg_doc_len = np.float32(self.manifest.avg_doc_len)
         self.relative_doc_lens = (
             lens / self.avg_doc_len if self.avg_doc_len > 0 else lens
         )
         self.rel_min = (
-            float(self.relative_doc_lens.min()) if self.doc_count else 0.0
+            float(self.relative_doc_lens.min()) if self.local_count else 0.0
         )
 
         im = pq.read_table(os.path.join(index_dir, "id_map", "conv_offsets.parquet"))
@@ -91,6 +126,8 @@ class LoadedIndex:
                 if f.endswith(".parquet")
             }
         )
+        if shard_range is not None:
+            self.shards = [s for s in self.shards if s0 <= s <= s1]
         # (shard, part) -> {term -> encoded row tuple}
         self._seg_cache: Dict[Tuple[int, int], Dict[str, tuple]] = {}
         # term -> decoded (doc_ids, tfs)
@@ -119,12 +156,21 @@ class LoadedIndex:
         if hit is not None:
             return hit
         d, f = self.get_postings(term)
+        # shard view: postings are a slice, so df must come from the
+        # global terms table (len(d) is shard-local). Unsharded, pass
+        # None so the float path is byte-identical to round-1 behavior.
+        df_global = self.term_df.get(term) if self.shard_range is not None else None
         if model == "bm25":
             c = kernel.bm25_term_contrib(
-                b, k1, f, d, self.relative_doc_lens, self.doc_count, dtype
+                b, k1, f, d, self.relative_doc_lens, self.doc_count, dtype,
+                df=df_global,
             )
         else:
-            c = kernel.tf_idf_term_contrib(f, d, self.doc_lens, dtype)
+            c = kernel.tf_idf_term_contrib(
+                f, d, self.doc_lens, dtype,
+                df=df_global,
+                doc_count=self.doc_count if self.shard_range is not None else None,
+            )
         while self._contrib_bytes + c.nbytes > self.contrib_cache_cap and self._contrib_cache:
             old = self._contrib_cache.pop(next(iter(self._contrib_cache)))
             self._contrib_bytes -= old.nbytes
@@ -136,9 +182,11 @@ class LoadedIndex:
     def to_original_ids(self, doc_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """doc_id -> (conv_id, turn_idx); reference
         base_retriever.py:79-80 equivalent. conv ids come back as an
-        object ndarray (vectorized fancy-index, no python loop)."""
-        pos = np.searchsorted(self.conv_bases, doc_ids, side="right") - 1
-        turns = doc_ids - self.conv_bases[pos]
+        object ndarray (vectorized fancy-index, no python loop). In a
+        shard view the input is local ids (rebased here)."""
+        g = doc_ids + self.doc_base if self.doc_base else doc_ids
+        pos = np.searchsorted(self.conv_bases, g, side="right") - 1
+        turns = g - self.conv_bases[pos]
         return self.conv_ids[pos], turns.astype(np.int32)
 
     # -- postings ------------------------------------------------------
@@ -207,6 +255,8 @@ class LoadedIndex:
             out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
         else:
             out = codec.decode_postings(enc[0], enc[1], enc[2])
+            if self.doc_base:
+                out = (out[0] - self.doc_base, out[1])
         nbytes = out[0].nbytes + out[1].nbytes
         while (
             self._post_bytes + nbytes > self.post_cache_cap and self._post_cache
@@ -221,8 +271,13 @@ class LoadedIndex:
 class RaySparseRetriever:
     """Reference-API engine over an index directory."""
 
-    def __init__(self, index_dir: str, cfg: Optional[SparseConfig] = None):
-        self.index = LoadedIndex(index_dir)
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: Optional[SparseConfig] = None,
+        shard_range: Optional[Tuple[int, int]] = None,
+    ):
+        self.index = LoadedIndex(index_dir, shard_range=shard_range)
         self.cfg = cfg or SparseConfig.from_json(self.index.manifest.config)
         self.pre = TextPreprocessor(self.cfg)
         self.index_dir = index_dir
@@ -265,6 +320,7 @@ class RaySparseRetriever:
             and operator == "OR"
             and subset is None
             and self.cfg.use_block_max
+            and idx.shard_range is None  # block metadata is global-id
         ):
             from retriv_ray.search.pruned import bm25_pruned
 
@@ -289,7 +345,7 @@ class RaySparseRetriever:
                 term_doc_freqs=tfs,
                 doc_ids=doc_ids,
                 relative_doc_lens=idx.relative_doc_lens,
-                doc_count=idx.doc_count,
+                doc_count=idx.local_count,  # buffer span (== doc_count unsharded; idf comes from contribs)
                 cutoff=cutoff,
                 operator=operator,
                 subset_doc_ids=subset,
@@ -343,7 +399,7 @@ class RaySparseRetriever:
             # (filtered) doc with score 1.0, NO cutoff
             # (advanced_retriever.py:564-570)
             ids = (
-                np.arange(self.index.doc_count, dtype=np.int64)
+                np.arange(self.index.local_count, dtype=np.int64)
                 if subset is None
                 else subset
             )

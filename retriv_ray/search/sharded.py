@@ -1,0 +1,172 @@
+"""Per-doc-shard query serving — the 10^9+-doc msearch layout.
+
+The monolithic ``RaySparseRetriever`` loads the whole index into every
+scorer; this module implements the sharded layout sketched in
+searcher.py's header: scorer actors each own a contiguous run of doc
+shards (their segments seg-S-* and doc_lens/shard-S slice only — the
+per-doc arrays in one actor are sized to its slice, not the corpus),
+queries fan out over all shard actors, and per-shard top-k results
+merge exactly. Exactness: BM25/TF-IDF scores are per-doc independent
+given the GLOBAL statistics (doc_count, avg_doc_len, per-term df from
+the terms table), which every shard view loads — so the global top-k
+is contained in the union of per-shard top-k, and the merge re-sorts
+with the same deterministic (-score, doc_id) order as the monolithic
+kernel (K2/K3), preserving the strict-positive semantics (K1).
+
+Reference parity: result sets equal ``RaySparseRetriever.msearch_ds``
+(pinned by tests/test_sharded.py); the reference itself has no sharded
+serving (its index is a single in-RAM CSR, build_inverted_index.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from retriv_ray.config import SparseConfig
+from retriv_ray.index import manifest as mf
+
+
+class _ShardScorer:
+    """One actor's state: a shard-range-restricted index view, loaded
+    once in ``__init__`` (the actor-pool stateful-stage pattern)."""
+
+    def __init__(self, index_dir: str, cfg_json: dict, shard_range):
+        from retriv_ray.search.searcher import RaySparseRetriever
+
+        self.r = RaySparseRetriever(
+            index_dir, SparseConfig.from_json(cfg_json),
+            shard_range=tuple(shard_range),
+        )
+        self.doc_base = self.r.index.doc_base
+
+    def score(self, ids: List[str], texts: List[str], cutoff: int):
+        """Per-query local top-``cutoff`` over this shard slice.
+        Returns compact numpy columns (q_idx, conv_id, turn_idx,
+        score, global doc_id) — the driver-side merge is k × shards ×
+        queries rows, never corpus-sized."""
+        r = self.r
+        q_idx: List[np.ndarray] = []
+        docs: List[np.ndarray] = []
+        scores: List[np.ndarray] = []
+        for i, text in enumerate(texts):
+            terms = r.query_terms(text or "")
+            if not terms:
+                continue
+            d, s = r._score(terms, cutoff)
+            q_idx.append(np.full(len(d), i, dtype=np.int32))
+            docs.append(d)
+            scores.append(s.astype(np.float64))
+        if not docs:
+            e = np.empty(0)
+            return (
+                e.astype(np.int32), np.empty(0, object),
+                e.astype(np.int32), e.astype(np.float64), e.astype(np.int64),
+            )
+        d_local = np.concatenate(docs)
+        convs, turns = self.r.index.to_original_ids(d_local)
+        return (
+            np.concatenate(q_idx),
+            convs,
+            turns,
+            np.concatenate(scores),
+            d_local + self.doc_base,
+        )
+
+
+class ShardedSearcher:
+    """Fan-out/merge msearch over per-doc-shard scorer actors.
+
+    ``shards_per_scorer`` groups contiguous shards per actor (1 = one
+    actor per 4M-doc shard at the default ``shard_docs``); at cluster
+    scale each actor holds only its slice's doc arrays + segment
+    cache, so total serving memory is corpus-proportional across the
+    fleet instead of per-replica."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: Optional[SparseConfig] = None,
+        shards_per_scorer: int = 1,
+        num_cpus: float = 1,
+    ):
+        import ray
+
+        self.index_dir = index_dir
+        man = mf.IndexManifest.load(index_dir)
+        self.cfg = cfg or SparseConfig.from_json(man.config)
+        shards = sorted(
+            {
+                int(f.split("-")[1])
+                for f in os.listdir(os.path.join(index_dir, "segments"))
+                if f.endswith(".parquet")
+            }
+        )
+        if not shards:
+            raise ValueError(f"no segments under {index_dir}")
+        groups = [
+            shards[i : i + shards_per_scorer]
+            for i in range(0, len(shards), shards_per_scorer)
+        ]
+        actor = ray.remote(num_cpus=num_cpus)(_ShardScorer)
+        cfg_json = self.cfg.to_json()
+        self._actors = [
+            actor.remote(index_dir, cfg_json, (g[0], g[-1])) for g in groups
+        ]
+        self.num_scorers = len(self._actors)
+
+    def msearch(self, queries: Sequence[Dict], cutoff: int = 100) -> pa.Table:
+        """Same output shape as ``RaySparseRetriever.msearch_ds``
+        batches: (q_id, rank, conv_id, turn_idx, score, doc_id)."""
+        import ray
+
+        ids = [str(q["id"]) for q in queries]
+        texts = [q.get("text", "") for q in queries]
+        parts = ray.get(
+            [a.score.remote(ids, texts, cutoff) for a in self._actors]
+        )
+        q_idx = np.concatenate([p[0] for p in parts])
+        convs = np.concatenate([p[1] for p in parts])
+        turns = np.concatenate([p[2] for p in parts])
+        scores = np.concatenate([p[3] for p in parts])
+        docs = np.concatenate([p[4] for p in parts])
+        # deterministic (q, -score, doc_id) — identical tie-breaks to
+        # the monolithic kernel's top-k ordering
+        order = np.lexsort((docs, -scores, q_idx))
+        q_s, sc_s, dc_s = q_idx[order], scores[order], docs[order]
+        cv_s, tn_s = convs[order], turns[order]
+        # per-query rank, then keep rank <= cutoff
+        if len(q_s):
+            brk = np.empty(len(q_s), dtype=bool)
+            brk[0] = True
+            brk[1:] = q_s[1:] != q_s[:-1]
+            group_start = np.maximum.accumulate(
+                np.where(brk, np.arange(len(q_s)), 0)
+            )
+            rank = np.arange(len(q_s)) - group_start + 1
+            keep = rank <= cutoff
+        else:
+            rank = np.empty(0, dtype=np.int64)
+            keep = np.empty(0, dtype=bool)
+        id_arr = np.asarray(ids, dtype=object)
+        return pa.Table.from_arrays(
+            [
+                pa.array(id_arr[q_s[keep]], type=pa.string()),
+                pa.array(rank[keep].astype(np.int32)),
+                pa.array(cv_s[keep], type=pa.string()),
+                pa.array(tn_s[keep].astype(np.int32)),
+                pa.array(sc_s[keep]),
+                pa.array(dc_s[keep]),
+            ],
+            names=["q_id", "rank", "conv_id", "turn_idx", "score", "doc_id"],
+        )
+
+    def close(self) -> None:
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
