@@ -618,7 +618,9 @@ def build_index(
         ds = source.select_columns(["conv_id", "turn_idx", "text"])
         ds_keys = source.select_columns(["conv_id", "turn_idx"])
 
+    _t_stage = time.monotonic()
     conv_offsets, doc_count = compute_conv_offsets(ds_keys)
+    t_offsets = time.monotonic() - _t_stage
     mf.atomic_write_parquet(
         conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
     )
@@ -639,6 +641,7 @@ def build_index(
     # schedules pathologically here (measured 37-53s vs 17s staged on
     # 1.65M turns) — the barrier costs nothing extra and pins the
     # fast plan. Spilling still bounds memory at scale.
+    _t_stage = time.monotonic()
     pairs = ds.map_batches(
         tokenize_partials_fn(
             cfg.to_json(), conv_map_ref, num_parts, shard_docs
@@ -647,6 +650,7 @@ def build_index(
         batch_size=batch_size,
         **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
     ).materialize()
+    t_tokenize = time.monotonic() - _t_stage
 
     # num_cpus=2 halves reducer concurrency: the encode kernel is
     # memory-bandwidth/allocation bound, and >cpus/2 concurrent
@@ -661,7 +665,9 @@ def build_index(
         batch_format="pyarrow",
         num_cpus=2,
     )
+    _t_stage = time.monotonic()
     stats = pa.Table.from_batches(_gather(stats_ds))
+    t_shuffle_reduce = time.monotonic() - _t_stage
 
     kinds = np.asarray(stats.column("kind").to_pylist())
     n_docs_written = int(stats.column("n_docs").to_numpy()[kinds == "doc_lens"].sum())
@@ -722,6 +728,10 @@ def build_index(
             "len_sum": len_sum,
             "n_groups": stats.num_rows,
             "reduce_seconds": float(stats.column("seconds").to_numpy().sum()),
+            # per-stage wall clock, for scaling-efficiency profiling
+            "wall_offsets": round(t_offsets, 3),
+            "wall_tokenize": round(t_tokenize, 3),
+            "wall_shuffle_reduce": round(t_shuffle_reduce, 3),
         },
     )
     man.save(index_dir)

@@ -17,11 +17,16 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
 from retriv_ray.text.tokenizer import identity_function
 
-_STEMMERS = {"english": english_stem, "porter": porter1_stem}
+_STEMMERS = {
+    "english": english_stem,
+    "porter": porter1_stem,
+    "lancaster": lancaster_stem,
+}
 
 
 def get_stemmer(stemmer: Union[str, Callable, None]) -> Callable:

@@ -186,3 +186,47 @@ def test_pipeline_accepts_new_names():
     prep = TextPreprocessor(cfg)
     out = prep.tokens("Die Katzen laufen schnell und springen.")
     assert "und" not in out and len(out) > 0
+
+
+LANCASTER_VECTORS = [
+    ("maximum", "maxim"),
+    ("presumably", "presum"),
+    ("multiply", "multiply"),
+    ("provision", "provid"),
+    ("owed", "ow"),
+    ("ear", "ear"),
+    ("saying", "say"),
+    ("crying", "cry"),
+    ("string", "string"),
+    ("meant", "meant"),
+    ("cement", "cem"),
+    ("running", "run"),
+    ("analytic", "analys"),
+    ("fusion", "fus"),
+    ("conclusion", "conclud"),
+    ("adhesion", "adher"),
+    ("conversion", "convert"),
+    ("admission", "admit"),
+    ("expansion", "expand"),
+    ("decision", "decid"),
+    ("explosion", "explod"),
+    ("agency", "ag"),
+    ("evidence", "evid"),
+    ("early", "ear"),
+    ("happiness", "happy"),
+    ("national", "nat"),
+    ("connectivity", "connect"),
+]
+
+
+@pytest.mark.parametrize("word,expected", LANCASTER_VECTORS)
+def test_lancaster_vectors(word, expected):
+    from retriv_ray.text.lancaster import stem as lancaster
+
+    assert lancaster(word) == expected
+
+
+def test_stemmer_registry_lancaster():
+    fn = get_stemmer("lancaster")
+    assert fn("maximum") == "maxim"
+    assert fn("") == ""  # no final letter -> unchanged
