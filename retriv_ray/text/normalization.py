@@ -26,17 +26,43 @@ _ACRONYMS_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
 # in the chain, reference preprocessing/__init__.py:37-38).
 _PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
 
+# unidecode-fidelity folds for latin letters that NFKD does NOT
+# decompose (they are base letters, not letter+combining-mark): these
+# match unidecode's published transliterations, closing the known
+# NFKD/unidecode gap for European text (reference normalization.py:16
+# uses unidecode).
+_NON_COMBINING_FOLDS = {
+    ord("ß"): "ss", ord("ẞ"): "SS",
+    ord("æ"): "ae", ord("Æ"): "AE",
+    ord("œ"): "oe", ord("Œ"): "OE",
+    ord("ø"): "o", ord("Ø"): "O",
+    ord("đ"): "d", ord("Đ"): "D",
+    ord("ð"): "d", ord("Ð"): "D",
+    ord("þ"): "th", ord("Þ"): "Th",
+    ord("ł"): "l", ord("Ł"): "L",
+    ord("ħ"): "h", ord("Ħ"): "H",
+    ord("ŋ"): "ng", ord("Ŋ"): "NG",
+    ord("ĸ"): "k",
+    ord("ı"): "i", ord("İ"): "I",
+    ord("«"): '"', ord("»"): '"',
+    ord("…"): "...",
+}
+
 
 def normalize_diacritics(x: str) -> str:
     """ASCII-fold accented latin characters (reference
     normalization.py:15-16 uses unidecode; that dependency is absent
     here, so NFKD-decompose + drop combining marks — identical for
-    latin accents, e.g. "übermensch" -> "ubermensch"). NOTE: like the
-    reference, this is exported but NOT wired into the default
-    pipeline (reference preprocessing/__init__.py:31-63 never calls
-    it despite the docstring at sparse_retriever.py:61)."""
+    combining-form latin accents, e.g. "übermensch" -> "ubermensch" —
+    plus an explicit fold table for the non-combining letters where
+    NFKD differs from unidecode: "ß"->"ss", "ø"->"o", "æ"->"ae",
+    "þ"->"th" etc. CJK transliteration remains out of scope. NOTE:
+    like the reference, this is exported but NOT wired into the
+    default pipeline (reference preprocessing/__init__.py:31-63 never
+    calls it despite the docstring at sparse_retriever.py:61)."""
     import unicodedata
 
+    x = x.translate(_NON_COMBINING_FOLDS)
     return "".join(
         c
         for c in unicodedata.normalize("NFKD", x)

@@ -230,3 +230,12 @@ def test_stemmer_registry_lancaster():
     fn = get_stemmer("lancaster")
     assert fn("maximum") == "maxim"
     assert fn("") == ""  # no final letter -> unchanged
+
+
+def test_diacritics_unidecode_fidelity():
+    from retriv_ray.text.normalization import normalize_diacritics as nd
+
+    assert nd("übermensch café naïve") == "ubermensch cafe naive"
+    assert nd("Straße") == "Strasse"
+    assert nd("Øresund æther Łódź") == "Oresund aether Lodz"
+    assert nd("Þingvellir ð") == "Thingvellir d"
