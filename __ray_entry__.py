@@ -262,6 +262,24 @@ def _q_ann_lsh(sf_dir: str):
     return cosine_topk_lsh(ds, q_ids, q_vecs, k=ANN_K, n_tables=32, n_bits=4)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF cell-pruned cosine with nprobe == n_centroids (exhaustive
+    probing): exercises the whole IVF machinery — k-means training,
+    centroid broadcast, per-batch cell assignment + pruning — while
+    remaining exactly equal to brute-force, so it shares the SQL
+    oracle. Production sets nprobe << n_centroids (recall-tested in
+    tests/test_ann_ivf.py)."""
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_ivf
+
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_ivf(
+        ds, q_ids, q_vecs, k=ANN_K, n_centroids=16, nprobe=16
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str):
     import ray.data
 
@@ -440,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
@@ -713,6 +732,9 @@ def oracle_sql() -> dict[str, str]:
         # 1.0 on this corpus (deterministic seed, checked against the
         # brute-force operator) — so its output equals brute-force.
         "ann_lsh_topk": _ANN_TOPK_SQL,
+        # ann_ivf_topk probes every centroid (nprobe == n_centroids),
+        # which is provably exhaustive -> equals brute-force.
+        "ann_ivf_topk": _ANN_TOPK_SQL,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -113,43 +113,96 @@ def _term_parts_np(terms: np.ndarray, num_parts: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _offsets_partial(batch: pa.Table) -> pa.Table:
+    # vectorized per-batch combiner (pyarrow group_by is C++)
+    return pa.TableGroupBy(
+        batch.select(["conv_id", "turn_idx"]), "conv_id"
+    ).aggregate(
+        [
+            ("turn_idx", "count"),
+            ("turn_idx", "min"),
+            ("turn_idx", "max"),
+            ("turn_idx", "sum"),
+        ]
+    ).rename_columns(
+        ["conv_id", "count()", "min(turn_idx)", "max(turn_idx)", "sum(turn_idx)"]
+    )
+
+
+def _offsets_partial_from_file(path: str) -> pa.Table:
+    import pyarrow.parquet as _pq
+
+    return _offsets_partial(_pq.read_table(path, columns=["conv_id", "turn_idx"]))
+
+
+def _list_parquet_files(source) -> Optional[List[str]]:
+    """Local parquet file list for a path/list source, or None when
+    the source isn't plain local paths (then the Dataset path of
+    compute_conv_offsets handles it — e.g. cloud URIs via pyarrow.fs)."""
+    paths = source if isinstance(source, list) else [source]
+    out: List[str] = []
+    for p in paths:
+        if not isinstance(p, str) or "://" in p:
+            return None
+        if os.path.isfile(p):
+            out.append(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                out.extend(
+                    os.path.join(root, f)
+                    for f in sorted(files)
+                    if f.endswith((".parquet", ".pq"))
+                )
+        else:
+            return None
+    return out or None
+
+
 def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Table, int]:
     """(conv_id, base, n_turns) sorted by conv_id; doc_id = base + turn_idx.
 
-    Combiner-first: each input block pre-aggregates to one row per
-    conversation it touches (count/min/max of turn_idx), so only
-    conv-level partials ever move. Below ``driver_merge_limit``
-    partial rows the merge happens on the driver (no all-to-all —
-    saves seconds of fixed shuffle cost); above it, a distributed
-    groupby + sort handles the merge (the 10^9-conversation path).
+    ``ds`` is a Dataset OR a path/list-of-paths source. Combiner-first
+    either way: one partial row per conversation per input block, so
+    only conv-level partials ever move. For path sources the partials
+    run as one plain Ray task per parquet file (same work, but skips a
+    whole Dataset-executor startup — this pass is the build's fixed
+    overhead, measured ~1.5-2.5s of pure startup). Below
+    ``driver_merge_limit`` partial rows the merge happens on the
+    driver (no all-to-all); above it, a distributed groupby + sort
+    handles the merge (the 10^9-conversation path).
 
     Validates the FIXTURES.md F1 invariant that turn_idx is 0-based
     and contiguous per conversation (otherwise base+turn_idx would not
     reproduce enumeration order and we fail loudly).
     """
+    import ray
 
-    def partial(batch: pa.Table) -> pa.Table:
-        # vectorized per-batch combiner (pyarrow group_by is C++)
-        return pa.TableGroupBy(
-            batch.select(["conv_id", "turn_idx"]), "conv_id"
-        ).aggregate(
-            [
-                ("turn_idx", "count"),
-                ("turn_idx", "min"),
-                ("turn_idx", "max"),
-                ("turn_idx", "sum"),
-            ]
-        ).rename_columns(
-            ["conv_id", "count()", "min(turn_idx)", "max(turn_idx)", "sum(turn_idx)"]
+    files = None if not isinstance(ds, (str, list)) else _list_parquet_files(ds)
+    if files is not None and len(files) > 4096:
+        # the file-task path gathers per-file conv partials to the
+        # driver before the size check; past ~4k files let the Dataset
+        # path stream/merge them instead
+        files = None
+    if isinstance(ds, (str, list)) and files is None:
+        import ray.data
+
+        ds = ray.data.read_parquet(ds, columns=["conv_id", "turn_idx"])
+
+    if files is not None:
+        task = ray.remote(num_cpus=1)(_offsets_partial_from_file)
+        tables = ray.get([task.remote(f) for f in files])
+        t = pa.concat_tables(tables)
+        partials = None
+    else:
+        partials = (
+            ds.select_columns(["conv_id", "turn_idx"])
+            .map_batches(_offsets_partial, batch_format="pyarrow")
+            .materialize()
         )
-
-    partials = (
-        ds.select_columns(["conv_id", "turn_idx"])
-        .map_batches(partial, batch_format="pyarrow")
-        .materialize()
-    )
-    if partials.count() <= driver_merge_limit:
-        t = pa.Table.from_batches(_gather(partials))
+        t = None
+    if (t.num_rows if t is not None else partials.count()) <= driver_merge_limit:
+        if t is None:
+            t = pa.Table.from_batches(_gather(partials))
         df = t.to_pandas()
         g = df.groupby("conv_id", sort=True).agg(
             {
@@ -167,6 +220,12 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
     else:
         from ray.data.aggregate import Max, Min, Sum
 
+        if partials is None:
+            import ray.data
+
+            # file-task partials above the driver limit: merge them
+            # distributed (each table is conv-level, already combined)
+            partials = ray.data.from_arrow(tables)
         agg = (
             partials.groupby("conv_id")
             .aggregate(
@@ -560,16 +619,20 @@ def build_index(
     else:
         input_desc = "<dataset>"
         resume = False
+    est3 = None
+    if isinstance(source, (str, list)):
+        # ONE metadata size estimate, shared by the num_parts formula
+        # and the block budget below (round 1 fetched it twice)
+        est3 = ray.data.read_parquet(
+            source, columns=["conv_id", "turn_idx", "text"]
+        ).size_bytes()
     if num_parts is None:
         # auto-size term-hash parts to ~2.5M postings per reduce
         # group: big groups anti-scale (allocation/bandwidth storms
         # — measured 36.7s -> 7.5s reduce wall going 32 -> 128 parts
         # on 520M tokens), tiny groups waste per-task overhead.
-        if isinstance(source, (str, list)):
-            import ray.data as _rd
-
-            est = _rd.read_parquet(source, columns=["text"]).size_bytes()
-            est_tokens = max(1, int(est) // 7)
+        if est3 is not None:
+            est_tokens = max(1, int(est3) // 7)  # ~7 bytes/token (round-1 calibration; keys add <5%)
             num_parts = int(min(1024, max(16, est_tokens // 2_500_000)))
         else:
             num_parts = 32
@@ -601,19 +664,16 @@ def build_index(
     # a ~256MB-per-block ceiling so the same formula holds when the
     # input is 100TB on a big cluster.
     if isinstance(source, (str, list)):
-        est = ray.data.read_parquet(
-            source, columns=["conv_id", "turn_idx", "text"]
-        ).size_bytes()
         # cluster-size-independent plan: same partitioning at N and 4N
-        target_blocks = max(64, int(est // (256 << 20)) + 1)
+        target_blocks = max(64, int(est3 // (256 << 20)) + 1)
         ds = ray.data.read_parquet(
             source,
             columns=["conv_id", "turn_idx", "text"],
             override_num_blocks=target_blocks,
         )
-        # offsets pass prunes to the two key columns at the parquet
-        # read — the heavy text column never leaves storage for it
-        ds_keys = ray.data.read_parquet(source, columns=["conv_id", "turn_idx"])
+        # offsets pass: path source -> direct per-file tasks reading
+        # only the two key columns (no Dataset-executor startup)
+        ds_keys = source
     else:
         ds = source.select_columns(["conv_id", "turn_idx", "text"])
         ds_keys = source.select_columns(["conv_id", "turn_idx"])

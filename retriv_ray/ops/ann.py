@@ -10,6 +10,13 @@
   vectors sharing a bucket with the query under any of ``n_tables``
   hyperplane tables; exact cosine re-rank of candidates only.
   Approximate (recall < 1 possible), deterministic given the seed.
+- :func:`cosine_topk_ivf` — the other classic scale path: spherical
+  k-means centroids trained on a bounded sample (driver-side, like
+  every IVF trainer); each query probes its ``nprobe`` nearest
+  centroids; per batch, rows are assigned to their centroid and only
+  rows in probed cells are scored. ``nprobe >= n_centroids`` is
+  exhaustive and EQUALS the brute-force result (the driver query uses
+  that to oracle-check the IVF machinery end-to-end).
 
 Both compute cosine in float64 so results are comparable against a
 DuckDB ``list_cosine_similarity`` oracle at rank level.
@@ -183,6 +190,136 @@ def cosine_topk_lsh(
 
     return (
         ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("q_vec_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _spherical_kmeans(
+    mat: np.ndarray, n_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """Deterministic spherical k-means (unit centroids, cosine
+    assignment) with k-means++ seeding. Pure numpy; the training
+    sample is bounded, so this runs on the driver like every IVF
+    trainer (faiss does the same)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(mat)
+    n = len(x)
+    k = min(n_centroids, n)
+    # k-means++ seeding on cosine distance (1 - sim)
+    first = int(rng.integers(n))
+    cents = [x[first]]
+    d2 = 1.0 - x @ cents[0]
+    for _ in range(1, k):
+        p = np.clip(d2, 1e-12, None)
+        nxt = int(rng.choice(n, p=p / p.sum()))
+        cents.append(x[nxt])
+        d2 = np.minimum(d2, 1.0 - x @ cents[-1])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def cosine_topk_ivf(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF-pruned cosine top-k. Same output schema as the brute-force
+    path. The inverted-file structure is applied as per-batch cell
+    pruning (assign batch rows to centroids; score only rows in the
+    query's probed cells) — one streaming pass, no bucket shuffle, and
+    the centroid matrix is the only broadcast state. At 100 TB, train
+    on ``ds.random_sample`` instead of the leading rows; the scan
+    stays embarrassingly parallel either way."""
+    import ray
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    sample = _batch_matrix(
+        pa.concat_tables(
+            list(ds.limit(train_rows).iter_batches(batch_format="pyarrow"))
+        ),
+        vec_col,
+    )
+    cents = _spherical_kmeans(sample, n_centroids, kmeans_iters, seed)
+    n_cells = len(cents)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, : min(nprobe, n_cells)]
+    probe_mask = np.zeros((len(qn), n_cells), dtype=bool)
+    probe_mask[np.arange(len(qn))[:, None], probe] = True
+    q_ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), qn, cents, probe_mask)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ids, qmat, c, pmask = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ c.T, axis=1)  # [B]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qmat)):
+            keep = pmask[qi][assign]
+            if not keep.any():
+                continue
+            idx = np.flatnonzero(keep)
+            row = qmat[qi] @ m[idx].T
+            kk = min(k + (1 if exclude_self else 0), len(idx))
+            sel = (
+                np.argpartition(-row, kk - 1)[:kk]
+                if kk < len(row)
+                else np.arange(len(row))
+            )
+            out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+            out_v.append(ids[idx[sel]])
+            out_s.append(row[sel])
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 2
+                + [pa.array([], type=pa.float64())],
+                names=["q_vec_id", "vec_id", "sim"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_v)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=["q_vec_id", "vec_id", "sim"],
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group.column("q_vec_id")[0].as_py()
+        v = group.column("vec_id").to_numpy()
+        s = group.column("sim").to_numpy()
+        if exclude_self:
+            keep = v != q
+            v, s = v[keep], s[keep]
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(order), q, dtype=np.int64)),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order]),
+            ],
+            names=["q_vec_id", "rank", "vec_id"],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("q_vec_id")
         .map_groups(merge, batch_format="pyarrow")
     )

@@ -1,0 +1,85 @@
+"""IVF ANN: exhaustive probing equals brute force exactly; partial
+probing keeps high recall on clustered data; k-means is deterministic."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _clustered(n_per=80, n_clusters=6, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    rows = []
+    vecs = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((n_per, dim)) * 0.5
+        for p in pts:
+            rows.append({"vec_id": vid, "embedding": p.astype(np.float64).tolist()})
+            vecs.append(p)
+            vid += 1
+    return rows, np.asarray(vecs)
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    import ray.data
+
+    rows, vecs = _clustered()
+    return ray.data.from_items(rows).repartition(6), vecs
+
+
+def _ranks(df):
+    return {
+        q: g.sort_values("rank")["vec_id"].tolist()
+        for q, g in df.groupby("q_vec_id")
+    }
+
+
+def test_ivf_exhaustive_equals_bruteforce(vec_ds):
+    from retriv_ray.ops.ann import cosine_topk_bruteforce, cosine_topk_ivf
+
+    ds, vecs = vec_ds
+    q_ids = np.array([0, 100, 250, 399], dtype=np.int64)
+    q_vecs = vecs[q_ids]
+    exact = _ranks(cosine_topk_bruteforce(ds, q_ids, q_vecs, k=10).to_pandas())
+    ivf = _ranks(
+        cosine_topk_ivf(
+            ds, q_ids, q_vecs, k=10, n_centroids=8, nprobe=8
+        ).to_pandas()
+    )
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(vec_ds):
+    from retriv_ray.ops.ann import cosine_topk_bruteforce, cosine_topk_ivf
+
+    ds, vecs = vec_ds
+    q_ids = np.array([10, 90, 170, 330], dtype=np.int64)
+    q_vecs = vecs[q_ids]
+    exact = _ranks(cosine_topk_bruteforce(ds, q_ids, q_vecs, k=10).to_pandas())
+    ivf = _ranks(
+        cosine_topk_ivf(
+            ds, q_ids, q_vecs, k=10, n_centroids=6, nprobe=2,
+            train_rows=480,
+        ).to_pandas()
+    )
+    # clustered corpus: probing the 2 nearest of 6 cells keeps most of
+    # the true neighborhood
+    recalls = [
+        len(set(ivf.get(q, [])) & set(exact[q])) / len(exact[q])
+        for q in exact
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_kmeans_deterministic():
+    from retriv_ray.ops.ann import _spherical_kmeans
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 8))
+    a = _spherical_kmeans(x, 5, 10, seed=42)
+    b = _spherical_kmeans(x, 5, 10, seed=42)
+    assert np.array_equal(a, b)
+    # unit centroids
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
