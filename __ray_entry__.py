@@ -334,6 +334,24 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir), gap_seconds=1800, salt_seconds=86400)
 
 
+def _q_clean_text(sf_dir: str):
+    from retriv_ray.ops.prep import clean_text
+
+    return clean_text(_docs(sf_dir))
+
+
+def _q_split_by_hash(sf_dir: str):
+    from retriv_ray.ops.prep import split_by_hash
+
+    return split_by_hash(_docs(sf_dir)).select_columns(["doc_id", "split"])
+
+
+def _q_chunk_documents(sf_dir: str):
+    from retriv_ray.ops.prep import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), max_tokens=64, stride=48)
+
+
 def _q_multimodal(sf_dir: str):
     from retriv_ray.ops.multimodal import attach_payload, image_features
 
@@ -468,6 +486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal,
+        "clean_text": _q_clean_text,
+        "split_by_hash": _q_split_by_hash,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -802,4 +823,42 @@ def oracle_sql() -> dict[str, str]:
     # sharded serving must reproduce the monolithic result exactly —
     # same oracle as bm25_topk
     out["bm25_topk_sharded"] = out["bm25_topk"]
+    # prep ops (ops/prep.py): the Python side uses pyarrow RE2 regex
+    # kernels / md5 low-8-bytes — the same RE2 dialect and
+    # md5_number_lower DuckDB exposes, so these are exact oracles.
+    out["clean_text"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   coalesce(text, ''),
+                   'https?://\S+', ' ', 'g'),
+                   '\S+@\S+\.\S+', ' ', 'g'),
+                   '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean
+        FROM documents ORDER BY doc_id
+    """
+    out["split_by_hash"] = """
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+              FROM documents)
+        ORDER BY doc_id
+    """
+    out["chunk_documents"] = f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t
+          FROM documents),
+        s AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        starts AS (
+          SELECT doc_id, t, n, unnest(generate_series(1, n, 48)) AS i
+          FROM s)
+        SELECT doc_id, (i - 1) // 48 AS chunk_idx,
+               array_to_string(t[i : least(i + 63, n)], ' ') AS chunk,
+               len(t[i : least(i + 63, n)])::BIGINT AS n_tokens
+        FROM starts
+        WHERE i = 1 OR (i - 1 - 48 + 64) < n
+        ORDER BY doc_id, chunk_idx
+    """
     return out

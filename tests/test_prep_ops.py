@@ -1,0 +1,78 @@
+"""Prep-op tests: cleaning edge cases, split determinism/ratios,
+chunk window/overlap math (SQL-oracle parity is covered by the driver
+gate; these pin the operator semantics directly)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    rows = [
+        {"doc_id": 0, "text": "see https://example.com/x?q=1 and mail a@b.co now"},
+        {"doc_id": 1, "text": "  spaced\tout\n\ntext  "},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": " ".join(f"t{i}" for i in range(100))},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_clean_text(docs):
+    from retriv_ray.ops.prep import clean_text
+
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in clean_text(docs).take_all()
+    }
+    assert out[0] == "see and mail now"
+    assert out[1] == "spaced out text"
+    assert out[2] == "" and out[3] == ""
+
+
+def test_split_by_hash_deterministic_and_ratioed(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.prep import split_by_hash
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(5000)])
+    a = split_by_hash(ds).to_pandas().sort_values("doc_id")
+    b = split_by_hash(ds.repartition(7)).to_pandas().sort_values("doc_id")
+    # partitioning-independent
+    assert a["split"].tolist() == b["split"].tolist()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+
+
+def test_chunk_documents_windows(docs):
+    from retriv_ray.ops.prep import chunk_documents
+
+    df = chunk_documents(docs, max_tokens=64, stride=48).to_pandas()
+    # only doc 4 has 100 tokens; docs 2/3 empty -> no rows
+    assert set(df.doc_id) == {0, 1, 4}
+    d4 = df[df.doc_id == 4].sort_values("chunk_idx")
+    # starts 0 and 48: window 0 covers t0..t63, window 1 covers t48..t99
+    assert d4.chunk_idx.tolist() == [0, 1]
+    assert d4.n_tokens.tolist() == [64, 52]
+    c0, c1 = d4.chunk.tolist()
+    assert c0.startswith("t0 ") and c0.endswith(" t63")
+    assert c1.startswith("t48 ") and c1.endswith(" t99")
+    # overlap region shared
+    assert "t50" in c0 and "t50" in c1
+
+
+def test_chunk_documents_no_overlap(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.prep import chunk_documents
+
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": " ".join(f"w{i}" for i in range(10))}]
+    )
+    df = chunk_documents(ds, max_tokens=4).to_pandas().sort_values("chunk_idx")
+    assert df.n_tokens.tolist() == [4, 4, 2]
+    assert df.chunk.tolist()[2] == "w8 w9"
