@@ -66,6 +66,25 @@ class HashingEncoder:
         return out[0] if single else out
 
 
+class _EncodeMethodAdapter:
+    """Wraps a model object exposing ``.encode(texts) -> ndarray``
+    (the sentence-transformers interface) as a plain callable. Ray
+    serializes the wrapped model to each actor; for
+    construct-in-the-actor semantics (GPU models), pass
+    ``encoder_factory`` to :meth:`DenseRetriever.index_dataset`."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def __call__(self, texts):
+        single = isinstance(texts, str)
+        out = np.asarray(
+            self.model.encode([texts] if single else list(texts)),
+            dtype=np.float32,
+        )
+        return out[0] if single else out
+
+
 class DenseRetriever:
     def __init__(
         self,
@@ -78,11 +97,16 @@ class DenseRetriever:
         seed: int = 42,
     ):
         self.index_name = index_name
-        self.encoder = (
-            encoder
-            if callable(encoder)
-            else HashingEncoder(dim=dim, seed=seed, normalize=normalize)
-        )
+        if callable(encoder):
+            self.encoder = encoder
+        elif encoder is not None and hasattr(encoder, "encode"):
+            # sentence-transformers-style model object (`.encode(list)
+            # -> ndarray`): adapt to the plain-callable contract
+            # (reference dense_retriever/encoder.py:36-60 wraps
+            # transformers the same way)
+            self.encoder = _EncodeMethodAdapter(encoder)
+        else:
+            self.encoder = HashingEncoder(dim=dim, seed=seed, normalize=normalize)
         self.use_ann = use_ann
         self.n_planes = n_planes
         self.seed = seed
@@ -114,7 +138,8 @@ class DenseRetriever:
         return self
 
     def index_dataset(self, ds, id_col: str = "id", text_col: str = "text",
-                      concurrency: Optional[int] = None):
+                      concurrency: Optional[int] = None,
+                      encoder_factory: Optional[Callable[[], Callable]] = None):
         """Ray Data path: encode with an actor-pool map_batches stage
         (encoder constructed once per actor) and STREAM the embeddings
         to parquet shards — nothing is gathered to the driver. The LSH
@@ -133,7 +158,17 @@ class DenseRetriever:
 
         class _Encode:
             def __init__(self):
-                self.encoder = enc  # heavy encoders: construct here
+                # heavy (model) encoders: ``encoder_factory`` runs HERE,
+                # once per actor — the model is constructed on the
+                # worker (where its GPU would be), never shipped from
+                # the driver. Without a factory the (light) encoder
+                # instance is serialized into the actor.
+                e = encoder_factory() if encoder_factory is not None else enc
+                self.encoder = (
+                    _EncodeMethodAdapter(e)
+                    if not callable(e) and hasattr(e, "encode")
+                    else e
+                )
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 vecs = np.atleast_2d(

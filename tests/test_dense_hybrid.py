@@ -116,3 +116,66 @@ def test_index_dataset_streams_shards_and_serves(ray_session):
         [{"id": "q0", "text": "streaming shuffle"}], cutoff=3
     ).to_pandas()
     assert t.sort_values("rank")["id"].tolist() == list(want)
+
+
+def test_model_interface_adapter(ray_session, tmp_path, monkeypatch):
+    """ST4: a sentence-transformers-shaped model object drives the
+    actor-pool encode path end-to-end (adapter + per-actor factory)."""
+    import os
+
+    # defined INSIDE the test so cloudpickle ships it by value to the
+    # encode actors (a test-module-level class would be pickled by
+    # reference, which workers cannot import)
+    class FakeSentenceTransformer:
+        """Mimics the sentence-transformers encode() interface:
+        list[str] -> float32 [N, dim] ndarray (deterministic)."""
+
+        def __init__(self, dim=32):
+            self.dim = dim
+
+        def encode(self, sentences, batch_size=32, convert_to_numpy=True):
+            import numpy as np
+            import zlib
+
+            out = np.zeros((len(sentences), self.dim), dtype=np.float32)
+            for i, s in enumerate(sentences):
+                for tok in (s or "").split():
+                    h = zlib.crc32(tok.encode())
+                    out[i, h % self.dim] += 1.0
+            return out
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from retriv_ray.dense import DenseRetriever
+
+    monkeypatch.setenv("RETRIV_BASE_PATH", str(tmp_path))
+    docs = [{"id": f"d{i}", "text": f"token{i} shared word"} for i in range(40)]
+
+    # (a) model OBJECT via adapter (serialized to actors)
+    dr = DenseRetriever(index_name="st-adapter", encoder=FakeSentenceTransformer())
+    dr.index_dataset(ray.data.from_items(docs), concurrency=2)
+    res = dr.search("token3 shared word", cutoff=3)
+    assert res[0]["id"] == "d3"
+
+    # (b) factory: model constructed inside the actor, not the driver
+    marker_dir = tmp_path / "ctor_pids"
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def factory(md=str(marker_dir)):
+        import os as _os
+
+        open(f"{md}/{_os.getpid()}", "w").close()
+        return FakeSentenceTransformer()
+
+    dr2 = DenseRetriever(index_name="st-factory", encoder=FakeSentenceTransformer())
+    dr2.index_dataset(
+        ray.data.from_items(docs), concurrency=2, encoder_factory=factory
+    )
+    res2 = dr2.search("token7 shared word", cutoff=3)
+    assert res2[0]["id"] == "d7"
+    ctor_pids = {int(p) for p in os.listdir(marker_dir)}
+    assert ctor_pids and os.getpid() not in ctor_pids
+    # both paths produce identical embeddings for identical docs
+    assert res2[0]["score"] == pytest.approx(res[0]["score"])
