@@ -262,6 +262,16 @@ def _q_ann_lsh(sf_dir: str):
     return cosine_topk_lsh(ds, q_ids, q_vecs, k=ANN_K, n_tables=32, n_bits=4)
 
 
+def _q_dedup_filter(sf_dir: str):
+    """Cleaned-corpus materialization: documents minus the b-side of
+    every n-gram-Jaccard near-dup pair (distributed anti-join)."""
+    from retriv_ray.ops.dedup import dedup_filter, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup_filter(docs, pairs).select_columns(["doc_id"])
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF cell-pruned cosine with nprobe == n_centroids (exhaustive
     probing): exercises the whole IVF machinery — k-means training,
@@ -486,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal,
+        "dedup_filter": _q_dedup_filter,
         "clean_text": _q_clean_text,
         "split_by_hash": _q_split_by_hash,
         "chunk_documents": _q_chunk_documents,
@@ -835,6 +846,12 @@ def oracle_sql() -> dict[str, str]:
                    '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'),
                    '\s+', ' ', 'g')) AS clean
         FROM documents ORDER BY doc_id
+    """
+    out["dedup_filter"] = f"""
+        WITH pairs AS ({_NGRAM_JACCARD_SQL})
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id_b FROM pairs)
+        ORDER BY d.doc_id
     """
     out["split_by_hash"] = """
         SELECT doc_id,

@@ -48,6 +48,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 logger = logging.getLogger(__name__)
 
@@ -595,3 +596,44 @@ def _near_dup_lsh(
         .aggregate(Max("sim_e4"))
         .rename_columns({"max(sim_e4)": "sim_e4"})
     )
+
+
+def dedup_filter(ds, pairs, id_col: str = "doc_id"):
+    """Materialize the DEDUPLICATED corpus from a near-dup pairs
+    table: every ``doc_id_b`` of an (a < b) pair is dropped, keeping
+    the lowest-id representative of each pairwise-connected pair (the
+    standard greedy policy; full transitive clustering needs iterative
+    label propagation and rarely changes training-corpus composition).
+
+    Scale shape: a distributed LEFT OUTER join of the corpus against
+    the (tiny relative to the corpus) pairs table + null filter — a
+    left anti-join without ever collecting the drop set on the
+    driver. No distinct pass is needed: a doc matched by several
+    pairs joins to several rows, all of which the null filter drops.
+    """
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    # repartition the (corpus-small) pairs side before the join: Ray
+    # Data passes EMPTY blocks through map_batches untouched, so an
+    # upstream aggregate's zero-column empty blocks would otherwise
+    # reach pyarrow's join and fail schema resolution; the coalesce
+    # also right-sizes the build side's partitions.
+    marked = (
+        pairs.select_columns(["doc_id_b", "doc_id_a"])
+        .repartition(max(4, n_cpus))
+    )
+    joined = ds.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=max(4, n_cpus),
+        on=(id_col,),
+        right_on=("doc_id_b",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_null(batch.column("doc_id_a")))
+        drop = [c for c in ("doc_id_a", "doc_id_b") if c in out.column_names]
+        return out.drop_columns(drop)
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")

@@ -113,3 +113,15 @@ def test_embedding_near_dup_lsh_subset_finds_identicals(ray_session):
     # every table -> must be found
     pair = tuple(sorted([items[0]["vec_id"], items[5]["vec_id"]]))
     assert pair in lsh_pairs
+
+
+def test_dedup_filter_keeps_lowest_id(docs_ds):
+    from retriv_ray.ops.dedup import dedup_filter, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.3)
+    kept = sorted(
+        r["doc_id"] for r in dedup_filter(docs_ds, pairs).take_all()
+    )
+    # docs 1 (exact dup of 0) and 2 (near-dup of 0) dropped; 0 kept as
+    # the lowest-id representative
+    assert kept == [0, 3, 4]
