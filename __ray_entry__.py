@@ -362,6 +362,12 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), max_tokens=64, stride=48)
 
 
+def _q_pack_token_stream(sf_dir: str):
+    from retriv_ray.ops.prep import pack_token_stream
+
+    return pack_token_stream(_docs(sf_dir), budget=256)
+
+
 def _q_multimodal(sf_dir: str):
     from retriv_ray.ops.multimodal import attach_payload, image_features
 
@@ -500,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": _q_clean_text,
         "split_by_hash": _q_split_by_hash,
         "chunk_documents": _q_chunk_documents,
+        "pack_token_stream": _q_pack_token_stream,
     }
 
 
@@ -877,5 +884,26 @@ def oracle_sql() -> dict[str, str]:
         FROM starts
         WHERE i = 1 OR (i - 1 - 48 + 64) < n
         ORDER BY doc_id, chunk_idx
+    """
+    out["pack_token_stream"] = f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 len(list_filter({_TOKS}, x -> x <> '')) AS n
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n,
+                 coalesce(sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS base
+          FROM docs),
+        spans AS (
+          SELECT doc_id, n, base,
+                 unnest(generate_series((base // 256)::BIGINT,
+                                        ((base + n - 1) // 256)::BIGINT)) AS seq_id
+          FROM cum WHERE n > 0)
+        SELECT seq_id::BIGINT AS seq_id, doc_id,
+               greatest(0, seq_id * 256 - base)::BIGINT AS tok_start,
+               least(n, (seq_id + 1) * 256 - base)::BIGINT AS tok_end
+        FROM spans ORDER BY seq_id, doc_id
     """
     return out

@@ -128,3 +128,84 @@ def chunk_documents(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_token_stream(
+    ds,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    driver_merge_limit: int = 50_000_000,
+):
+    """Pretraining-style sequence packing: concatenate every document's
+    whitespace-token stream in ``id_col`` order and cut it into
+    sequences of exactly ``budget`` tokens (documents may span a
+    boundary). Emits one row per (sequence, document) overlap:
+    (seq_id, id, tok_start, tok_end) with doc-local token offsets —
+    the deterministic layout a packed-training writer consumes.
+
+    Two passes, same shape as the index build's conv-offsets stage:
+    pass 1 reduces to one (id, n_tokens) row per document
+    (document-level, not token-level) and prefix-sums the global
+    offsets; pass 2 is an embarrassingly parallel map that assigns
+    each document its overlapping sequence windows from the broadcast
+    offset arrays. Document-count above ``driver_merge_limit`` needs
+    the distributed-merge variant (same escape hatch as
+    index/build.py's conv offsets — bucketed prefix sums); this
+    implementation targets corpora whose DOC COUNT fits driver memory.
+    """
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len((t or "").split()) for t in batch.column(text_col).to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.Table.from_arrays([batch.column(id_col), n], names=[id_col, "n"])
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(counts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    if parts.num_rows > driver_merge_limit:
+        raise NotImplementedError(
+            "pack_token_stream: doc count exceeds the driver offset "
+            "merge limit; use the bucketed distributed prefix-sum "
+            "variant (see index/build.py compute_conv_offsets)."
+        )
+    order = np.argsort(parts.column(id_col).to_numpy(), kind="stable")
+    ids_sorted = parts.column(id_col).to_numpy()[order]
+    n_sorted = parts.column("n").to_numpy()[order]
+    base = np.concatenate(([0], np.cumsum(n_sorted)[:-1]))
+    ref = ray.put((ids_sorted, base, n_sorted))
+    b = budget
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ids_s, base_s, n_s = ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        pos = np.searchsorted(ids_s, ids)
+        out_seq, out_id, out_s, out_e = [], [], [], []
+        for k in range(len(ids)):
+            n = int(n_s[pos[k]])
+            if n == 0:
+                continue
+            lo = int(base_s[pos[k]])
+            for seq in range(lo // b, (lo + n - 1) // b + 1):
+                out_seq.append(seq)
+                out_id.append(ids[k])
+                out_s.append(max(0, seq * b - lo))
+                out_e.append(min(n, (seq + 1) * b - lo))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_seq, type=pa.int64()),
+                pa.array(out_id, type=pa.int64()),
+                pa.array(out_s, type=pa.int64()),
+                pa.array(out_e, type=pa.int64()),
+            ],
+            names=["seq_id", id_col, "tok_start", "tok_end"],
+        )
+
+    return ds.map_batches(spans, batch_format="pyarrow")

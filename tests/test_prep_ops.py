@@ -76,3 +76,42 @@ def test_chunk_documents_no_overlap(ray_session):
     df = chunk_documents(ds, max_tokens=4).to_pandas().sort_values("chunk_idx")
     assert df.n_tokens.tolist() == [4, 4, 2]
     assert df.chunk.tolist()[2] == "w8 w9"
+
+
+def test_pack_token_stream(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from retriv_ray.ops.prep import pack_token_stream
+
+    # doc lengths 5, 0, 7, 3, 10 -> stream of 25 tokens, budget 8:
+    # seq0 = [0,8): d0[0:5], d2[0:3]; seq1 = [8,16): d2[3:7], d3[0:3],
+    # d4[0:1]; seq2 = [16,24): d4[1:9]; seq3 = [24,25): d4[9:10]
+    lens = {0: 5, 1: 0, 3: 7, 5: 3, 9: 10}
+    rows = [
+        {"doc_id": k, "text": " ".join(f"x{k}_{i}" for i in range(v))}
+        for k, v in lens.items()
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    df = (
+        pack_token_stream(ds, budget=8)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        [
+            (0, 0, 0, 5),
+            (0, 3, 0, 3),
+            (1, 3, 3, 7),
+            (1, 5, 0, 3),
+            (1, 9, 0, 1),
+            (2, 9, 1, 9),
+            (3, 9, 9, 10),
+        ],
+        columns=["seq_id", "doc_id", "tok_start", "tok_end"],
+    )
+    pd.testing.assert_frame_equal(df, expect, check_dtype=False)
+    # every sequence except the last is exactly full
+    sizes = df.assign(sz=df.tok_end - df.tok_start).groupby("seq_id")["sz"].sum()
+    assert sizes.tolist() == [8, 8, 8, 1]
