@@ -547,24 +547,33 @@ class RaySparseRetriever:
         """Tune (b, k1) by maximizing ``metric`` over the query set —
         the reference surface (sparse_retriever.py autotune ->
         autotune/bm25_autotune.py:10-38: optuna TPE over b in [0,1]
-        step .01, k1 in [0,10] step .1, ranx metric). Here: seeded
-        random sampling of ``n_trials`` points from the same grid +
-        the retriv_ray.eval metrics — deterministic and library-free.
+        step .01, k1 in [0,10] step .1, ranx metric). Here: a
+        deterministic explore-then-refine search on the same grid —
+        2/3 of the budget on seeded random exploration (+ the default
+        and reference-test corners), the rest on shrinking-radius
+        neighborhoods of the incumbent (TPE's exploitation phase
+        without the library). Ties break toward the lexicographically
+        smallest (b, k1), so results are PYTHONHASHSEED-independent.
         Sets ``self.cfg.hyperparams`` to the best params and returns
         them.
         """
         from retriv_ray.eval import evaluate
 
-        rng = np.random.default_rng(seed)
-        bs = np.round(rng.integers(0, 101, size=n_trials) * 0.01, 2)
-        k1s = np.round(rng.integers(0, 101, size=n_trials) * 0.1, 1)
-        # always include the default + reference-test corners
-        trials = list({(float(b), float(k)) for b, k in zip(bs, k1s)})
-        trials.extend([(0.75, 1.2), (0.0, 1.0), (1.0, 1.0)])
         saved = dict(self.cfg.hyperparams)
-        best = (-1.0, saved)
-        try:
-            for b, k1 in trials:
+        tried: set = set()
+        best = [-1.0, saved]
+
+        def snap(b: float, k1: float) -> Tuple[float, float]:
+            return (
+                float(np.clip(round(b, 2), 0.0, 1.0)),
+                float(np.clip(round(k1, 1), 0.0, 10.0)),
+            )
+
+        def run_trials(points) -> None:
+            for b, k1 in points:
+                if (b, k1) in tried:
+                    continue
+                tried.add((b, k1))
                 self.cfg.hyperparams = dict(b=b, k1=k1)
                 run = {
                     q["id"]: {
@@ -574,8 +583,34 @@ class RaySparseRetriever:
                     for q in queries
                 }
                 score = evaluate(qrels, run, metric)
-                if score > best[0]:
-                    best = (score, dict(b=b, k1=k1))
+                if score > best[0] or (
+                    score == best[0]
+                    and (b, k1) < (best[1]["b"], best[1]["k1"])
+                ):
+                    best[0], best[1] = score, dict(b=b, k1=k1)
+
+        rng = np.random.default_rng(seed)
+        n_explore = max(4, (2 * n_trials) // 3)
+        bs = rng.integers(0, 101, size=n_explore) * 0.01
+        k1s = rng.integers(0, 101, size=n_explore) * 0.1
+        explore = sorted({snap(b, k) for b, k in zip(bs, k1s)})
+        explore.extend([(0.75, 1.2), (0.0, 1.0), (1.0, 1.0)])
+        try:
+            run_trials(explore)
+            # refinement: shrinking neighborhoods of the incumbent on
+            # the native grid, until the trial budget is spent
+            radius_b, radius_k = 0.16, 1.6
+            while len(tried) < n_trials and radius_b >= 0.01:
+                b0, k0 = best[1]["b"], best[1]["k1"]
+                neigh = sorted(
+                    {
+                        snap(b0 + db * radius_b, k0 + dk * radius_k)
+                        for db in (-1.0, -0.5, 0.0, 0.5, 1.0)
+                        for dk in (-1.0, -0.5, 0.0, 0.5, 1.0)
+                    }
+                )
+                run_trials(neigh[: max(0, n_trials - len(tried))])
+                radius_b, radius_k = radius_b / 2, radius_k / 2
         finally:
             self.cfg.hyperparams = best[1] if best[0] >= 0 else saved
         return dict(self.cfg.hyperparams)

@@ -102,6 +102,21 @@ def test_autotune_sets_hyperparams(sr):
     assert sr.hyperparams == best
 
 
+def test_autotune_deterministic_with_refinement(sr):
+    # enough budget that the shrinking-radius refinement phase runs;
+    # two invocations must land on identical params (seeded explore,
+    # lexicographic tie-break — PYTHONHASHSEED-independent)
+    qrels = {"q1": {"doc_5": 1}, "q2": {"doc_0": 1}}
+    queries = [
+        {"id": "q1", "text": "shane connelly"},
+        {"id": "q2", "text": "shane"},
+    ]
+    a = sr.autotune(queries, qrels, metric="ndcg", n_trials=40)
+    b = sr.autotune(queries, qrels, metric="ndcg", n_trials=40)
+    assert a == b
+    assert 0.0 <= a["b"] <= 1.0 and 0.0 <= a["k1"] <= 10.0
+
+
 def test_extra_fields_roundtrip(ray_session):
     docs = [
         {"id": "a", "text": "hello world", "lang": "en"},
