@@ -92,7 +92,12 @@ class ShardedSearcher:
         cfg: Optional[SparseConfig] = None,
         shards_per_scorer: int = 1,
         num_cpus: float = 1,
+        num_replicas: int = 1,
     ):
+        """``num_replicas`` actors per shard group (the production
+        shard × replica grid): within a shard, query batches split
+        across replicas, so per-shard throughput scales with replicas
+        while each replica still holds only its shard slice."""
         import ray
 
         self.index_dir = index_dir
@@ -114,9 +119,14 @@ class ShardedSearcher:
         actor = ray.remote(num_cpus=num_cpus)(_ShardScorer)
         cfg_json = self.cfg.to_json()
         self._actors = [
-            actor.remote(index_dir, cfg_json, (g[0], g[-1])) for g in groups
+            [
+                actor.remote(index_dir, cfg_json, (g[0], g[-1]))
+                for _ in range(max(1, num_replicas))
+            ]
+            for g in groups
         ]
         self.num_scorers = len(self._actors)
+        self.num_replicas = max(1, num_replicas)
 
     def msearch(self, queries: Sequence[Dict], cutoff: int = 100) -> pa.Table:
         """Same output shape as ``RaySparseRetriever.msearch_ds``
@@ -125,9 +135,39 @@ class ShardedSearcher:
 
         ids = [str(q["id"]) for q in queries]
         texts = [q.get("text", "") for q in queries]
-        parts = ray.get(
-            [a.score.remote(ids, texts, cutoff) for a in self._actors]
-        )
+        # fan out: each shard group scores every query; within a
+        # group, the query list splits across replicas
+        chunk_idx = np.array_split(np.arange(len(queries)), self.num_replicas)
+        futures = []
+        for group in self._actors:
+            for r, a in enumerate(group):
+                sel = chunk_idx[r]
+                if len(sel) == 0:
+                    continue
+                futures.append(
+                    (
+                        sel,
+                        a.score.remote(
+                            [ids[i] for i in sel],
+                            [texts[i] for i in sel],
+                            cutoff,
+                        ),
+                    )
+                )
+        parts = []
+        for sel, fut in zip(
+            (s for s, _f in futures), ray.get([f for _s, f in futures])
+        ):
+            # chunk-local q indexes -> global query indexes
+            parts.append((sel[fut[0]],) + fut[1:])
+        if not parts:
+            parts = [
+                (
+                    np.empty(0, np.int64), np.empty(0, object),
+                    np.empty(0, np.int32), np.empty(0, np.float64),
+                    np.empty(0, np.int64),
+                )
+            ]
         q_idx = np.concatenate([p[0] for p in parts])
         convs = np.concatenate([p[1] for p in parts])
         turns = np.concatenate([p[2] for p in parts])
@@ -167,6 +207,7 @@ class ShardedSearcher:
     def close(self) -> None:
         import ray
 
-        for a in self._actors:
-            ray.kill(a)
+        for group in self._actors:
+            for a in group:
+                ray.kill(a)
         self._actors = []

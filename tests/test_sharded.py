@@ -69,6 +69,24 @@ def test_sharded_equals_monolithic(built, per_scorer):
     )
 
 
+def test_replica_grid_equals_monolithic(built):
+    """shard × replica grid: replicas split the query list within each
+    shard; the merged result is unchanged."""
+    index_dir, cfg, _ = built
+    mono = RaySparseRetriever(index_dir, cfg)
+    expected = _norm(mono.msearch_ds(list(QUERIES), cutoff=10).to_pandas())
+    sh = ShardedSearcher(
+        index_dir, cfg, shards_per_scorer=2, num_cpus=0.05, num_replicas=2
+    )
+    try:
+        got = _norm(sh.msearch(QUERIES, cutoff=10))
+        empty = sh.msearch([], cutoff=10)
+        assert empty.num_rows == 0
+    finally:
+        sh.close()
+    pd.testing.assert_frame_equal(got, expected)
+
+
 def test_shard_view_memory_is_sliced(built):
     """A shard view holds only its slice's doc arrays."""
     index_dir, cfg, _ = built
