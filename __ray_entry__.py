@@ -336,6 +336,12 @@ def _q_events_hourly(sf_dir: str):
     return tumbling_window(_events(sf_dir), every="hour")
 
 
+def _q_events_hopping(sf_dir: str):
+    from retriv_ray.ops.windows import hopping_window
+
+    return hopping_window(_events(sf_dir), window_s=3600, hop_s=1800)
+
+
 def _q_sessionize(sf_dir: str):
     from retriv_ray.ops.windows import sessionize
 
@@ -501,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        "events_hopping": _q_events_hopping,
         "multimodal_features": _q_multimodal,
         "dedup_filter": _q_dedup_filter,
         "clean_text": _q_clean_text,
@@ -836,6 +843,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, window_start_s
+        """,
+        # hopping (overlapping) windows: 1h window, 30min hop — each
+        # event expands to its window/hop covering starts
+        "events_hopping": """
+            SELECT event_type, ws AS window_start_s,
+                   count(*)::BIGINT AS n_events,
+                   sum(cents)::BIGINT AS value_cents
+            FROM (
+              SELECT event_type, round(value * 100)::BIGINT AS cents,
+                     unnest(generate_series(
+                       ((epoch_us(ts) // 1000000 // 1800) * 1800 - 1800)::BIGINT,
+                       ((epoch_us(ts) // 1000000 // 1800) * 1800)::BIGINT,
+                       1800)) AS ws
+              FROM events)
+            GROUP BY event_type, ws
+            ORDER BY event_type, ws
         """,
     }
     # sharded serving must reproduce the monolithic result exactly —

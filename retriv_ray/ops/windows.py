@@ -55,6 +55,64 @@ def tumbling_window(
     return out.rename_columns({"sum(n)": "n_events", "sum(cents)": "value_cents"})
 
 
+def hopping_window(
+    ds,
+    window_s: int = 3600,
+    hop_s: int = 1800,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Overlapping (hopping/sliding) windows: each event lands in the
+    ``window_s / hop_s`` windows covering it; output is one row per
+    (key, window_start_s) with n_events and integer-cents sum — the
+    same exact-arithmetic contract as :func:`tumbling_window`. The
+    per-event window fan-out happens inside the per-batch combiner, so
+    the shuffle still moves one row per (key, window) per batch, not
+    ``k`` rows per event. ``window_s`` must be a multiple of ``hop_s``
+    (second-aligned boundaries make floor-to-second assignment exact
+    for microsecond timestamps)."""
+    from ray.data.aggregate import Sum
+
+    assert window_s % hop_s == 0, "window must be a multiple of hop"
+    k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.column(ts_col).to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 1_000_000
+        )
+        # same rounding kernel as tumbling_window (pc.round), so both
+        # operators share the SQL oracle's arithmetic exactly
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column(value_col), pa.scalar(100.0))),
+            pa.int64(),
+        ).to_numpy()
+        keys = batch.column(key_col)
+        last = (t // hop_s) * hop_s
+        starts = (last[:, None] - hop_s * np.arange(k)[None, :]).ravel()
+        idx = np.repeat(np.arange(len(t)), k)
+        tbl = pa.Table.from_arrays(
+            [
+                keys.take(pa.array(idx)),
+                pa.array(starts),
+                pa.array(cents[idx]),
+            ],
+            names=[key_col, "window_start_s", "c"],
+        )
+        g = pa.TableGroupBy(tbl, [key_col, "window_start_s"]).aggregate(
+            [("c", "count"), ("c", "sum")]
+        )
+        return g.rename_columns([key_col, "window_start_s", "n", "cents"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start_s"])
+        .aggregate(Sum("n"), Sum("cents"))
+    )
+    return out.rename_columns({"sum(n)": "n_events", "sum(cents)": "value_cents"})
+
+
 def _session_table(
     key: int, ts_us: np.ndarray, n_ev: np.ndarray | None,
     gap_us: int, key_col: str,

@@ -104,3 +104,39 @@ def test_salted_day_buckets(events):
     oracle = _norm(_oracle(df))
     salted = _norm(sessionize(ds, gap_seconds=GAP, salt_seconds=86400).to_pandas())
     pd.testing.assert_frame_equal(salted, oracle, check_dtype=False)
+
+
+def test_hopping_window_covers_and_sums(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from retriv_ray.ops.windows import hopping_window
+
+    base = np.datetime64("2025-06-01T00:15:00", "us")
+    rows = [
+        {"event_type": "a", "ts": base, "value": 1.0},                      # 00:15
+        {"event_type": "a", "ts": base + np.timedelta64(2400, "s"), "value": 2.0},  # 00:55
+        {"event_type": "b", "ts": base + np.timedelta64(3000, "s"), "value": 4.0},  # 01:05
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    df = (
+        hopping_window(ds, window_s=3600, hop_s=1800)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_s"])
+        .reset_index(drop=True)
+    )
+    e = int(base.astype("datetime64[s]").astype(np.int64)) - 900  # 00:00 epoch s
+    # event 00:15 -> windows starting 23:30, 00:00; 00:55 -> 00:00, 00:30;
+    # b at 01:05 -> 00:30, 01:00
+    expect = pd.DataFrame(
+        [
+            ("a", e - 1800, 1, 100),
+            ("a", e, 2, 300),
+            ("a", e + 1800, 1, 200),
+            ("b", e + 1800, 1, 400),
+            ("b", e + 3600, 1, 400),
+        ],
+        columns=["event_type", "window_start_s", "n_events", "value_cents"],
+    )
+    pd.testing.assert_frame_equal(df, expect, check_dtype=False)
