@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.german import stem as german_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
@@ -26,6 +27,7 @@ _STEMMERS = {
     "english": english_stem,
     "porter": porter1_stem,
     "lancaster": lancaster_stem,
+    "german": german_stem,
 }
 
 

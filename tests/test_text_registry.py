@@ -239,3 +239,42 @@ def test_diacritics_unidecode_fidelity():
     assert nd("Straße") == "Strasse"
     assert nd("Øresund æther Łódź") == "Oresund aether Lodz"
     assert nd("Þingvellir ð") == "Thingvellir d"
+
+
+GERMAN_VECTORS = [
+    ("katzen", "katz"),
+    ("aufgabe", "aufgab"),
+    ("häuser", "haus"),
+    ("laufen", "lauf"),
+    ("aufeinander", "aufeinand"),
+    ("aufeinanderfolgende", "aufeinanderfolg"),
+    ("bedürfnissen", "bedurfnis"),  # step-1 "niss" undoubling
+    ("allgemeinen", "allgemein"),
+    ("verschiedenen", "verschied"),  # step 1 + step 2
+    ("schönheit", "schonheit"),  # heit NOT in R2 -> kept
+    ("unglaublich", "unglaub"),  # lich in R2
+    ("bauern", "bau"),  # u between vowels acts as consonant
+    ("arbeiten", "arbeit"),
+    ("möglichkeiten", "moglich"),  # en -> keit -> (lich kept: not R2)
+    ("wissenschaftlich", "wissenschaft"),
+    ("freundlichkeit", "freundlich"),
+    ("straße", "strass"),  # ß -> ss, then e-removal? no: "strasse"->"strass"
+]
+
+
+@pytest.mark.parametrize("word,expected", GERMAN_VECTORS)
+def test_german_vectors(word, expected):
+    from retriv_ray.text.german import stem as german
+
+    assert german(word) == expected
+
+
+def test_german_pipeline_end_to_end():
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.text.pipeline import TextPreprocessor
+
+    cfg = SparseConfig(stemmer="german", stopwords="german")
+    out = TextPreprocessor(cfg).tokens("Die Katzen laufen zwischen den Häusern.")
+    # "zwischen" survives via the M12 stemmed-stopword quirk: the
+    # stopword list is stemmed ("zwisch") but tokens filter PRE-stem
+    assert out == ["katz", "lauf", "zwisch", "haus"]
