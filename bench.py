@@ -231,6 +231,14 @@ def _hw_ceiling(src: str, lo: int, hi: int) -> dict:
         ]
         t0 = time.monotonic()
         [p.start() for p in ps]
+        # pin workers to the same core set the Ray legs get (taskset
+        # in scaling.run) so the ceiling calibrates the identical
+        # hardware footprint
+        try:
+            for i, p in enumerate(ps):
+                os.sched_setaffinity(p.pid, {i % nproc})
+        except (AttributeError, OSError):
+            pass
         res = [q.get() for _ in ps]
         [p.join() for p in ps]
         rates[nproc] = sum(n for n, _ in res) / (time.monotonic() - t0)
@@ -257,8 +265,16 @@ def scaling() -> None:
             GRAFT_BENCH_CONVS=str(SCALING_CONVS),
             GRAFT_SKIP_QUERIES="1",
         )
+        # Pin each leg to exactly `ncpu` host cores: without affinity,
+        # the "4-cpu" leg's numpy/arrow/raylet threads borrow idle
+        # cores of the 32-core host — something a real 4-core node
+        # cannot do — flattering the lo leg and understating measured
+        # efficiency. Pinning makes the N-vs-4N proxy faithful.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -665,7 +665,8 @@ def build_index(
     # input is 100TB on a big cluster.
     if isinstance(source, (str, list)):
         # cluster-size-independent plan: same partitioning at N and 4N
-        target_blocks = max(64, int(est3 // (256 << 20)) + 1)
+        block_floor = int(os.environ.get("GRAFT_BLOCK_FLOOR", "64"))
+        target_blocks = max(block_floor, int(est3 // (256 << 20)) + 1)
         ds = ray.data.read_parquet(
             source,
             columns=["conv_id", "turn_idx", "text"],
