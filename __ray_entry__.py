@@ -368,6 +368,12 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), max_tokens=64, stride=48)
 
 
+def _q_topk_per_group(sf_dir: str):
+    from retriv_ray.ops.prep import topk_per_group
+
+    return topk_per_group(_docs(sf_dir), k=5)
+
+
 def _q_pack_token_stream(sf_dir: str):
     from retriv_ray.ops.prep import pack_token_stream
 
@@ -514,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_hash": _q_split_by_hash,
         "chunk_documents": _q_chunk_documents,
         "pack_token_stream": _q_pack_token_stream,
+        "topk_per_group": _q_topk_per_group,
     }
 
 
@@ -928,5 +935,13 @@ def oracle_sql() -> dict[str, str]:
                greatest(0, seq_id * 256 - base)::BIGINT AS tok_start,
                least(n, (seq_id + 1) * 256 - base)::BIGINT AS tok_end
         FROM spans ORDER BY seq_id, doc_id
+    """
+    out["topk_per_group"] = """
+        SELECT source, rank, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 5 ORDER BY source, rank
     """
     return out

@@ -209,3 +209,61 @@ def pack_token_stream(
         )
 
     return ds.map_batches(spans, batch_format="pyarrow")
+
+
+def topk_per_group(
+    ds,
+    k: int = 5,
+    key_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Data-curation staple: the top-``k`` rows per group by a score
+    column (ties break by ascending id — deterministic, matching a SQL
+    ``row_number() OVER (ORDER BY score DESC, id)`` oracle). Per-batch
+    partial top-k runs BEFORE the shuffle, so the exchange moves at
+    most ``k`` rows per (group, batch) instead of the group's rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        scores = batch.column(score_col).to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        out_idx = []
+        import collections
+
+        by_key = collections.defaultdict(list)
+        for i, kk in enumerate(keys):
+            by_key[kk].append(i)
+        for kk, idxs in by_key.items():
+            idxs = np.asarray(idxs)
+            order = np.lexsort((ids[idxs], -scores[idxs]))[:k]
+            out_idx.extend(idxs[order].tolist())
+        out_idx = pa.array(sorted(out_idx), type=pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch.column(key_col).take(out_idx),
+                batch.column(score_col).take(out_idx),
+                batch.column(id_col).take(out_idx),
+            ],
+            names=[key_col, score_col, id_col],
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        scores = group.column(score_col).to_numpy()
+        ids = group.column(id_col).to_numpy()
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.Table.from_arrays(
+            [
+                group.column(key_col).take(pa.array(order)),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(ids[order]),
+                pa.array(scores[order]),
+            ],
+            names=[key_col, "rank", id_col, score_col],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

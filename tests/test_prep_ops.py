@@ -115,3 +115,26 @@ def test_pack_token_stream(ray_session):
     # every sequence except the last is exactly full
     sizes = df.assign(sz=df.tok_end - df.tok_start).groupby("seq_id")["sz"].sum()
     assert sizes.tolist() == [8, 8, 8, 1]
+
+
+def test_topk_per_group(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.prep import topk_per_group
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(10):
+            rows.append({"source": g, "doc_id": i + (100 if g == "b" else 0),
+                         "n_chars": (i * 7) % 10})
+    ds = ray.data.from_items(rows).repartition(4)
+    df = (
+        topk_per_group(ds, k=3)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    # group a scores: i*7%10 -> 9 at i=7, 8 at i=4, 7 at i=1 (desc, id asc tie-break)
+    assert df[df.source == "a"].doc_id.tolist() == [7, 4, 1]
+    assert df[df.source == "b"].doc_id.tolist() == [107, 104, 101]
+    assert df["rank"].tolist() == [1, 2, 3, 1, 2, 3]
