@@ -21,6 +21,7 @@ from retriv_ray.text.german import stem as german_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
+from retriv_ray.text.spanish import stem as spanish_stem
 from retriv_ray.text.tokenizer import identity_function
 
 _STEMMERS = {
@@ -28,6 +29,7 @@ _STEMMERS = {
     "porter": porter1_stem,
     "lancaster": lancaster_stem,
     "german": german_stem,
+    "spanish": spanish_stem,
 }
 
 

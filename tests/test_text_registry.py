@@ -278,3 +278,39 @@ def test_german_pipeline_end_to_end():
     # "zwischen" survives via the M12 stemmed-stopword quirk: the
     # stopword list is stemmed ("zwisch") but tokens filter PRE-stem
     assert out == ["katz", "lauf", "zwisch", "haus"]
+
+
+SPANISH_VECTORS = [
+    ("casas", "cas"),
+    ("corriendo", "corr"),
+    ("importante", "import"),
+    ("comunicación", "comun"),  # ación in R2, then ic follow-up
+    ("niñas", "niñ"),  # postlude strips acutes only; ñ kept
+    ("trabajando", "trabaj"),
+    ("librería", "libr"),  # -ería verb-suffix strip (spec trace)
+    ("nacional", "nacional"),  # no matching suffix
+    ("guerra", "guerr"),
+    ("tomando", "tom"),
+    ("lógica", "logic"),
+    ("rapidamente", "rapid"),
+    ("comiéndoselo", "com"),  # step-0 pronoun + deaccent + iendo
+    ("fácilmente", "facil"),
+    ("capacidad", "capac"),
+    ("construyendo", "constru"),  # 2a y-suffix after u
+]
+
+
+@pytest.mark.parametrize("word,expected", SPANISH_VECTORS)
+def test_spanish_vectors(word, expected):
+    from retriv_ray.text.spanish import stem as spanish
+
+    assert spanish(word) == expected
+
+
+def test_spanish_pipeline_end_to_end():
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.text.pipeline import TextPreprocessor
+
+    cfg = SparseConfig(stemmer="spanish", stopwords="spanish")
+    out = TextPreprocessor(cfg).tokens("Los gatos corren entre las casas.")
+    assert "gat" in out and "cas" in out
