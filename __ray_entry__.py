@@ -160,8 +160,12 @@ def _q_bm25_topk_sharded(sf_dir: str):
     )
     from retriv_ray.search.sharded import ShardedSearcher
 
+    # key covers the build inputs (parameters + config), not just the
+    # source path — changing num_parts/shard_docs/ORACLE_BM25 in a
+    # later round must not silently reuse a stale cached index
     key = hashlib.sha1(
-        f"sharded|{os.path.abspath(sf_dir)}".encode()
+        f"sharded|{os.path.abspath(sf_dir)}|np=3|sd=2048|"
+        f"{sorted(ORACLE_BM25.to_json().items())}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"sharded-{key}")
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):

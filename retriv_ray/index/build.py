@@ -56,6 +56,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from retriv_ray.config import SparseConfig
@@ -114,18 +115,29 @@ def _term_parts_np(terms: np.ndarray, num_parts: int) -> np.ndarray:
 
 
 def _offsets_partial(batch: pa.Table) -> pa.Table:
-    # vectorized per-batch combiner (pyarrow group_by is C++)
-    return pa.TableGroupBy(
-        batch.select(["conv_id", "turn_idx"]), "conv_id"
-    ).aggregate(
+    # vectorized per-batch combiner (pyarrow group_by is C++).
+    # turn_sq (int64 square) adds a second moment to the contiguity
+    # guard: min/max/count/sum alone admit compensating multisets
+    # (e.g. [0,1,1,4,4,5] has the right min/max/count/sum), and a
+    # silent duplicate would corrupt doc_id = base + turn_idx.
+    ti = pc.cast(batch.column("turn_idx"), pa.int64())
+    t = pa.Table.from_arrays(
+        [batch.column("conv_id"), ti, pc.multiply(ti, ti)],
+        names=["conv_id", "turn_idx", "turn_sq"],
+    )
+    return pa.TableGroupBy(t, "conv_id").aggregate(
         [
             ("turn_idx", "count"),
             ("turn_idx", "min"),
             ("turn_idx", "max"),
             ("turn_idx", "sum"),
+            ("turn_sq", "sum"),
         ]
     ).rename_columns(
-        ["conv_id", "count()", "min(turn_idx)", "max(turn_idx)", "sum(turn_idx)"]
+        [
+            "conv_id", "count()", "min(turn_idx)", "max(turn_idx)",
+            "sum(turn_idx)", "sumsq(turn_idx)",
+        ]
     )
 
 
@@ -210,6 +222,7 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
                 "min(turn_idx)": "min",
                 "max(turn_idx)": "max",
                 "sum(turn_idx)": "sum",
+                "sumsq(turn_idx)": "sum",
             }
         )
         conv = g.index.tolist()
@@ -217,6 +230,7 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         tmin = g["min(turn_idx)"].to_numpy()
         tmax = g["max(turn_idx)"].to_numpy()
         tsum = g["sum(turn_idx)"].to_numpy()
+        tsq = g["sumsq(turn_idx)"].to_numpy()
     else:
         from ray.data.aggregate import Max, Min, Sum
 
@@ -233,6 +247,7 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
                 Min("min(turn_idx)"),
                 Max("max(turn_idx)"),
                 Sum("sum(turn_idx)"),
+                Sum("sumsq(turn_idx)"),
             )
             .sort("conv_id")
         )
@@ -242,16 +257,29 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         tmin = t.column("min(min(turn_idx))").to_numpy()
         tmax = t.column("max(max(turn_idx))").to_numpy()
         tsum = t.column("sum(sum(turn_idx))").to_numpy()
-    # contiguity: min==0, max+1==count, AND sum==n(n-1)/2 — the sum
-    # guard catches a duplicate turn_idx compensating a gap (e.g.
-    # [0,1,1,3]), which would silently corrupt doc_id assignment.
+        tsq = t.column("sum(sumsq(turn_idx))").to_numpy()
+    # contiguity: min==0, max+1==count, sum==n(n-1)/2 AND
+    # sumsq==n(n-1)(2n-1)/6 — two independent moments on top of
+    # min/max/count. One moment admits compensating multisets (e.g.
+    # [0,1,1,4,4,5] passes min/max/count/sum); matching both the
+    # first and second moment as well as min/max/count has no
+    # non-contiguous integer solution in realistic ranges, so a
+    # duplicate+gap pair can no longer silently corrupt
+    # doc_id = base + turn_idx.
+    n64 = n.astype(np.int64)
+    want_sum = n64 * (n64 - 1) // 2
+    want_sq = n64 * (n64 - 1) * (2 * n64 - 1) // 6
     if len(n) and (
         tmin.min() != 0
         or not np.array_equal(tmax + 1, n)
-        or not np.array_equal(tsum.astype(np.int64), n * (n - 1) // 2)
+        or not np.array_equal(tsum.astype(np.int64), want_sum)
+        or not np.array_equal(tsq.astype(np.int64), want_sq)
     ):
         bad = np.flatnonzero(
-            (tmin != 0) | (tmax + 1 != n) | (tsum.astype(np.int64) != n * (n - 1) // 2)
+            (tmin != 0)
+            | (tmax + 1 != n)
+            | (tsum.astype(np.int64) != want_sum)
+            | (tsq.astype(np.int64) != want_sq)
         )[:5]
         raise ValueError(
             "turn_idx must be 0-based, contiguous and duplicate-free per "

@@ -496,6 +496,12 @@ def _pair_table(a: np.ndarray, b: np.ndarray, s: np.ndarray) -> pa.Table:
     )
 
 
+#: 'exact' is O((n/block_rows)^2) block-pair tasks — above this row
+#: count the task count alone is in the tens of thousands and 'lsh'
+#: is the intended path; the guard makes the cliff loud, not silent.
+EXACT_NEAR_DUP_MAX_ROWS = 2_000_000
+
+
 def _near_dup_exact(base, threshold: float, id_col: str, vec_col: str, block_rows: int):
     """Distributed exact all-pairs: block-pair cross tasks over object
     store refs. Results come back as a Dataset via from_arrow_refs
@@ -505,6 +511,13 @@ def _near_dup_exact(base, threshold: float, id_col: str, vec_col: str, block_row
 
     mat = base.materialize()
     n = mat.count()
+    if n > EXACT_NEAR_DUP_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dup(method='exact') on {n} rows would "
+            f"schedule ~{math.ceil(n / block_rows) ** 2 // 2} block-pair "
+            "tasks; use method='lsh' (streaming, scales to 10^9+) or "
+            "raise ops.dedup.EXACT_NEAR_DUP_MAX_ROWS explicitly"
+        )
     num_blocks = max(1, math.ceil(n / block_rows))
     refs = list(mat.repartition(num_blocks).materialize().to_arrow_refs())
     thr = threshold

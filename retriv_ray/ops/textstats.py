@@ -70,8 +70,13 @@ def token_counts_by(ds, group_col: str, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        # token count per row == number of \S+ runs (exactly python
-        # str.split() semantics); fully pyarrow.compute, no row loop
+        # token count per row == number of \S+ runs in RE2 semantics
+        # (fully pyarrow.compute, no row loop). NOTE: RE2's \s is
+        # [ \t\n\r\f] — it excludes \x0b and Unicode whitespace — so
+        # on text containing those, counts diverge from the
+        # str.split()-based ops (quality_stats, chunk_documents,
+        # pack_token_stream). RE2 is kept here because it is the
+        # exact dialect DuckDB shares, making the op SQL-checkable.
         ntok = pc.cast(
             pc.fill_null(
                 pc.count_substring_regex(batch.column(text_col), r"\S+"), 0

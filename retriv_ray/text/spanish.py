@@ -141,7 +141,15 @@ def stem(word: str) -> str:
                     w = stem_
                     matched = True
                     break
-        if not matched and stem_.endswith("yendo") and "uyendo" == stem_[-6:]:
+        # spec: "yendo" must lie in RV (only the preceding u may sit
+        # outside RV) — without the RV check, very short words like
+        # "uyendolo" (RV starts at 3) would be over-stemmed.
+        if (
+            not matched
+            and stem_.endswith("yendo")
+            and "uyendo" == stem_[-6:]
+            and in_rv(len(stem_) - 5)
+        ):
             w = stem_
         break  # longest pronoun matched; pronoun rules tried once
 
