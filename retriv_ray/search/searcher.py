@@ -52,6 +52,101 @@ from retriv_ray.search import kernel
 from retriv_ray.text.pipeline import TextPreprocessor
 
 
+class TermStats:
+    """Lazy, part-sharded view of the global terms table (vocabulary
+    membership + df), replacing the former whole-vocabulary Python
+    ``Dict[str, int]`` that cost tens of GB per scorer actor at 10^9
+    terms. ``terms/part-PPPP.parquet`` files are written sorted by
+    term (index.build._merge_part_terms), so each part loads on first
+    touch as a single Arrow string array + numpy df array — resident
+    memory is the raw Arrow byte buffers of only the parts a workload
+    touches (no per-term str objects, no hashtable) — and a term is
+    looked up by binary search over the Arrow array (UTF-8 byte order
+    == code-point order, so Arrow's sort agrees with Python ``<``).
+    A small bounded memo keeps hot Zipf terms at dict speed.
+
+    Implements the read-only mapping surface (get/in/[]/iter/len) the
+    serving code and tests use; ``__iter__``/``__len__`` load every
+    part and exist for tests and small-index introspection only.
+    """
+
+    def __init__(self, terms_dir: str, num_parts: int):
+        self.terms_dir = terms_dir
+        self.num_parts = num_parts
+        self._parts: Dict[int, Optional[tuple]] = {}
+        self._memo: Dict[str, Optional[int]] = {}
+        self._memo_cap = 65536
+
+    def _part(self, p: int):
+        hit = self._parts.get(p, False)
+        if hit is not False:
+            return hit
+        path = os.path.join(self.terms_dir, f"part-{p:04d}.parquet")
+        entry = None
+        if os.path.exists(path):
+            t = pq.read_table(path, columns=["term", "df"])
+            if t.num_rows:
+                entry = (
+                    t.column("term").combine_chunks(),
+                    t.column("df").to_numpy(),
+                )
+        self._parts[p] = entry
+        return entry
+
+    def get(self, term: str, default=None):
+        hit = self._memo.get(term, False)
+        if hit is not False:
+            return default if hit is None else hit
+        entry = self._part(term_part(term, self.num_parts))
+        out = None
+        if entry is not None:
+            terms, df = entry
+            lo, hi = 0, len(terms)
+            while lo < hi:
+                mid = (lo + hi) >> 1
+                if terms[mid].as_py() < term:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if lo < len(terms) and terms[lo].as_py() == term:
+                out = int(df[lo])
+        if len(self._memo) >= self._memo_cap:
+            self._memo.pop(next(iter(self._memo)))
+        self._memo[term] = out
+        return out if out is not None else default
+
+    def __contains__(self, term: str) -> bool:
+        return self.get(term) is not None
+
+    def __getitem__(self, term: str) -> int:
+        v = self.get(term)
+        if v is None:
+            raise KeyError(term)
+        return v
+
+    def __iter__(self):
+        for p in range(self.num_parts):
+            entry = self._part(p)
+            if entry is not None:
+                yield from entry[0].to_pylist()
+
+    def __len__(self) -> int:
+        return sum(
+            len(e[0])
+            for p in range(self.num_parts)
+            if (e := self._part(p)) is not None
+        )
+
+    def resident_bytes(self) -> int:
+        """Arrow + numpy bytes of the parts loaded so far (for RSS
+        accounting; compare against ~100 bytes/term of dict+str)."""
+        return sum(
+            e[0].nbytes + e[1].nbytes
+            for e in self._parts.values()
+            if e is not None
+        )
+
+
 class LoadedIndex:
     def __init__(
         self,
@@ -83,15 +178,11 @@ class LoadedIndex:
             self.local_count = self.doc_count
         self.shard_range = shard_range
 
-        terms_dir = os.path.join(index_dir, "terms")
-        self.term_df: Dict[str, int] = {}
-        for name in sorted(os.listdir(terms_dir)) if os.path.isdir(terms_dir) else []:
-            if not name.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(terms_dir, name))
-            self.term_df.update(
-                zip(t.column("term").to_pylist(), t.column("df").to_numpy())
-            )
+        # lazy per-part term stats — see TermStats (the former
+        # whole-vocab dict was the serving memory wall at 10^9 terms)
+        self.term_df = TermStats(
+            os.path.join(index_dir, "terms"), self.num_parts
+        )
 
         dl_dir = os.path.join(index_dir, "doc_lens")
         lens = np.zeros(self.local_count, dtype=np.float32)
