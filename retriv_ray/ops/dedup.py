@@ -122,7 +122,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = 10_000,
 ):
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >=
     threshold, plus the exact jaccard as cents (int64, floor(j*10000))
@@ -130,10 +130,16 @@ def ngram_jaccard_pairs(
 
     Each (shingle, doc) row carries the doc's shingle-set size, so the
     final Jaccard is computed row-locally after the pair groupby — no
-    driver-side size map and no extra shuffle. With ``max_shingle_df``
-    set, groups larger than the cap emit no pairs (approximate; pairs
-    whose shared shingles are ALL hot are missed — a warning is logged
-    per dropped group with its df)."""
+    driver-side size map and no extra shuffle. Groups larger than
+    ``max_shingle_df`` emit no pairs: the pair fan-out is df² per
+    shingle, so ONE boilerplate shingle shared by 10^6 docs would
+    emit 5*10^11 rows — the cap defaults ON (10^4 ~ 5*10^7 pairs
+    worst-case per hot shingle, object-store sized) so the default
+    configuration cannot silently OOM the reducer. Each dropped group
+    logs a warning with its df. The result is then approximate only
+    for pairs whose EVERY shared shingle is hotter than the cap; at
+    threshold >= 0.5 such pairs are boilerplate-only matches. Pass
+    ``max_shingle_df=None`` for exact semantics on bounded inputs."""
 
     def shingles(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()

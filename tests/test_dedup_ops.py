@@ -125,3 +125,27 @@ def test_dedup_filter_keeps_lowest_id(docs_ds):
     # docs 1 (exact dup of 0) and 2 (near-dup of 0) dropped; 0 kept as
     # the lowest-id representative
     assert kept == [0, 3, 4]
+
+
+def test_ngram_default_cap_survives_100k_df_shingle(ray_session):
+    """One shingle shared by 10^5 docs would fan out ~5*10^9 pairs
+    uncapped; the DEFAULT max_shingle_df must drop that group (loudly)
+    while genuine near-dups elsewhere still pair up."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.dedup import ngram_jaccard_pairs
+
+    n_hot = 100_000
+    hot = "boilerplate footer sentence"  # 3 tokens -> exactly 1 shingle
+    ids = list(range(n_hot)) + [n_hot, n_hot + 1]
+    texts = [hot] * n_hot + [
+        "unique alpha beta gamma delta payload",
+        "unique alpha beta gamma delta payload",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    ).repartition(8)
+    got = _pairs(ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas())
+    # the hot-shingle group emits nothing; the true dup pair survives
+    assert got == {(n_hot, n_hot + 1)}
