@@ -17,6 +17,7 @@ ANSI SQL for the driver's oracle gate:
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Dict, Sequence
 
 import numpy as np
@@ -146,13 +147,16 @@ def pack_token_stream(
 
     Two passes, same shape as the index build's conv-offsets stage:
     pass 1 reduces to one (id, n_tokens) row per document
-    (document-level, not token-level) and prefix-sums the global
-    offsets; pass 2 is an embarrassingly parallel map that assigns
-    each document its overlapping sequence windows from the broadcast
-    offset arrays. Document-count above ``driver_merge_limit`` needs
-    the distributed-merge variant (same escape hatch as
-    index/build.py's conv offsets — bucketed prefix sums); this
-    implementation targets corpora whose DOC COUNT fits driver memory.
+    (document-level, not token-level). Up to ``driver_merge_limit``
+    documents the global offsets prefix-sum on the driver and
+    broadcast (pass 2 is then an embarrassingly parallel map). Above
+    the limit the prefix-sum runs DISTRIBUTED and bucketed: doc-id
+    ranges partition into buckets, a tiny per-bucket token-sum table
+    (one row per bucket) prefix-sums on the driver, and a
+    groupby(bucket) shuffle of the doc-level (id, n) rows lets each
+    bucket compute its docs' exact global offsets — and emit their
+    span rows — locally. Driver memory is O(num_buckets); no
+    per-document state ever gathers.
     """
     import ray
 
@@ -163,41 +167,21 @@ def pack_token_stream(
         )
         return pa.Table.from_arrays([batch.column(id_col), n], names=[id_col, "n"])
 
-    parts = pa.concat_tables(
-        list(
-            ds.map_batches(counts, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        )
-    )
-    if parts.num_rows > driver_merge_limit:
-        raise NotImplementedError(
-            "pack_token_stream: doc count exceeds the driver offset "
-            "merge limit; use the bucketed distributed prefix-sum "
-            "variant (see index/build.py compute_conv_offsets)."
-        )
-    order = np.argsort(parts.column(id_col).to_numpy(), kind="stable")
-    ids_sorted = parts.column(id_col).to_numpy()[order]
-    n_sorted = parts.column("n").to_numpy()[order]
-    base = np.concatenate(([0], np.cumsum(n_sorted)[:-1]))
-    ref = ray.put((ids_sorted, base, n_sorted))
     b = budget
 
-    def spans(batch: pa.Table) -> pa.Table:
-        ids_s, base_s, n_s = ray.get(ref)
-        ids = batch.column(id_col).to_numpy()
-        pos = np.searchsorted(ids_s, ids)
-        out_seq, out_id, out_s, out_e = [], [], [], []
+    def doc_spans(ids, ns, bases, out_seq, out_id, out_s, out_e):
         for k in range(len(ids)):
-            n = int(n_s[pos[k]])
+            n = int(ns[k])
             if n == 0:
                 continue
-            lo = int(base_s[pos[k]])
+            lo = int(bases[k])
             for seq in range(lo // b, (lo + n - 1) // b + 1):
                 out_seq.append(seq)
-                out_id.append(ids[k])
+                out_id.append(int(ids[k]))
                 out_s.append(max(0, seq * b - lo))
                 out_e.append(min(n, (seq + 1) * b - lo))
+
+    def span_table(out_seq, out_id, out_s, out_e) -> pa.Table:
         return pa.Table.from_arrays(
             [
                 pa.array(out_seq, type=pa.int64()),
@@ -208,7 +192,88 @@ def pack_token_stream(
             names=["seq_id", id_col, "tok_start", "tok_end"],
         )
 
-    return ds.map_batches(spans, batch_format="pyarrow")
+    counts_ds = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    n_docs = counts_ds.count()
+
+    if n_docs <= driver_merge_limit:
+        parts = pa.concat_tables(
+            list(counts_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        order = np.argsort(parts.column(id_col).to_numpy(), kind="stable")
+        ids_sorted = parts.column(id_col).to_numpy()[order]
+        n_sorted = parts.column("n").to_numpy()[order]
+        base = np.concatenate(([0], np.cumsum(n_sorted)[:-1]))
+        ref = ray.put((ids_sorted, base, n_sorted))
+
+        def spans(batch: pa.Table) -> pa.Table:
+            ids_s, base_s, n_s = ray.get(ref)
+            ids = batch.column(id_col).to_numpy()
+            pos = np.searchsorted(ids_s, ids)
+            out = ([], [], [], [])
+            doc_spans(ids, n_s[pos], base_s[pos], *out)
+            return span_table(*out)
+
+        return ds.map_batches(spans, batch_format="pyarrow")
+
+    # ---- distributed bucketed prefix-sum (the 10^9-doc path) ----
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = counts_ds.aggregate(Min(id_col), Max(id_col))
+    id_lo, id_hi = int(stats[f"min({id_col})"]), int(stats[f"max({id_col})"])
+    # ~driver_merge_limit/2 docs per bucket on average keeps each
+    # reduce group driver-sized while the bucket table stays tiny
+    n_buckets = max(1, math.ceil(n_docs / max(1, driver_merge_limit // 2)))
+    span = max(1, math.ceil((id_hi - id_lo + 1) / n_buckets))
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        bk = (batch.column(id_col).to_numpy() - id_lo) // span
+        t = pa.Table.from_arrays(
+            [pa.array(bk, type=pa.int64()), batch.column("n")],
+            names=["bucket", "n"],
+        )
+        return pa.TableGroupBy(t, "bucket").aggregate([("n", "sum")]).rename_columns(
+            ["bucket", "n"]
+        )
+
+    # one row per (bucket, batch) -> one row per bucket: tiny exchange
+    btbl = pa.concat_tables(
+        list(
+            counts_ds.map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n"))
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    border = np.argsort(btbl.column("bucket").to_numpy())
+    bkeys = btbl.column("bucket").to_numpy()[border]
+    bsums = btbl.column("sum(n)").to_numpy()[border]
+    bbase = np.concatenate(([0], np.cumsum(bsums)[:-1]))
+    bref = ray.put((bkeys, bbase))
+
+    def bucket_spans(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        ns = group.column("n").to_numpy()
+        order_ = np.argsort(ids, kind="stable")
+        ids, ns = ids[order_], ns[order_]
+        keys, bases0 = ray.get(bref)
+        bk = int((ids[0] - id_lo) // span) if len(ids) else 0
+        start = bases0[np.searchsorted(keys, bk)] if len(ids) else 0
+        bases = start + np.concatenate(([0], np.cumsum(ns)[:-1]))
+        out = ([], [], [], [])
+        doc_spans(ids, ns, bases, *out)
+        return span_table(*out)
+
+    return (
+        counts_ds.map_batches(
+            lambda t: t.append_column(
+                "bucket",
+                pa.array((t.column(id_col).to_numpy() - id_lo) // span),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(bucket_spans, batch_format="pyarrow")
+    )
 
 
 def topk_per_group(

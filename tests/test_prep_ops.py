@@ -138,3 +138,32 @@ def test_topk_per_group(ray_session):
     assert df[df.source == "a"].doc_id.tolist() == [7, 4, 1]
     assert df[df.source == "b"].doc_id.tolist() == [107, 104, 101]
     assert df["rank"].tolist() == [1, 2, 3, 1, 2, 3]
+
+
+def test_pack_token_stream_distributed_prefix_sum(ray_session):
+    """A tiny driver_merge_limit forces the bucketed distributed
+    prefix-sum; output must be row-identical to the driver path."""
+    import ray.data
+
+    from retriv_ray.ops.prep import pack_token_stream
+
+    rng_lens = [(i * 7 + 3) % 13 for i in range(60)]  # includes zeros
+    rows = [
+        {"doc_id": 1000 + 3 * i, "text": " ".join(f"w{i}_{j}" for j in range(v))}
+        for i, v in enumerate(rng_lens)
+    ]
+    ds = ray.data.from_items(rows).repartition(7)
+    key = ["seq_id", "doc_id"]
+    small = (
+        pack_token_stream(ds, budget=16)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    dist = (
+        pack_token_stream(ds, budget=16, driver_merge_limit=10)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(dist, small, check_dtype=False)
+    sizes = dist.assign(sz=dist.tok_end - dist.tok_start).groupby("seq_id")["sz"].sum()
+    assert set(sizes.tolist()[:-1]) == {16}
