@@ -191,6 +191,49 @@ def _q_bm25_topk_sharded(sf_dir: str):
     )
 
 
+def _q_filtered_bm25_sharded(sf_dir: str):
+    """Same result contract (and oracle SQL) as filtered_bm25_topk,
+    served through the per-doc-shard grid: each shard actor evaluates
+    the filter DSL against its shard-sliced MetadataIndex (local ids)
+    and the driver merge stays k x shards x queries rows."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.searcher import RaySparseRetriever
+    from retriv_ray.search.sharded import ShardedSearcher
+
+    _q_bm25_topk_sharded(sf_dir)  # ensures the sharded index exists
+    from retriv_ray.pipelines.documents import CACHE_ROOT, ORACLE_BM25
+
+    key = hashlib.sha1(
+        f"sharded|{os.path.abspath(sf_dir)}|np=3|sd=2048|"
+        f"{sorted(ORACLE_BM25.to_json().items())}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"sharded-{key}")
+    ensure_documents_metadata(
+        sf_dir, RaySparseRetriever(index_dir, ORACLE_BM25)
+    )
+    sh = ShardedSearcher(index_dir, ORACLE_BM25, shards_per_scorer=1)
+    try:
+        tbl = sh.msearch(
+            [dict(qd, id=q) for q, (qd, _sql) in FILTERED_QUERIES.items()],
+            cutoff=CUTOFF,
+        )
+    finally:
+        sh.close()
+    return pa.Table.from_arrays(
+        [
+            tbl.column("q_id"),
+            pa.array(tbl.column("rank").to_numpy().astype("int64")),
+            pa.array(conv_to_doc_id(tbl.column("conv_id").to_pylist())),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_tfidf_topk(sf_dir: str):
     from retriv_ray.pipelines.documents import (
         ORACLE_TFIDF,
@@ -500,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
+        "filtered_bm25_topk_sharded": _q_filtered_bm25_sharded,
         "fusion_topk": _q_fusion_topk,
         "bm25_full_chain": _q_bm25_full_chain,
         "dedup_exact": _q_dedup_exact,
@@ -875,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
     # sharded serving must reproduce the monolithic result exactly —
     # same oracle as bm25_topk
     out["bm25_topk_sharded"] = out["bm25_topk"]
+    out["filtered_bm25_topk_sharded"] = out["filtered_bm25_topk"]
     # prep ops (ops/prep.py): the Python side uses pyarrow RE2 regex
     # kernels / md5 low-8-bytes — the same RE2 dialect and
     # md5_number_lower DuckDB exposes, so these are exact oracles.

@@ -17,8 +17,11 @@ once per process, keeps number/bool fields as dense arrays and
 keyword(s) fields as value -> sorted-int32-id postings — the same
 shapes the reference builds in RAM (advanced_retriever.py:222-267),
 here reloadable per serving actor. At 10^12 docs this sits sharded
-next to doc_lens (same doc-range sharding); filters then evaluate
-per shard — documented, not exercised in the sandbox.
+next to doc_lens (same doc-range sharding): ``MetadataIndex`` takes
+the same ``shard_range`` as ``LoadedIndex`` and filters evaluate
+inside each shard actor (search.sharded), pinned by
+tests/test_sharded.py::test_sharded_filtered_equals_monolithic and
+the ``filtered_bm25_topk_sharded`` driver oracle.
 """
 
 from __future__ import annotations
@@ -88,9 +91,16 @@ def build_metadata(source, index_dir: str, schema: Dict[str, str]) -> None:
 
 
 class MetadataIndex:
-    """Per-process filter evaluator over the metadata parquet."""
+    """Per-process filter evaluator over the metadata parquet.
 
-    def __init__(self, index_dir: str):
+    ``shard_range=(s0, s1)`` (inclusive, same contract as
+    ``LoadedIndex``) restricts the view to a contiguous run of doc
+    shards: only that slice's rows are kept and all returned doc ids
+    are LOCAL (global - doc_base), so the filter DSL composes with
+    per-doc-shard serving (``search.sharded``) — each shard actor's
+    metadata memory is sized to its slice, not the corpus."""
+
+    def __init__(self, index_dir: str, shard_range=None):
         out_dir = os.path.join(index_dir, "metadata")
         with open(os.path.join(out_dir, "schema.json")) as f:
             self.schema: Dict[str, str] = json.load(f)
@@ -100,7 +110,23 @@ class MetadataIndex:
             if p.endswith(".parquet")
         )
         t = pa.concat_tables([pq.read_table(p) for p in parts])
-        order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
+        self.doc_base = 0
+        if shard_range is not None:
+            import pyarrow.compute as pc
+
+            man = mf.IndexManifest.load(index_dir)
+            salt_docs = getattr(man, "salt_docs", 0) or man.doc_count
+            s0, s1 = shard_range
+            self.doc_base = s0 * salt_docs
+            hi = min((s1 + 1) * salt_docs, man.doc_count)
+            col = t.column("doc_id")
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(col, self.doc_base), pc.less(col, hi)
+                )
+            )
+        ids_np = t.column("doc_id").to_numpy() - self.doc_base
+        order = np.argsort(ids_np, kind="stable")
         self.doc_count = t.num_rows
         self.doc_ids = np.arange(self.doc_count, dtype=np.int64)
         self.values: Dict[str, Any] = {}

@@ -379,11 +379,15 @@ class RaySparseRetriever:
     @property
     def metadata(self):
         """Lazy MetadataIndex (built via search.metadata.build_metadata;
-        enables the AdvancedRetriever filter DSL in :meth:`search`)."""
+        enables the AdvancedRetriever filter DSL in :meth:`search`).
+        Shard views get a shard-sliced metadata view with LOCAL ids —
+        the same contract the kernel subset path expects."""
         if self._metadata is None:
             from retriv_ray.search.metadata import MetadataIndex
 
-            self._metadata = MetadataIndex(self.index_dir)
+            self._metadata = MetadataIndex(
+                self.index_dir, shard_range=self.index.shard_range
+            )
         return self._metadata
 
     # -- query preprocessing ------------------------------------------

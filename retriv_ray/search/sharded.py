@@ -43,20 +43,44 @@ class _ShardScorer:
         )
         self.doc_base = self.r.index.doc_base
 
-    def score(self, ids: List[str], texts: List[str], cutoff: int):
+    def score(self, ids: List[str], texts: List, cutoff: int):
         """Per-query local top-``cutoff`` over this shard slice.
-        Returns compact numpy columns (q_idx, conv_id, turn_idx,
-        score, global doc_id) — the driver-side merge is k × shards ×
-        queries rows, never corpus-sized."""
+        ``texts`` entries are plain strings OR reference-style query
+        dicts carrying the filter DSL (where / where_not / bare field
+        filters) — filters evaluate inside the actor against its
+        shard-sliced MetadataIndex (local ids), so filtered serving
+        never ships corpus-sized id sets. Returns compact numpy
+        columns (q_idx, conv_id, turn_idx, score, global doc_id) —
+        the driver-side merge is k × shards × queries rows, never
+        corpus-sized."""
         r = self.r
         q_idx: List[np.ndarray] = []
         docs: List[np.ndarray] = []
         scores: List[np.ndarray] = []
+        nocut: List[int] = []
         for i, text in enumerate(texts):
+            subset = None
+            was_dict = isinstance(text, dict)
+            if was_dict:
+                subset = r.metadata.subset_for_query(text)
+                text = text.get("text", "")
             terms = r.query_terms(text or "")
             if not terms:
-                continue
-            d, s = r._score(terms, cutoff)
+                if not was_dict:
+                    continue
+                # reference filters-only semantics: every (filtered)
+                # doc with score 1.0 and NO cutoff
+                # (advanced_retriever.py:564-570) — flagged so the
+                # driver merge skips its rank cutoff for this query
+                d = (
+                    np.arange(r.index.local_count, dtype=np.int64)
+                    if subset is None
+                    else np.asarray(subset, dtype=np.int64)
+                )
+                s = np.ones(len(d), dtype=np.float64)
+                nocut.append(i)
+            else:
+                d, s = r._score(terms, cutoff, subset=subset)
             q_idx.append(np.full(len(d), i, dtype=np.int32))
             docs.append(d)
             scores.append(s.astype(np.float64))
@@ -65,6 +89,7 @@ class _ShardScorer:
             return (
                 e.astype(np.int32), np.empty(0, object),
                 e.astype(np.int32), e.astype(np.float64), e.astype(np.int64),
+                np.empty(0, np.int32),
             )
         d_local = np.concatenate(docs)
         convs, turns = self.r.index.to_original_ids(d_local)
@@ -74,6 +99,7 @@ class _ShardScorer:
             turns,
             np.concatenate(scores),
             d_local + self.doc_base,
+            np.asarray(nocut, dtype=np.int32),
         )
 
 
@@ -134,7 +160,14 @@ class ShardedSearcher:
         import ray
 
         ids = [str(q["id"]) for q in queries]
-        texts = [q.get("text", "") for q in queries]
+        # queries carrying filter keys ship as dicts (sans id) so each
+        # shard actor evaluates the DSL against its local metadata
+        texts = [
+            {k: v for k, v in q.items() if k != "id"}
+            if len(q.keys() - {"id", "text"}) > 0
+            else q.get("text", "")
+            for q in queries
+        ]
         # fan out: each shard group scores every query; within a
         # group, the query list splits across replicas
         chunk_idx = np.array_split(np.arange(len(queries)), self.num_replicas)
@@ -155,11 +188,13 @@ class ShardedSearcher:
                     )
                 )
         parts = []
+        nocut_global: set = set()
         for sel, fut in zip(
             (s for s, _f in futures), ray.get([f for _s, f in futures])
         ):
             # chunk-local q indexes -> global query indexes
-            parts.append((sel[fut[0]],) + fut[1:])
+            parts.append((sel[fut[0]],) + fut[1:5])
+            nocut_global.update(sel[fut[5]].tolist())
         if not parts:
             parts = [
                 (
@@ -188,6 +223,10 @@ class ShardedSearcher:
             )
             rank = np.arange(len(q_s)) - group_start + 1
             keep = rank <= cutoff
+            if nocut_global:
+                # filters-only queries return ALL their (filtered)
+                # docs, per reference semantics — no rank cutoff
+                keep |= np.isin(q_s, np.asarray(sorted(nocut_global)))
         else:
             rank = np.empty(0, dtype=np.int64)
             keep = np.empty(0, dtype=bool)
