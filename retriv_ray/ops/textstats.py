@@ -162,23 +162,22 @@ def doc_fingerprint(
     BASE = np.uint64(1000003)
 
     def fp(batch: pa.Table) -> pa.Table:
-        import hashlib
+        from retriv_ray.ops.dedup import _md5_low64_many
 
         texts = batch.column(text_col).to_pylist()
         fps = np.empty(len(texts), dtype=np.int64)
         n_grams = np.empty(len(texts), dtype=np.int64)
+        p, base = int(P), int(BASE)
+        top = pow(base, window, p)
         for i, t in enumerate(texts):
             toks = (t or "").split()
             if len(toks) < window:
                 fps[i] = 0
                 n_grams[i] = 0
                 continue
-            p, base = int(P), int(BASE)
-            vals = [
-                int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little") % p
-                for w in toks
-            ]
-            top = pow(base, window, p)
+            # one md5 per distinct token (memoized in dedup) instead of
+            # one hashlib call per occurrence; % p on the uint64 array
+            vals = (_md5_low64_many(toks) % np.uint64(p)).tolist()
             h = 0
             best = p
             count = 0
