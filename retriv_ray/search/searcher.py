@@ -630,6 +630,22 @@ class RaySparseRetriever:
         self._pool_key = key
         return self._pool_actors
 
+    def close_pool(self) -> None:
+        """Kill the persistent msearch scorer-actor pool (if any),
+        releasing its CPUs and resident index memory. The next
+        ``msearch_parallel`` call transparently rebuilds the pool.
+        Call this before standing up other actor fleets (e.g.
+        :class:`~retriv_ray.search.sharded.ShardedSearcher`) on a
+        fully-subscribed cluster — persistent actors hold their
+        ``num_cpus`` while idle, and an over-subscribed actor set
+        never schedules."""
+        import ray
+
+        for a in getattr(self, "_pool_actors", None) or []:
+            ray.kill(a)
+        self._pool_actors = None
+        self._pool_key = None
+
     def autotune(
         self,
         queries: Sequence[Dict],
