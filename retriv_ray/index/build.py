@@ -16,14 +16,24 @@ CountVectorizer CSR matrix in RAM) with a streaming shuffle build:
       │    shuffle, so the exchange moves per-term partials, not
       │    (term, doc, tf) pairs. Per-shard doc-length rows ride the same
       │    exchange under a reserved part index.
-      └─ groupby(gkey).map_groups(_reduce_group)       [shuffle B: THE term shuffle]
+      └─ DIRECT HASH SHUFFLE                            [shuffle B: THE term shuffle]
            gkey = shard * (P+1) + part,
            part  = crc32(term) % P        (explicit, deterministic hash partitioning)
            shard = doc_id // shard_docs   (doc-range sharding = hot-term skew
                                            splitting: a hot term's postings are
                                            spread across shards; each group is
                                            bounded by shard_docs * avg_len / P)
-           each group lexsorts (term, doc_id), block-encodes via
+           gkey is a static function known at MAP time, so no
+           comparison sort is needed: fused read+tokenize+partition
+           tasks return one object per reduce bucket
+           (_tokenize_partition_task, num_returns=n_buckets), and
+           per-bucket reduce tasks (_reduce_bucket) fetch exactly
+           their slice worker-to-worker. Local-path sources use this
+           direct path; Dataset sources and >4k-file inputs fall back
+           to the Dataset sort-shuffle (groupby(gkey).map_groups) —
+           outputs are byte-identical either way because each group
+           lexsorts its globally unique (term, doc_id) pairs before
+           encoding. Each group block-encodes via
            encode_grouped_postings, writes segments/seg-SSSSS-PPPP.parquet
            atomically + a lineage record → resumable mid-shuffle.
       └─ read segments(term, df, cf) → groupby(term).sum → terms/ table
@@ -610,6 +620,190 @@ def segment_file(index_dir: str, shard: int, part: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# direct shuffle: map-side hash partition + per-bucket reduce tasks
+# ---------------------------------------------------------------------------
+#
+# gkey = shard*(P+1)+part is a STATIC function of (term, doc_id) known
+# at map time, so the term exchange needs no comparison sort at all:
+# each fused read+tokenize+partition task returns one object per
+# reduce BUCKET (gkey % n_buckets), and each reduce task concatenates
+# its bucket across all map tasks and runs the unchanged per-gkey
+# encode. vs the Dataset sort-shuffle this drops the map-side sort,
+# the shuffle scheduler, and two streaming-executor startups — the
+# measured worst-scaling stage of the build (per-stage efficiency 0.52
+# at 4->16 cpus vs 0.72 for the bandwidth-bound tokenize itself).
+# Segments are byte-identical either way: _reduce_group lexsorts each
+# group over globally unique (term, doc) pairs, so routing order
+# cannot change the output.
+
+
+def _plan_map_units(
+    files: List[str], target_tasks: int
+) -> Optional[List[List[Tuple[str, int]]]]:
+    """Split path sources into ~target_tasks row-group unit lists,
+    balanced by row count (row groups are the read granularity; a
+    source whose files lack row-group structure falls back to the
+    Dataset path)."""
+    units: List[Tuple[str, int, int]] = []  # (file, rg, rows)
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except OSError:
+            return None
+        for rg in range(md.num_row_groups):
+            units.append((f, rg, md.row_group(rg).num_rows))
+    if not units:
+        return None
+    total = sum(u[2] for u in units)
+    per_task = max(1, total // max(1, target_tasks))
+    plans: List[List[Tuple[str, int]]] = []
+    cur: List[Tuple[str, int]] = []
+    acc = 0
+    for f, rg, rows in units:
+        cur.append((f, rg))
+        acc += rows
+        if acc >= per_task:
+            plans.append(cur)
+            cur, acc = [], 0
+    if cur:
+        plans.append(cur)
+    return plans
+
+
+def _tokenize_partition_task(
+    units: List[Tuple[str, int]],
+    cfg_json,
+    conv_map_ref_boxed,
+    num_parts: int,
+    shard_docs: int,
+    batch_size: int,
+    n_buckets: int,
+):
+    """Fused map side: read own row groups (column-pruned), tokenize
+    via the per-worker-cached _TokenizePartials, hash-partition the
+    partial postings by reduce bucket. Returns ``n_buckets`` tables
+    (Ray ``num_returns``), so each reduce task fetches exactly its
+    slice — no sort, no full-block rereads.
+
+    ``conv_map_ref_boxed`` is ``[ObjectRef]``: boxing stops Ray from
+    auto-dereferencing the broadcast ref at the task boundary, so the
+    worker cache can ray.get it once per process (zero-copy plasma
+    read) instead of every task shipping the whole conv map."""
+    fn = tokenize_partials_fn(
+        cfg_json, conv_map_ref_boxed[0], num_parts, shard_docs
+    )
+    parts: List[pa.Table] = []
+    for f, rg in units:
+        tbl = pq.ParquetFile(f).read_row_group(
+            rg, columns=["conv_id", "turn_idx", "text"]
+        )
+        for i in range(0, tbl.num_rows, batch_size):
+            parts.append(fn(tbl.slice(i, batch_size)))
+    out = pa.concat_tables(parts) if parts else PAIR_SCHEMA.empty_table()
+    if n_buckets == 1:
+        return out
+    bk = out.column("gkey").to_numpy() % n_buckets
+    order = np.argsort(bk, kind="stable")
+    srt = out.take(order)
+    bk_s = bk[order]
+    bounds = np.searchsorted(bk_s, np.arange(n_buckets + 1))
+    return tuple(
+        srt.slice(bounds[b], bounds[b + 1] - bounds[b])
+        for b in range(n_buckets)
+    )
+
+
+def _reduce_bucket(
+    index_dir: str,
+    num_parts: int,
+    fingerprint: str,
+    shard_docs: int,
+    *tables: pa.Table,
+) -> pa.Table:
+    """Reduce side of the direct shuffle: one task per bucket, running
+    the unchanged per-gkey encode (_reduce_group) for every gkey in
+    its bucket."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return _stats_row({}).slice(0, 0)
+    tbl = pa.concat_tables(live).combine_chunks()
+    gk = tbl.column("gkey").to_numpy()
+    order = np.argsort(gk, kind="stable")
+    tbl = tbl.take(order)
+    gk = gk[order]
+    starts = np.flatnonzero(np.concatenate(([True], gk[1:] != gk[:-1])))
+    ends = np.append(starts[1:], len(gk))
+    stats = [
+        _reduce_group(
+            tbl.slice(s, e - s),
+            index_dir=index_dir,
+            num_parts=num_parts,
+            fingerprint=fingerprint,
+            shard_docs=shard_docs,
+        )
+        for s, e in zip(starts, ends)
+    ]
+    return pa.concat_tables(stats)
+
+
+def _run_direct_shuffle(
+    plans: List[List[Tuple[str, int]]],
+    index_dir: str,
+    cfg: SparseConfig,
+    conv_map_ref,
+    num_parts: int,
+    shard_docs: int,
+    batch_size: int,
+    fingerprint: str,
+    n_shards: int,
+) -> Tuple[pa.Table, float, float]:
+    """Drive the direct shuffle; returns (stats, t_map, t_reduce)."""
+    import ray
+
+    n_groups = n_shards * (num_parts + 1)
+    n_buckets = int(
+        os.environ.get("GRAFT_REDUCE_BUCKETS", "0")
+    ) or min(n_groups, 128)
+    map_task = ray.remote(num_cpus=1, num_returns=n_buckets)(
+        _tokenize_partition_task
+    )
+    cfg_json = cfg.to_json()
+    t0 = time.monotonic()
+    map_refs = [
+        map_task.remote(
+            u, cfg_json, [conv_map_ref], num_parts, shard_docs,
+            batch_size, n_buckets,
+        )
+        for u in plans
+    ]
+    if n_buckets == 1:
+        map_refs = [[r] for r in map_refs]
+    # submit the reduces NOW: every reduce depends on every map's
+    # bucket, so they stay pending until the map phase completes and
+    # then fire straight from Ray's scheduler — no driver round-trip
+    # between the phases
+    reduce_cpus = 2 if ray.cluster_resources().get("CPU", 0) >= 8 else 1
+    reduce_task = ray.remote(num_cpus=reduce_cpus)(_reduce_bucket)
+    stats_refs = [
+        reduce_task.remote(
+            index_dir, num_parts, fingerprint, shard_docs,
+            *[map_refs[m][b] for m in range(len(map_refs))],
+        )
+        for b in range(n_buckets)
+    ]
+    # per-stage walls: waiting on maps loses no overlap (see above)
+    flat = [r for refs in map_refs for r in refs]
+    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    t_map = time.monotonic() - t0
+    t0 = time.monotonic()
+    stats = pa.concat_tables(ray.get(stats_refs))
+    t_reduce = time.monotonic() - t0
+    if stats.num_rows == 0:
+        raise ValueError("empty input dataset")
+    return stats, t_map, t_reduce
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -650,10 +844,30 @@ def build_index(
     est3 = None
     if isinstance(source, (str, list)):
         # ONE metadata size estimate, shared by the num_parts formula
-        # and the block budget below (round 1 fetched it twice)
-        est3 = ray.data.read_parquet(
-            source, columns=["conv_id", "turn_idx", "text"]
-        ).size_bytes()
+        # and the block budget below (round 1 fetched it twice).
+        # Local-path sources read parquet footers directly —
+        # uncompressed row-group sizes, same quantity Ray's
+        # size_bytes() reports, without a Dataset metadata pass.
+        files_est = _list_parquet_files(source)
+        if files_est is not None and len(files_est) <= 4096:
+            want = {"conv_id", "turn_idx", "text"}
+            try:
+                est3 = 0
+                for f in files_est:
+                    md = pq.ParquetFile(f).metadata
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        est3 += sum(
+                            g.column(c).total_uncompressed_size
+                            for c in range(g.num_columns)
+                            if g.column(c).path_in_schema.split(".")[0] in want
+                        )
+            except OSError:
+                est3 = None
+        if est3 is None:
+            est3 = ray.data.read_parquet(
+                source, columns=["conv_id", "turn_idx", "text"]
+            ).size_bytes()
     if num_parts is None:
         # auto-size term-hash parts to ~2.5M postings per reduce
         # group: big groups anti-scale (allocation/bandwidth storms
@@ -691,15 +905,30 @@ def build_index(
     # blocks -> 2.7x slower shuffle). Target ~4 blocks per core with
     # a ~256MB-per-block ceiling so the same formula holds when the
     # input is 100TB on a big cluster.
+    plans = None
     if isinstance(source, (str, list)):
         # cluster-size-independent plan: same partitioning at N and 4N
         block_floor = int(os.environ.get("GRAFT_BLOCK_FLOOR", "64"))
         target_blocks = max(block_floor, int(est3 // (256 << 20)) + 1)
-        ds = ray.data.read_parquet(
-            source,
-            columns=["conv_id", "turn_idx", "text"],
-            override_num_blocks=target_blocks,
-        )
+        files = _list_parquet_files(source)
+        if (
+            files is not None
+            and len(files) <= 4096
+            and not os.environ.get("GRAFT_FORCE_DATASET_SHUFFLE")
+        ):
+            plans = _plan_map_units(files, target_blocks)
+            if plans is not None and len(plans) > 4096:
+                # map_tasks x reduce_buckets bounds the object count
+                # (<= 4096 x 128 ~ 500k); past that the Dataset
+                # sort-shuffle's hierarchical merge is the right tool
+                plans = None
+        ds = None
+        if plans is None:
+            ds = ray.data.read_parquet(
+                source,
+                columns=["conv_id", "turn_idx", "text"],
+                override_num_blocks=target_blocks,
+            )
         # offsets pass: path source -> direct per-file tasks reading
         # only the two key columns (no Dataset-executor startup)
         ds_keys = source
@@ -720,43 +949,62 @@ def build_index(
         )
     )
 
-    # Task pool (not a dedicated actor pool): stage state is rebuilt
-    # lazily per worker process via a module cache, so the stage rides
-    # Ray's shared warm workers; ``tokenize_concurrency`` caps it only
-    # if explicitly requested.
-    # The explicit materialize() is deliberate: the sort-based shuffle
-    # materializes its map outputs in the object store regardless, but
-    # letting the tokenize stage fuse into the shuffle's map tasks
-    # schedules pathologically here (measured 37-53s vs 17s staged on
-    # 1.65M turns) — the barrier costs nothing extra and pins the
-    # fast plan. Spilling still bounds memory at scale.
-    _t_stage = time.monotonic()
-    pairs = ds.map_batches(
-        tokenize_partials_fn(
-            cfg.to_json(), conv_map_ref, num_parts, shard_docs
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
-    ).materialize()
-    t_tokenize = time.monotonic() - _t_stage
+    if plans is not None:
+        # Direct shuffle (local-path sources): fused read+tokenize+
+        # hash-partition map tasks feeding per-bucket reduce tasks —
+        # no comparison sort, no shuffle scheduler, no Dataset
+        # executor startups. See the direct-shuffle section above.
+        stats, t_tokenize, t_shuffle_reduce = _run_direct_shuffle(
+            plans, index_dir, cfg, conv_map_ref, num_parts, shard_docs,
+            batch_size, fingerprint,
+            n_shards=(doc_count + shard_docs - 1) // shard_docs or 1,
+        )
+    else:
+        # Dataset sort-shuffle fallback: Dataset sources (no stable
+        # file list to plan map units over) and >4k-file inputs.
+        #
+        # Task pool (not a dedicated actor pool): stage state is
+        # rebuilt lazily per worker process via a module cache, so the
+        # stage rides Ray's shared warm workers; tokenize_concurrency
+        # caps it only if explicitly requested.
+        # The explicit materialize() is deliberate: the sort-based
+        # shuffle materializes its map outputs in the object store
+        # regardless, but letting the tokenize stage fuse into the
+        # shuffle's map tasks schedules pathologically here (measured
+        # 37-53s vs 17s staged on 1.65M turns) — the barrier costs
+        # nothing extra and pins the fast plan. Spilling still bounds
+        # memory at scale.
+        _t_stage = time.monotonic()
+        pairs = ds.map_batches(
+            tokenize_partials_fn(
+                cfg.to_json(), conv_map_ref, num_parts, shard_docs
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            **(
+                {"concurrency": tokenize_concurrency}
+                if tokenize_concurrency
+                else {}
+            ),
+        ).materialize()
+        t_tokenize = time.monotonic() - _t_stage
 
-    # num_cpus=2 halves reducer concurrency: the encode kernel is
-    # memory-bandwidth/allocation bound, and >cpus/2 concurrent
-    # reducers inflate per-task time ~5x (measured 69.5 -> 13.7
-    # core-s on a 32-core box). Wall time improves ~1.4x.
-    stats_ds = pairs.groupby("gkey").map_groups(
-        _reduce_group,
-        fn_kwargs=dict(
-            index_dir=index_dir, num_parts=num_parts, fingerprint=fingerprint,
-            shard_docs=shard_docs,
-        ),
-        batch_format="pyarrow",
-        num_cpus=2,
-    )
-    _t_stage = time.monotonic()
-    stats = pa.Table.from_batches(_gather(stats_ds))
-    t_shuffle_reduce = time.monotonic() - _t_stage
+        # num_cpus=2 halves reducer concurrency: the encode kernel is
+        # memory-bandwidth/allocation bound, and >cpus/2 concurrent
+        # reducers inflate per-task time ~5x (measured 69.5 -> 13.7
+        # core-s on a 32-core box). Wall time improves ~1.4x.
+        stats_ds = pairs.groupby("gkey").map_groups(
+            _reduce_group,
+            fn_kwargs=dict(
+                index_dir=index_dir, num_parts=num_parts,
+                fingerprint=fingerprint, shard_docs=shard_docs,
+            ),
+            batch_format="pyarrow",
+            num_cpus=2,
+        )
+        _t_stage = time.monotonic()
+        stats = pa.Table.from_batches(_gather(stats_ds))
+        t_shuffle_reduce = time.monotonic() - _t_stage
 
     kinds = np.asarray(stats.column("kind").to_pylist())
     n_docs_written = int(stats.column("n_docs").to_numpy()[kinds == "doc_lens"].sum())
@@ -785,16 +1033,26 @@ def build_index(
         for f in seg_files:
             part = int(os.path.basename(f)[:-len(".parquet")].split("-")[2])
             by_part.setdefault(part, []).append(f)
-        merge = ray.remote(_merge_part_terms)
-        results = ray.get(
+        # batch parts into ~2 tasks per CPU: per-part tasks are tiny
+        # (2 file reads + one write) and scheduling 100s of them costs
+        # more than the work
+        items = [
+            (files, os.path.join(index_dir, "terms", f"part-{p:04d}.parquet"))
+            for p, files in sorted(by_part.items())
+        ]
+        n_tasks = max(
+            1, min(len(items), 2 * int(ray.cluster_resources().get("CPU", 4)))
+        )
+        merge = ray.remote(_merge_part_terms_many)
+        chunks = np.array_split(np.arange(len(items)), n_tasks)
+        results_nested = ray.get(
             [
-                merge.remote(
-                    files, os.path.join(index_dir, "terms", f"part-{p:04d}.parquet"),
-                    cfg.min_df,
-                )
-                for p, files in sorted(by_part.items())
+                merge.remote([items[i] for i in sel], cfg.min_df)
+                for sel in chunks
+                if len(sel)
             ]
         )
+        results = [r for rs in results_nested for r in rs]
         n_terms = sum(r[0] for r in results)
         pruned_parts = [r[1] for r in results if r[1] is not None]
         if cfg.min_df > 1 and pruned_parts:
@@ -825,6 +1083,13 @@ def build_index(
     )
     man.save(index_dir)
     return man
+
+
+def _merge_part_terms_many(
+    items: List[Tuple[List[str], str]], min_df: int
+) -> List[Tuple[int, Optional[pa.Table]]]:
+    """Run _merge_part_terms for a batch of parts in one task."""
+    return [_merge_part_terms(files, out, min_df) for files, out in items]
 
 
 def _merge_part_terms(files: List[str], out_path: str, min_df: int):

@@ -121,6 +121,32 @@ def test_determinism_across_parallelism(tmp_path, ray_session):
         assert t1.equals(t2), name
 
 
+def test_direct_and_dataset_shuffle_byte_identical(tmp_path, ray_session):
+    """The direct hash shuffle (fused map-side partition + per-bucket
+    reduce tasks) and the Dataset sort-shuffle fallback must produce
+    byte-identical index directories: _reduce_group lexsorts each
+    group's globally unique (term, doc) pairs, so routing cannot
+    change output."""
+    table = transcripts_table(60, seed=19)
+    src = _write_parquet(table, tmp_path / "t.parquet")
+    cfg = SparseConfig(min_df=2)
+    d1, d2 = str(tmp_path / "direct"), str(tmp_path / "dataset")
+    build_index(src, d1, cfg, num_parts=5, shard_docs=256, batch_size=64)
+    os.environ["GRAFT_FORCE_DATASET_SHUFFLE"] = "1"
+    try:
+        build_index(src, d2, cfg, num_parts=5, shard_docs=256, batch_size=64)
+    finally:
+        del os.environ["GRAFT_FORCE_DATASET_SHUFFLE"]
+    for sub in ("segments", "doc_lens", "terms"):
+        f1 = sorted(os.listdir(os.path.join(d1, sub)))
+        f2 = sorted(os.listdir(os.path.join(d2, sub)))
+        assert f1 == f2, sub
+        for name in f1:
+            b1 = open(os.path.join(d1, sub, name), "rb").read()
+            b2 = open(os.path.join(d2, sub, name), "rb").read()
+            assert b1 == b2, (sub, name)
+
+
 def test_min_df_pruning_and_doc_lens(tmp_path, ray_session):
     table = transcripts_table(60, seed=3)
     src = _write_parquet(table, tmp_path / "t.parquet")
