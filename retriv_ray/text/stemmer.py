@@ -2,30 +2,45 @@
 
 Reference: retriv/sparse_retriever/preprocessing/stemmer.py:10-223
 resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
-None of those packages is available here; we ship a from-scratch
-Porter2 implementation (retriv_ray.text.porter2) for the default
-"english" stemmer — the reference's "english" is NLTK's Snowball
-english (stemmer.py:23), i.e. the same published Porter2 algorithm —
-and a from-scratch classic Porter 1980 (retriv_ray.text.porter1) for
-"porter" (the reference's "porter" is NLTK's PorterStemmer,
-stemmer.py:116; see porter1.py's parity note on NLTK's extensions).
-Other names raise with a clear message; custom callables pass
-through; ``None`` -> identity (reference stemmer.py:215-223).
+None of those packages is available here; we ship from-scratch
+implementations of the published algorithms for 17 of the names:
+Porter2 for the default "english" (the reference's "english" is
+NLTK's Snowball english, stemmer.py:23), classic Porter 1980 for
+"porter" (see porter1.py's parity note on NLTK's extensions),
+Lancaster/Paice-Husk, CISTEM (Weißweiler & Fraser 2017), and the
+Snowball algorithms for german, spanish, italian, french,
+portuguese, russian, danish, norwegian, swedish, dutch, romanian,
+finnish and hungarian — each written from the spec prose at
+snowballstem.org with hand-traced golden vectors (PyStemmer is not
+installable here to diff against; per-module docstrings note any
+reconstruction caveats). The remaining 15 names (krovetz — a
+dictionary-based C++ stemmer, the arabic family, greek, turkish and
+other PyStemmer languages) raise with a clear message; custom
+callables pass through; ``None`` -> identity (reference
+stemmer.py:215-223).
 """
 
 from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.cistem import stem as cistem_stem
+from retriv_ray.text.danish import stem as danish_stem
+from retriv_ray.text.dutch import stem as dutch_stem
+from retriv_ray.text.finnish import stem as finnish_stem
 from retriv_ray.text.french import stem as french_stem
 from retriv_ray.text.german import stem as german_stem
+from retriv_ray.text.hungarian import stem as hungarian_stem
 from retriv_ray.text.italian import stem as italian_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
+from retriv_ray.text.norwegian import stem as norwegian_stem
 from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
 from retriv_ray.text.portuguese import stem as portuguese_stem
+from retriv_ray.text.romanian import stem as romanian_stem
 from retriv_ray.text.russian import stem as russian_stem
 from retriv_ray.text.spanish import stem as spanish_stem
+from retriv_ray.text.swedish import stem as swedish_stem
 from retriv_ray.text.tokenizer import identity_function
 
 _STEMMERS = {
@@ -38,6 +53,14 @@ _STEMMERS = {
     "french": french_stem,
     "portuguese": portuguese_stem,
     "russian": russian_stem,
+    "danish": danish_stem,
+    "norwegian": norwegian_stem,
+    "swedish": swedish_stem,
+    "dutch": dutch_stem,
+    "romanian": romanian_stem,
+    "finnish": finnish_stem,
+    "hungarian": hungarian_stem,
+    "cistem": cistem_stem,
 }
 
 
@@ -47,9 +70,10 @@ def get_stemmer(stemmer: Union[str, Callable, None]) -> Callable:
         name = stemmer.lower()
         if name not in _STEMMERS:
             raise NotImplementedError(
-                f"Stemmer {stemmer!r} requires NLTK/PyStemmer which are "
-                f"not available; 'english' (Porter2) ships with "
-                f"retriv_ray, or pass a custom callable."
+                f"Stemmer {stemmer!r} requires NLTK/PyStemmer/"
+                f"krovetzstemmer which are not available; shipped "
+                f"from-spec stemmers: {sorted(_STEMMERS)}; or pass a "
+                f"custom callable."
             )
         return _STEMMERS[name]
     elif callable(stemmer):

@@ -1,4 +1,4 @@
-"""Embedded stop-word lists for the major non-english languages.
+"""Embedded stop-word lists for the non-english languages.
 
 Source: the Snowball project's published stop-word files (public data;
 the same lists NLTK packages for these languages). The reference
@@ -155,6 +155,123 @@ RUSSIAN = _dedup("""
 всегда конечно всю между
 """.split())
 
+DANISH = _dedup("""
+og i jeg det at en den til er som på de med han af for ikke der var
+mig sig men et har om vi min havde ham hun nu over da fra du ud sin
+dem os op man hans hvor eller hvad skal selv her alle vil blev kunne
+ind når være dog noget ville jo deres efter ned skulle denne end
+dette mit også under have dig anden hende mine alt meget sit sine vor
+mod disse hvis din nogle hos blive mange ad bliver hendes været thi
+jer sådan
+""".split())
+
+NORWEGIAN = _dedup("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der
+så var meg seg men ett har om vi min mitt ha hadde hun nå over da ved
+fra du ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl
+her alle vil bli ble blei blitt kunne inn når være kom noen noe ville
+dere deres kun ja etter ned skulle denne for deg si sine sitt mot å
+meget hvorfor dette disse uten hvordan ingen din ditt blir samme
+hvilken hvilke sånn inni mellom vår hver hvem vors hvis både bare enn
+fordi før mange også slik vært vere båe begge siden dykk dykkar dei
+deira deires deim di då eg ein eit eitt elles honom hjå ho hoe henne
+hennar hennes hoss hossen ingi inkje korleis korso kva kvar kvarhelst
+kven kvi kvifor me medan mi mine mykje no nokon noka nokor noko nokre
+si sia sidan so somt somme um upp vore verte vort varte vart
+""".split())
+
+SWEDISH = _dedup("""
+och det att i en jag hon som han på den med var sig för så till är
+men ett om hade de av icke mig du henne då sin nu har inte hans honom
+skulle hennes där min man ej vid kunde något från ut när efter upp vi
+dem vara vad över än dig kan sina här ha mot alla under någon eller
+allt mycket sedan ju denna själv detta åt utan varit hur ingen mitt
+ni bli blev oss din dessa några deras blir mina samma vilken er sådan
+vår blivit dess inom mellan sådant varför varje vilka ditt vem vilket
+sitta sådana vart dina vars vårt våra ert era vilkas
+""".split())
+
+DUTCH = _dedup("""
+de en van ik te dat die in een hij het niet zijn is was op aan met
+als voor had er maar om hem dan zou of wat mijn men dit zo door over
+ze zich bij ook tot je mij uit der daar haar naar heb hoe heeft
+hebben deze u want nog zal me zij nu ge geen omdat iets worden toch
+al waren veel meer doen toen moet ben zonder kan hun dus alles onder
+ja eens hier wie werd altijd doch wordt wezen kunnen ons zelf tegen
+na reeds wil kon niets uw iemand geweest andere
+""".split())
+
+FINNISH = _dedup("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut
+olleet en et ei emme ette eivät minä minun minut minua minussa
+minusta minuun minulla minulta minulle sinä sinun sinut sinua sinussa
+sinusta sinuun sinulla sinulta sinulle hän hänen hänet häntä hänessä
+hänestä häneen hänellä häneltä hänelle me meidän meidät meitä meissä
+meistä meihin meillä meiltä meille te teidän teidät teitä teissä
+teistä teihin teillä teiltä teille he heidän heidät heitä heissä
+heistä heihin heillä heiltä heille tämä tämän tätä tässä tästä tähän
+tällä tältä tälle tänä täksi tuo tuon tuota tuossa tuosta tuohon
+tuolla tuolta tuolle tuona tuoksi se sen sitä siinä siitä siihen
+sillä siltä sille sinä siksi nämä näiden näitä näissä näistä näihin
+näillä näiltä näille näinä näiksi nuo noiden noita noissa noista
+noihin noilla noilta noille noina noiksi ne niiden niitä niissä
+niistä niihin niillä niiltä niille niinä niiksi kuka kenen kenet ketä
+kenessä kenestä keneen kenellä keneltä kenelle kenenä keneksi ketkä
+keiden keitä keissä keistä keihin keillä keiltä keille keinä keiksi
+mikä minkä mitä missä mistä mihin millä miltä mille minä miksi kuin
+ja että joka jonka jota jossa josta johon jolla jolta jolle jona
+joksi jotka joiden joita joissa joista joihin joilla joilta joille
+joina joiksi mutta niin sekä tai vaan vai vaikka kanssa mukaan noin
+poikki yli kun nyt itse
+""".split())
+
+HUNGARIAN = _dedup("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek
+amelyekben amelyeket amelyet amelynek ami amit amolyan amíg amikor át
+abban ahhoz annak arra arról az azok azon azt azzal azért aztán
+azután azonban bár be belül benne cikk cikkek cikkeket csak de e
+eddig egész egy egyes egyetlen egyéb egyik egyre ekkor el elég ellen
+elő először előtt első én éppen ebben ehhez emilyen ennek erre ez ezt
+ezek ezen ezzel ezért és fel felé hanem hiszen hogy hogyan igen így
+illetve ill. ill ilyen ilyenkor ison ismét itt jó jól jobban kell
+kellett keresztül keressünk ki kívül között közül legalább lehet
+lehetett legyen lenne lenni lesz lett maga magát majd már más másik
+meg még mellett mert mely melyek mi mit míg miért milyen mikor minden
+mindent mindenki mindig mint mintha mivel most nagy nagyobb nagyon ne
+néha nekem neki nem néhány nélkül nincs olyan ott össze ő ők őket
+pedig persze rá s saját sem semmi sok sokat sokkal számára szemben
+szerint szinte talán tehát teljes tovább továbbá több úgy ugyanis új
+újabb újra után utána utolsó vagy vagyis valaki valami valamint való
+vagyok van vannak volt voltam voltak voltunk vissza vele viszont
+volna
+""".split())
+
+# Romanian has no Snowball stop-word file; this is the standard public
+# Romanian function-word list (articles, pronouns, prepositions,
+# conjunctions, common fi/avea forms) as shipped in the common
+# open-source collections. Not byte-exact to NLTK's copy.
+ROMANIAN = _dedup("""
+a abia acea aceasta această aceea acei aceia acel acela acele acelea
+acest acesta aceste acestea acestei acestor acestui acum ai aia aibă
+aici al ale alt alta altă alte altul am anume apoi ar are as asa așa
+asta astăzi astfel asupra atât atat atâta atunci au avea avem aveți
+avut azi ba bine ca că cam când care carora căror cărora ce cea ceea
+cei ceilalti cel cele celor ceva chiar ci cind cine cineva cit cît
+câtva cu cui cum cumva curând da dă dacă dar daca de deci deja
+deoarece departe deși din dinaintea dintr dintre doar două drept după
+ea ei el ele era eram este ești eu face fara fără fel fi fie fiecare
+fii fim fiu foarte fost ia iar ieri îi îl îmi împotriva în înainte
+înaintea încât încît încotro între întrucât întrucît îți la lângă le
+li lor lui mă mai mea mei mele mereu meu mi mie mine mult multă mulți
+ne nicăieri nici nimeni nimic niste niște noastră noastre noi noștri
+nostru nou nouă nu o ori oricând oricare oricât orice oricum oricine
+oriunde până pe pentru peste prea prima primul prin printr sa să săi
+sale sau său se și sînt sintem spate spre sub sunt suntem sunteți te
+ți toată toate tot toți totuși tu un una unde undeva unei unele uneori
+unor vă vi voastre vostru vouă vreo vreun
+""".split())
+
 LISTS = {
     "german": GERMAN,
     "french": FRENCH,
@@ -162,4 +279,11 @@ LISTS = {
     "italian": ITALIAN,
     "portuguese": PORTUGUESE,
     "russian": RUSSIAN,
+    "danish": DANISH,
+    "norwegian": NORWEGIAN,
+    "swedish": SWEDISH,
+    "dutch": DUTCH,
+    "finnish": FINNISH,
+    "hungarian": HUNGARIAN,
+    "romanian": ROMANIAN,
 }

@@ -7,10 +7,11 @@ verbatim so no corpus download is needed. Other languages are accepted
 only as explicit user-provided lists/sets (reference supports 29 NLTK
 languages; shipping every list is out of scope for v1 — pass your own).
 
-The major non-english languages (de/fr/es/it/pt/ru) ship via
-:mod:`retriv_ray.text.stopword_lists` (Snowball project lists, public
-data). Remaining reference languages are accepted only as explicit
-user-provided lists/sets.
+Thirteen non-english languages (de/fr/es/it/pt/ru plus
+da/no/sv/nl/fi/hu/ro) ship via
+:mod:`retriv_ray.text.stopword_lists` (Snowball project lists and the
+standard public Romanian function-word list). Remaining reference
+languages are accepted only as explicit user-provided lists/sets.
 
 ``get_stopwords`` mirrors reference stopwords.py:46-56: str -> named
 list, list/set -> as given, None -> [].
