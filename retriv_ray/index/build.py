@@ -157,6 +157,47 @@ def _offsets_partial_from_file(path: str) -> pa.Table:
     return _offsets_partial(_pq.read_table(path, columns=["conv_id", "turn_idx"]))
 
 
+def _offsets_partial_from_units(units: List[Tuple[str, int]]) -> pa.Table:
+    """Partial over a list of (file, row_group) units — the row-group
+    split lets the pre-pass fill every CPU slot even when the source
+    has few files (8 files on a 16-slot cluster left half the slots
+    idle as per-file tasks)."""
+    import pyarrow.parquet as _pq
+
+    tabs = []
+    cur_path, cur_pf = None, None
+    for path, rg in units:
+        if path != cur_path:
+            cur_path, cur_pf = path, _pq.ParquetFile(path)
+        tabs.append(
+            _offsets_partial(
+                cur_pf.read_row_group(rg, columns=["conv_id", "turn_idx"])
+            )
+        )
+    return pa.concat_tables(tabs)
+
+
+def _plan_offset_units(files: List[str], n_tasks: int) -> List[List[Tuple[str, int]]]:
+    """Round-robin (file, row_group) units into ``n_tasks`` chunks,
+    keeping each chunk's units grouped by file (one ParquetFile open
+    per file per task). Falls back to whole-file units when a footer
+    is unreadable (the read task will surface the real error)."""
+    units: List[Tuple[str, int]] = []
+    for f in files:
+        try:
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+        except OSError:
+            n_rg = 1
+        units.extend((f, rg) for rg in range(max(1, n_rg)))
+    n_tasks = max(1, min(n_tasks, len(units)))
+    chunks: List[List[Tuple[str, int]]] = [[] for _ in range(n_tasks)]
+    for i, u in enumerate(units):
+        chunks[i % n_tasks].append(u)
+    for c in chunks:
+        c.sort()
+    return [c for c in chunks if c]
+
+
 def _list_parquet_files(source) -> Optional[List[str]]:
     """Local parquet file list for a path/list source, or None when
     the source isn't plain local paths (then the Dataset path of
@@ -211,8 +252,10 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         ds = ray.data.read_parquet(ds, columns=["conv_id", "turn_idx"])
 
     if files is not None:
-        task = ray.remote(num_cpus=1)(_offsets_partial_from_file)
-        tables = ray.get([task.remote(f) for f in files])
+        ncpu = int(ray.cluster_resources().get("CPU", 1))
+        chunks = _plan_offset_units(files, n_tasks=max(len(files), 2 * ncpu))
+        task = ray.remote(num_cpus=1)(_offsets_partial_from_units)
+        tables = ray.get([task.remote(c) for c in chunks])
         t = pa.concat_tables(tables)
         partials = None
     else:
