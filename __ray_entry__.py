@@ -397,6 +397,32 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir), gap_seconds=1800, salt_seconds=86400)
 
 
+def _q_asof_join(sf_dir: str):
+    from retriv_ray.ops.joins import asof_join
+
+    ev = _events(sf_dir)
+    # day-bucket-salted path (identical output to unsalted; exercises
+    # the hot-key-safe replication shape in the oracle gate)
+    return asof_join(
+        ev.filter(expr="event_type == 'click'"),
+        ev.filter(expr="event_type == 'purchase'"),
+        tolerance_s=7 * 86400,
+        bucket_s=86400,
+    )
+
+
+def _q_range_join(sf_dir: str):
+    from retriv_ray.ops.joins import range_join
+
+    ev = _events(sf_dir)
+    return range_join(
+        ev.filter(expr="event_type != 'purchase'"),
+        ev.filter(expr="event_type == 'purchase'"),
+        window_s=3600,
+        bucket_s=900,
+    )
+
+
 def _q_clean_text(sf_dir: str):
     from retriv_ray.ops.prep import clean_text
 
@@ -562,6 +588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "events_hopping": _q_events_hopping,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "multimodal_features": _q_multimodal,
         "dedup_filter": _q_dedup_filter,
         "clean_text": _q_clean_text,
@@ -992,5 +1020,35 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY n_chars DESC, doc_id) AS rank
           FROM documents)
         WHERE rank <= 5 ORDER BY source, rank
+    """
+    # tie rule pinned on both sides: greatest (ts, id) at-or-before,
+    # within the 7-day tolerance (ops/joins.py asof_join)
+    out["asof_join"] = """
+        WITH l AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, event_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT key, event_id, ts, anchor_id, anchor_ts, anchor_val FROM (
+          SELECT l.user_id AS key, l.event_id AS event_id, l.ts AS ts,
+                 r.event_id AS anchor_id, r.ts AS anchor_ts,
+                 r.value AS anchor_val,
+                 row_number() OVER (PARTITION BY l.event_id
+                                    ORDER BY r.ts DESC, r.event_id DESC) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+                       AND r.ts > l.ts - INTERVAL 7 DAY
+        ) WHERE rn = 1
+    """
+    # epoch_us floor-division (not date_diff, which counts boundary
+    # crossings) so delta_s matches the engine's integer-us floor
+    out["range_join"] = """
+        WITH l AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type <> 'purchase'),
+             r AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'purchase')
+        SELECT l.user_id AS key, l.event_id AS event_id,
+               r.event_id AS anchor_id,
+               (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS delta_s
+        FROM l JOIN r ON l.user_id = r.user_id
+                     AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
     """
     return out
