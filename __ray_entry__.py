@@ -459,6 +459,27 @@ def _q_multimodal(sf_dir: str):
     return image_features(attach_payload(_docs(sf_dir)), concurrency=2)
 
 
+def _q_pii_scrub(sf_dir: str):
+    from retriv_ray.ops.scrub import pattern_scrub
+
+    # events.props is the one testdata column with digit content, so
+    # the number pattern exercises real matches while the email/ipv4
+    # paths verify true zeros
+    return pattern_scrub(_events(sf_dir), text_col="props", id_col="event_id")
+
+
+def _q_repetition_stats(sf_dir: str):
+    from retriv_ray.ops.textstats import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def _q_top_ngrams(sf_dir: str):
+    from retriv_ray.ops.textstats import top_ngrams
+
+    return top_ngrams(_docs(sf_dir), n=2, k=20)
+
+
 FILTERED_QUERIES = {
     "q1": ({"text": "table scan join", "where": {"lang": "en"}},
            "d.lang = 'en'"),
@@ -597,6 +618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_token_stream": _q_pack_token_stream,
         "topk_per_group": _q_topk_per_group,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "top_ngrams": _q_top_ngrams,
     }
 
 
@@ -1050,5 +1074,50 @@ def oracle_sql() -> dict[str, str]:
                (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS delta_s
         FROM l JOIN r ON l.user_id = r.user_id
                      AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+    """
+    # same RE2 patterns, same leftmost non-overlapping scan, same
+    # replacement order as ops/scrub.py DEFAULT_PATTERNS
+    out["pii_scrub"] = r"""
+        SELECT event_id,
+          len(regexp_extract_all(props,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+            AS n_email,
+          len(regexp_extract_all(props,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+          len(regexp_extract_all(props, '\d+'))::BIGINT AS n_number,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV>', 'g'),
+            '\d+', '<NUMBER>', 'g') AS redacted
+        FROM events ORDER BY event_id
+    """
+    out["repetition_stats"] = f"""
+        WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+                      FROM documents),
+        g AS (SELECT doc_id,
+          list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]) AS g2,
+          list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            AS g3
+          FROM docs)
+        SELECT doc_id,
+          len(g2)::BIGINT AS n_2grams,
+          (len(g2) - len(list_distinct(g2)))::BIGINT AS dup_2grams,
+          len(g3)::BIGINT AS n_3grams,
+          (len(g3) - len(list_distinct(g3)))::BIGINT AS dup_3grams
+        FROM g ORDER BY doc_id
+    """
+    out["top_ngrams"] = f"""
+        WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+                      FROM documents),
+        g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM docs)
+        SELECT gram, count(*)::BIGINT AS cnt FROM g
+        GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
     """
     return out

@@ -118,6 +118,25 @@ def main() -> None:
         warm_src, os.path.join(BENCH_ROOT, "warmup_index"),
         SparseConfig(), num_parts=4, resume=False,
     )
+    # The tiny warmup build spawns only a handful of tasks, so on an
+    # N-cpu session most of the N Ray worker processes would cold-start
+    # (python + pyarrow + retriv_ray imports, ~1s each, partly
+    # serialized) INSIDE the timed build — charged to its first stage.
+    # A real cluster's workers are long-lived and warm; pre-starting
+    # the full pool here keeps the timed build measuring steady-state
+    # work. The barrier holds each worker briefly so Ray starts N
+    # distinct processes instead of reusing one.
+    @ray.remote(num_cpus=1)
+    def _warm_worker() -> int:
+        import numpy  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+
+        import retriv_ray.index.build  # noqa: F401
+
+        time.sleep(0.3)
+        return os.getpid()
+
+    ray.get([_warm_worker.remote() for _ in range(NUM_CPUS)])
     t_warm = time.monotonic() - t0
 
     index_dir = os.path.join(BENCH_ROOT, f"index_{n_convs}_cpus{NUM_CPUS}")

@@ -825,7 +825,14 @@ def _run_direct_shuffle(
     # bucket, so they stay pending until the map phase completes and
     # then fire straight from Ray's scheduler — no driver round-trip
     # between the phases
-    reduce_cpus = 2 if ray.cluster_resources().get("CPU", 0) >= 8 else 1
+    # num_cpus=1: interleaved A/B on the 6.6M-turn input measured the
+    # reduce wall HALVING with full reducer concurrency (16 cpus: 20.0s
+    # vs 44.5s; 32 cpus: 14.7s vs 23.5s) at identical core-seconds —
+    # the encode kernel shows no memory-bandwidth inflation on this
+    # path (the num_cpus=2 mitigation measured on the Dataset
+    # map_groups fallback does not transfer: direct-path reduces fetch
+    # pre-partitioned slices instead of re-reading sorted blocks)
+    reduce_cpus = int(os.environ.get("GRAFT_REDUCE_CPUS", "0")) or 1
     reduce_task = ray.remote(num_cpus=reduce_cpus)(_reduce_bucket)
     stats_refs = [
         reduce_task.remote(

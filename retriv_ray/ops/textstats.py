@@ -197,3 +197,99 @@ def doc_fingerprint(
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Intra-document repetition signals (the Gopher/RefinedWeb-style
+    quality rules): per doc, the count of whitespace 2-grams/3-grams
+    and how many of them are duplicates (count minus distinct).
+    Integer-exact, so the SQL oracle (list_transform + list_distinct
+    over the same token split) reproduces every value. Per-batch map,
+    no shuffle — holds at 100 TB."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n2 = np.empty(len(texts), dtype=np.int64)
+        d2 = np.empty(len(texts), dtype=np.int64)
+        n3 = np.empty(len(texts), dtype=np.int64)
+        d3 = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            L = len(toks)
+            if L >= 2:
+                g2 = [" ".join(toks[j : j + 2]) for j in range(L - 1)]
+                n2[i] = len(g2)
+                d2[i] = len(g2) - len(set(g2))
+            else:
+                n2[i] = d2[i] = 0
+            if L >= 3:
+                g3 = [" ".join(toks[j : j + 3]) for j in range(L - 2)]
+                n3[i] = len(g3)
+                d3[i] = len(g3) - len(set(g3))
+            else:
+                n3[i] = d3[i] = 0
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(n2),
+                pa.array(d2),
+                pa.array(n3),
+                pa.array(d3),
+            ],
+            names=[id_col, "n_2grams", "dup_2grams", "n_3grams", "dup_3grams"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-k n-grams — the classic MapReduce word count
+    with a combiner: each batch emits one (gram, cnt) row per distinct
+    gram (Counter combiner), the groupby shuffle moves only those
+    partials, and after the global sum each output block keeps its
+    local top-k (exact: post-groupby every gram appears exactly once),
+    so the driver merges at most k rows per block. Deterministic
+    order: (cnt DESC, gram ASC) — the SQL oracle's ORDER BY."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            for j in range(len(toks) - n + 1):
+                c[" ".join(toks[j : j + n])] += 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(c.keys()), type=pa.string()),
+                pa.array(list(c.values()), type=pa.int64()),
+            ],
+            names=["gram", "cnt"],
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = np.lexsort(
+            (
+                np.asarray(batch.column("gram").to_pylist(), dtype=object),
+                -batch.column("cnt").to_numpy(),
+            )
+        )[:k]
+        return batch.take(np.sort(idx))
+
+    parts = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    grams = np.asarray([r["gram"] for r in parts], dtype=object)
+    cnts = np.asarray([r["cnt"] for r in parts], dtype=np.int64)
+    order = np.lexsort((grams, -cnts))[:k]
+    return pa.Table.from_arrays(
+        [pa.array(grams[order], type=pa.string()), pa.array(cnts[order])],
+        names=["gram", "cnt"],
+    )

@@ -1,0 +1,93 @@
+"""PII scrub + intra-doc repetition + corpus n-gram ops — hand-computed
+expectations (the SQL-oracle twin runs in scripts/check_oracles.py)."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def ray_mod(ray_session):
+    import ray
+
+    return ray
+
+
+def _sorted_rows(ds, key):
+    rows = ds.take_all() if hasattr(ds, "take_all") else ds.to_pylist()
+    return sorted(rows, key=lambda r: r[key])
+
+
+def test_pattern_scrub_counts_and_redaction(ray_mod):
+    from retriv_ray.ops.scrub import pattern_scrub
+
+    ds = ray_mod.data.from_items(
+        [
+            {"doc_id": 0, "text": "mail a@b.co or c.d+x@e-f.org now"},
+            {"doc_id": 1, "text": "host 10.0.0.1 port 8080"},
+            {"doc_id": 2, "text": "no pii here"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    rows = _sorted_rows(pattern_scrub(ds), "doc_id")
+    assert [r["n_email"] for r in rows] == [2, 0, 0, 0]
+    assert [r["n_ipv4"] for r in rows] == [0, 1, 0, 0]
+    # row 1: the ip is consumed by the ipv4 replacement before the
+    # number pass, so only "8080" remains a number match in redaction,
+    # but the COUNT of \d+ runs on the original text (4 runs in the ip
+    # + the port)
+    assert rows[1]["n_number"] == 5
+    assert rows[0]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert rows[1]["redacted"] == "host <IPV> port <NUMBER>"
+    assert rows[2]["redacted"] == "no pii here"
+
+
+def test_pattern_scrub_custom_patterns_no_redact(ray_mod):
+    from retriv_ray.ops.scrub import pattern_scrub
+
+    ds = ray_mod.data.from_items([{"doc_id": 7, "text": "x y x"}])
+    rows = pattern_scrub(
+        ds, patterns={"x_runs": r"x+"}, redact=False
+    ).take_all()
+    assert rows == [{"doc_id": 7, "n_x_runs": 2}]
+
+
+def test_repetition_stats_hand_counts(ray_mod):
+    from retriv_ray.ops.textstats import repetition_stats
+
+    ds = ray_mod.data.from_items(
+        [
+            # 2-grams: "a b","b a","a b" -> 3 total, 1 dup
+            # 3-grams: "a b a","b a b" -> 2 total, 0 dup
+            {"doc_id": 0, "text": "a b a b"},
+            {"doc_id": 1, "text": "x x x x x"},  # g2: 4 tot 3 dup; g3: 3 tot 2 dup
+            {"doc_id": 2, "text": "one"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    rows = _sorted_rows(repetition_stats(ds), "doc_id")
+    got = [
+        (r["n_2grams"], r["dup_2grams"], r["n_3grams"], r["dup_3grams"])
+        for r in rows
+    ]
+    assert got == [(3, 1, 2, 0), (4, 3, 3, 2), (0, 0, 0, 0), (0, 0, 0, 0)]
+
+
+def test_top_ngrams_exact_order_and_ties(ray_mod):
+    from retriv_ray.ops.textstats import top_ngrams
+
+    ds = ray_mod.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a b c"},
+            {"doc_id": 1, "text": "a b z z"},
+        ]
+    )
+    tbl = top_ngrams(ds, n=2, k=3)
+    assert isinstance(tbl, pa.Table)
+    rows = tbl.to_pylist()
+    # counts: "a b"=3, "b a"=1, "b c"=1, "b z"=1, "z z"=1
+    # ties broken by gram ASC
+    assert rows == [
+        {"gram": "a b", "cnt": 3},
+        {"gram": "b a", "cnt": 1},
+        {"gram": "b c", "cnt": 1},
+    ]
