@@ -290,20 +290,24 @@ def topk_per_group(
     most ``k`` rows per (group, batch) instead of the group's rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
+        # fully vectorized group-wise top-k: C dictionary-encode for
+        # group codes, one lexsort (group, -score, id), then ranks
+        # within each run — no Python loop over rows or groups
+        codes = (
+            batch.column(key_col)
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy()
+        )
         scores = batch.column(score_col).to_numpy()
         ids = batch.column(id_col).to_numpy()
-        out_idx = []
-        import collections
-
-        by_key = collections.defaultdict(list)
-        for i, kk in enumerate(keys):
-            by_key[kk].append(i)
-        for kk, idxs in by_key.items():
-            idxs = np.asarray(idxs)
-            order = np.lexsort((ids[idxs], -scores[idxs]))[:k]
-            out_idx.extend(idxs[order].tolist())
-        out_idx = pa.array(sorted(out_idx), type=pa.int64())
+        order = np.lexsort((ids, -scores, codes))
+        sc = codes[order]
+        run_start = np.concatenate(([True], sc[1:] != sc[:-1]))
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(sc)))
+        rank = np.arange(len(sc)) - np.repeat(starts, lens)
+        out_idx = pa.array(np.sort(order[rank < k]), type=pa.int64())
         return pa.Table.from_arrays(
             [
                 batch.column(key_col).take(out_idx),
