@@ -459,6 +459,12 @@ def _q_multimodal(sf_dir: str):
     return image_features(attach_payload(_docs(sf_dir)), concurrency=2)
 
 
+def _q_stratified_sample(sf_dir: str):
+    from retriv_ray.ops.prep import stratified_sample
+
+    return stratified_sample(_docs(sf_dir), n=7)
+
+
 def _q_pii_scrub(sf_dir: str):
     from retriv_ray.ops.scrub import pattern_scrub
 
@@ -621,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "top_ngrams": _q_top_ngrams,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1119,5 +1126,16 @@ def oracle_sql() -> dict[str, str]:
               FROM docs)
         SELECT gram, count(*)::BIGINT AS cnt FROM g
         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+    """
+    # rank key = md5 low-64 of "{seed}:{id}" (the repo-wide DuckDB
+    # md5_number_lower convention), ties by id — ops/prep.py
+    out["stratified_sample"] = """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5_number_lower('0:' || doc_id::VARCHAR),
+                            doc_id) AS rn
+          FROM documents) WHERE rn <= 7 ORDER BY source, doc_id
     """
     return out

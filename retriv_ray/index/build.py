@@ -743,11 +743,16 @@ def _tokenize_partition_task(
         for i in range(0, tbl.num_rows, batch_size):
             parts.append(fn(tbl.slice(i, batch_size)))
     out = pa.concat_tables(parts) if parts else PAIR_SCHEMA.empty_table()
-    if n_buckets == 1:
-        return out
-    bk = out.column("gkey").to_numpy() % n_buckets
-    order = np.argsort(bk, kind="stable")
+    # sort by (bucket, gkey): every bucket slice arrives at its reduce
+    # task already gkey-sorted, so the reduce gathers each gkey's rows
+    # with two searchsorted calls per input — no whole-bucket
+    # argsort/take/copy on the reduce side
+    gk = out.column("gkey").to_numpy()
+    bk = gk % n_buckets
+    order = np.lexsort((gk, bk))
     srt = out.take(order)
+    if n_buckets == 1:
+        return srt
     bk_s = bk[order]
     bounds = np.searchsorted(bk_s, np.arange(n_buckets + 1))
     return tuple(
@@ -769,23 +774,30 @@ def _reduce_bucket(
     live = [t for t in tables if t.num_rows]
     if not live:
         return _stats_row({}).slice(0, 0)
-    tbl = pa.concat_tables(live).combine_chunks()
-    gk = tbl.column("gkey").to_numpy()
-    order = np.argsort(gk, kind="stable")
-    tbl = tbl.take(order)
-    gk = gk[order]
-    starts = np.flatnonzero(np.concatenate(([True], gk[1:] != gk[:-1])))
-    ends = np.append(starts[1:], len(gk))
-    stats = [
-        _reduce_group(
-            tbl.slice(s, e - s),
-            index_dir=index_dir,
-            num_parts=num_parts,
-            fingerprint=fingerprint,
-            shard_docs=shard_docs,
+    # each input slice is gkey-sorted by its map task: gather one
+    # gkey's rows with searchsorted + zero-copy slices instead of
+    # concat+argsort+take over the whole bucket (saves two full copies
+    # and a sort of the bucket's postings — the encode kernel
+    # canonicalizes per-group row order anyway)
+    gks = [t.column("gkey").to_numpy() for t in live]
+    uniq = np.unique(np.concatenate([g[np.concatenate(([True], g[1:] != g[:-1]))] if len(g) else g for g in gks]))
+    stats = []
+    for g in uniq:
+        parts = []
+        for t, gk in zip(live, gks):
+            lo = np.searchsorted(gk, g, side="left")
+            hi = np.searchsorted(gk, g, side="right")
+            if hi > lo:
+                parts.append(t.slice(lo, hi - lo))
+        stats.append(
+            _reduce_group(
+                pa.concat_tables(parts),
+                index_dir=index_dir,
+                num_parts=num_parts,
+                fingerprint=fingerprint,
+                shard_docs=shard_docs,
+            )
         )
-        for s, e in zip(starts, ends)
-    ]
     return pa.concat_tables(stats)
 
 
@@ -882,6 +894,7 @@ def build_index(
     import ray
     import ray.data
 
+    _t_begin = time.monotonic()
     cfg = cfg or SparseConfig()
     assert shard_docs <= (1 << 31), "shard-local ids are int32"
     if isinstance(source, (str, list)):
@@ -987,8 +1000,10 @@ def build_index(
         ds_keys = source.select_columns(["conv_id", "turn_idx"])
 
     _t_stage = time.monotonic()
+    t_plan = _t_stage - _t_begin
     conv_offsets, doc_count = compute_conv_offsets(ds_keys)
     t_offsets = time.monotonic() - _t_stage
+    _t_stage = time.monotonic()
     mf.atomic_write_parquet(
         conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
     )
@@ -998,6 +1013,7 @@ def build_index(
             conv_offsets.column("base").to_numpy(),
         )
     )
+    t_idmap = time.monotonic() - _t_stage
 
     if plans is not None:
         # Direct shuffle (local-path sources): fused read+tokenize+
@@ -1056,6 +1072,7 @@ def build_index(
         stats = pa.Table.from_batches(_gather(stats_ds))
         t_shuffle_reduce = time.monotonic() - _t_stage
 
+    _t_stage = time.monotonic()
     kinds = np.asarray(stats.column("kind").to_pylist())
     n_docs_written = int(stats.column("n_docs").to_numpy()[kinds == "doc_lens"].sum())
     len_sum = int(stats.column("len_sum").to_numpy()[kinds == "doc_lens"].sum())
@@ -1129,6 +1146,11 @@ def build_index(
             "wall_offsets": round(t_offsets, 3),
             "wall_tokenize": round(t_tokenize, 3),
             "wall_shuffle_reduce": round(t_shuffle_reduce, 3),
+            # driver-side residual stages (scaling-efficiency profiling)
+            "wall_plan": round(t_plan, 3),
+            "wall_idmap": round(t_idmap, 3),
+            "wall_terms": round(time.monotonic() - _t_stage, 3),
+            "wall_total": round(time.monotonic() - _t_begin, 3),
         },
     )
     man.save(index_dir)

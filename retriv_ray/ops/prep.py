@@ -336,3 +336,61 @@ def topk_per_group(
         .groupby(key_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def stratified_sample(
+    ds,
+    n: int = 5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Deterministic per-group sample of ``n`` rows — the data-mixing
+    staple (fixed quota per source/language/domain). Rank = ascending
+    md5 low-64 of ``"{seed}:{id}"`` (= DuckDB ``md5_number_lower``,
+    the repo-wide hash convention), so the sample is reproducible,
+    seedable, SQL-checkable, and independent of partitioning. Same
+    combiner-first shape as :func:`topk_per_group`: each batch keeps
+    at most ``n`` rows per group BEFORE the shuffle."""
+    def rank_hash(batch: pa.Table) -> np.ndarray:
+        ids = batch.column(id_col).to_pylist()
+        return _md5_low64([f"{seed}:{v}" for v in ids])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes = (
+            batch.column(key_col)
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy()
+        )
+        h = rank_hash(batch)
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, h, codes))
+        sc = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))
+        lens = np.diff(np.append(starts, len(sc)))
+        rank = np.arange(len(sc)) - np.repeat(starts, lens)
+        keep = pa.array(np.sort(order[rank < n]), type=pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column(key_col).take(keep), batch.column(id_col).take(keep)],
+            names=[key_col, id_col],
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        h = rank_hash(group)
+        ids = group.column(id_col).to_numpy()
+        order = np.lexsort((ids, h))[:n]
+        keep = np.sort(ids[order])
+        return pa.Table.from_arrays(
+            [
+                group.column(key_col).take(pa.array([0] * len(keep))),
+                pa.array(keep),
+            ],
+            names=[key_col, id_col],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

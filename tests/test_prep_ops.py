@@ -167,3 +167,46 @@ def test_pack_token_stream_distributed_prefix_sum(ray_session):
     pd.testing.assert_frame_equal(dist, small, check_dtype=False)
     sizes = dist.assign(sz=dist.tok_end - dist.tok_start).groupby("seq_id")["sz"].sum()
     assert set(sizes.tolist()[:-1]) == {16}
+
+
+def test_stratified_sample_deterministic_and_partition_independent(ray_session):
+    import hashlib
+
+    import ray
+
+    from retriv_ray.ops.prep import stratified_sample
+
+    items = [
+        {"doc_id": i, "source": f"s{i % 3}"} for i in range(60)
+    ]
+    one = ray.data.from_items(items, override_num_blocks=1)
+    many = ray.data.from_items(items, override_num_blocks=7)
+    r1 = sorted(
+        stratified_sample(one, n=4).take_all(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    r2 = sorted(
+        stratified_sample(many, n=4).take_all(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    assert r1 == r2
+    # quota respected per group
+    from collections import Counter
+
+    c = Counter(r["source"] for r in r1)
+    assert all(v == 4 for v in c.values()) and len(c) == 3
+    # matches a direct computation of the md5 rank rule
+    def h(i):
+        return int.from_bytes(
+            hashlib.md5(f"0:{i}".encode()).digest()[8:16], "little"
+        )
+
+    for g in ["s0", "s1", "s2"]:
+        ids = [i for i in range(60) if f"s{i % 3}" == g]
+        want = sorted(sorted(ids, key=lambda i: (h(i), i))[:4])
+        got = [r["doc_id"] for r in r1 if r["source"] == g]
+        assert got == want
+
+    # a different seed picks a different sample
+    r3 = stratified_sample(one, n=4, seed=1).take_all()
+    assert sorted(r["doc_id"] for r in r3) != sorted(r["doc_id"] for r in r1)
