@@ -268,22 +268,7 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
     if (t.num_rows if t is not None else partials.count()) <= driver_merge_limit:
         if t is None:
             t = pa.Table.from_batches(_gather(partials))
-        df = t.to_pandas()
-        g = df.groupby("conv_id", sort=True).agg(
-            {
-                "count()": "sum",
-                "min(turn_idx)": "min",
-                "max(turn_idx)": "max",
-                "sum(turn_idx)": "sum",
-                "sumsq(turn_idx)": "sum",
-            }
-        )
-        conv = g.index.tolist()
-        n = g["count()"].to_numpy()
-        tmin = g["min(turn_idx)"].to_numpy()
-        tmax = g["max(turn_idx)"].to_numpy()
-        tsum = g["sum(turn_idx)"].to_numpy()
-        tsq = g["sumsq(turn_idx)"].to_numpy()
+        return _merge_offset_partials(t)
     else:
         from ray.data.aggregate import Max, Min, Sum
 
@@ -311,6 +296,34 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         tmax = t.column("max(max(turn_idx))").to_numpy()
         tsum = t.column("sum(sum(turn_idx))").to_numpy()
         tsq = t.column("sum(sumsq(turn_idx))").to_numpy()
+    return _finalize_offsets(conv, n, tmin, tmax, tsum, tsq)
+
+
+def _merge_offset_partials(t: pa.Table) -> Tuple[pa.Table, int]:
+    """Merge conv-level offset partials (one pandas groupby) and
+    finalize: validation + prefix-sum. Pure — runs on the driver or
+    inside a Ray task (the overlapped direct-path build)."""
+    df = t.to_pandas()
+    g = df.groupby("conv_id", sort=True).agg(
+        {
+            "count()": "sum",
+            "min(turn_idx)": "min",
+            "max(turn_idx)": "max",
+            "sum(turn_idx)": "sum",
+            "sumsq(turn_idx)": "sum",
+        }
+    )
+    return _finalize_offsets(
+        g.index.tolist(),
+        g["count()"].to_numpy(),
+        g["min(turn_idx)"].to_numpy(),
+        g["max(turn_idx)"].to_numpy(),
+        g["sum(turn_idx)"].to_numpy(),
+        g["sumsq(turn_idx)"].to_numpy(),
+    )
+
+
+def _finalize_offsets(conv, n, tmin, tmax, tsum, tsq) -> Tuple[pa.Table, int]:
     # contiguity: min==0, max+1==count, sum==n(n-1)/2 AND
     # sumsq==n(n-1)(2n-1)/6 — two independent moments on top of
     # min/max/count. One moment admits compensating multisets (e.g.
@@ -348,6 +361,20 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
         names=["conv_id", "base", "n_turns"],
     )
     return table, int(n.sum())
+
+
+def _merge_offsets_task(*tables: pa.Table):
+    """Remote form of the offsets merge (run with ``num_returns=2``):
+    returns ``(offsets_table, doc_count)`` and ``(conv_ids, bases)``
+    as SEPARATE objects, so tokenize workers fetch only the broadcast
+    arrays and the driver only the table. Lets the whole offsets pass
+    run CONCURRENTLY with the tokenize map wave (see build_index):
+    map tasks block on the second object lazily, at their first
+    partial-aggregation step, after their reads/tokenization."""
+    table, doc_count = _merge_offset_partials(pa.concat_tables(tables))
+    conv_ids = np.asarray(table.column("conv_id").to_pylist(), dtype=object)
+    bases = table.column("base").to_numpy()
+    return (table, doc_count), (conv_ids, bases)
 
 
 def _gather(ds) -> List[pa.RecordBatch]:
@@ -406,20 +433,26 @@ class _TokenizePartials:
     """
 
     def __init__(self, cfg: SparseConfig, conv_map_ref, num_parts: int, shard_docs: int):
-        import ray
-
         self.pre = TextPreprocessor(cfg)
-        self.convs, self.bases = ray.get(conv_map_ref)
+        self._conv_ref = conv_map_ref
+        self._conv = None  # lazy: fetched at first partial-aggregation
         self.P = num_parts
         self.shard_docs = shard_docs
 
+    def _conv_map(self):
+        # deliberately NOT in __init__: when the conv offsets are still
+        # being merged (overlapped build), tokenization proceeds and
+        # only this first fetch blocks
+        if self._conv is None:
+            import ray
+
+            self._conv = ray.get(self._conv_ref)
+        return self._conv
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         P, shard_docs = self.P, self.shard_docs
-        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
-        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        pos = np.searchsorted(self.convs, conv)
-        doc_ids = self.bases[pos] + turn
 
+        # tokenize FIRST (the expensive step; needs no global state)
         texts = batch.column("text").to_pylist()
         tokens = self.pre.tokens_many("" if t is None else t for t in texts)
 
@@ -434,6 +467,12 @@ class _TokenizePartials:
                 codes.append(setd(t, len(vocab)))
         doc_lens = reps
         code_arr = np.asarray(codes, dtype=np.int64)
+
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        convs, bases = self._conv_map()
+        pos = np.searchsorted(convs, conv)
+        doc_ids = bases[pos] + turn
         doc_rep = np.repeat(doc_ids, reps)
 
         rows_gkey: List[np.ndarray] = []
@@ -811,8 +850,16 @@ def _run_direct_shuffle(
     batch_size: int,
     fingerprint: str,
     n_shards: int,
-) -> Tuple[pa.Table, float, float]:
-    """Drive the direct shuffle; returns (stats, t_map, t_reduce)."""
+    offsets_table_ref=None,
+    index_dir_to_wipe_on_invalid: Optional[str] = None,
+) -> Tuple[pa.Table, float, float, Optional[Tuple[pa.Table, int, float]]]:
+    """Drive the direct shuffle; returns (stats, t_map, t_reduce,
+    overlapped_offsets). With ``offsets_table_ref`` set (overlapped
+    build), the driver fetches the merged offsets table between
+    submitting the shuffle and waiting on it; a validation failure in
+    the merge task cancels the in-flight shuffle and wipes the index
+    dir (partial segments from invalid input must not survive for a
+    later resume)."""
     import ray
 
     n_groups = n_shards * (num_parts + 1)
@@ -853,6 +900,28 @@ def _run_direct_shuffle(
         )
         for b in range(n_buckets)
     ]
+    got = None
+    if offsets_table_ref is not None:
+        # overlapped offsets: fetch (and thereby validate) the merged
+        # table while the map wave runs
+        _t_wait = time.monotonic()
+        try:
+            conv_offsets, doc_count = ray.get(offsets_table_ref)
+        except ray.exceptions.RayTaskError as e:
+            for refs in map_refs:
+                for r in refs:
+                    ray.cancel(r, force=True)
+            for r in stats_refs:
+                ray.cancel(r, force=True)
+            if index_dir_to_wipe_on_invalid:
+                # reduces may already have written segments computed
+                # from never-validated doc_ids; none may survive for a
+                # later resume
+                ray.wait(stats_refs, num_returns=len(stats_refs), timeout=30)
+                shutil.rmtree(index_dir_to_wipe_on_invalid, ignore_errors=True)
+            cause = e.as_instanceof_cause()
+            raise cause if isinstance(cause, ValueError) else e from None
+        got = (conv_offsets, doc_count, time.monotonic() - _t_wait)
     # per-stage walls: waiting on maps loses no overlap (see above)
     flat = [r for refs in map_refs for r in refs]
     ray.wait(flat, num_returns=len(flat), fetch_local=False)
@@ -862,7 +931,7 @@ def _run_direct_shuffle(
     t_reduce = time.monotonic() - t0
     if stats.num_rows == 0:
         raise ValueError("empty input dataset")
-    return stats, t_map, t_reduce
+    return stats, t_map, t_reduce, got
 
 
 # ---------------------------------------------------------------------------
@@ -1001,30 +1070,72 @@ def build_index(
 
     _t_stage = time.monotonic()
     t_plan = _t_stage - _t_begin
-    conv_offsets, doc_count = compute_conv_offsets(ds_keys)
-    t_offsets = time.monotonic() - _t_stage
-    _t_stage = time.monotonic()
-    mf.atomic_write_parquet(
-        conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
-    )
-    conv_map_ref = ray.put(
-        (
-            np.asarray(conv_offsets.column("conv_id").to_pylist(), dtype=object),
-            conv_offsets.column("base").to_numpy(),
+    offsets_table_ref = None
+    if plans is not None and files is not None:
+        # OVERLAPPED offsets (direct path): submit the per-unit offset
+        # partials and their merge as Ray tasks and DON'T wait — the
+        # tokenize map tasks read + tokenize first and block on the
+        # merged (conv_ids, bases) object only at their first
+        # partial-aggregation step, so the whole offsets pass hides
+        # under the map wave. The driver fetches the offsets TABLE
+        # (validation happens in the merge task) after submitting the
+        # shuffle; t_offsets below records only the non-overlapped
+        # residual wait.
+        ncpu_off = int(ray.cluster_resources().get("CPU", 1))
+        chunks = _plan_offset_units(files, n_tasks=max(len(files), 2 * ncpu_off))
+        ptask = ray.remote(num_cpus=1)(_offsets_partial_from_units)
+        mtask = ray.remote(num_cpus=1, num_returns=2)(_merge_offsets_task)
+        offsets_table_ref, conv_map_ref = mtask.remote(
+            *[ptask.remote(c) for c in chunks]
         )
-    )
-    t_idmap = time.monotonic() - _t_stage
+        conv_offsets = doc_count = None
+        t_offsets = time.monotonic() - _t_stage  # submit cost only here
+        t_idmap = 0.0
+    else:
+        conv_offsets, doc_count = compute_conv_offsets(ds_keys)
+        t_offsets = time.monotonic() - _t_stage
+        _t_stage = time.monotonic()
+        mf.atomic_write_parquet(
+            conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
+        )
+        conv_map_ref = ray.put(
+            (
+                np.asarray(conv_offsets.column("conv_id").to_pylist(), dtype=object),
+                conv_offsets.column("base").to_numpy(),
+            )
+        )
+        t_idmap = time.monotonic() - _t_stage
 
     if plans is not None:
         # Direct shuffle (local-path sources): fused read+tokenize+
         # hash-partition map tasks feeding per-bucket reduce tasks —
         # no comparison sort, no shuffle scheduler, no Dataset
         # executor startups. See the direct-shuffle section above.
-        stats, t_tokenize, t_shuffle_reduce = _run_direct_shuffle(
+        if offsets_table_ref is not None:
+            # bucket count from the size estimate (doc_count not yet
+            # known): only feeds reduce-task granularity — empty
+            # buckets reduce to empty stats, and segment bytes are
+            # independent of bucketing
+            est_docs = max(1, int(est3) // 400) if est3 else 1
+            n_shards_hint = (est_docs + shard_docs - 1) // shard_docs
+        else:
+            n_shards_hint = (doc_count + shard_docs - 1) // shard_docs or 1
+        stats, t_tokenize, t_shuffle_reduce, got = _run_direct_shuffle(
             plans, index_dir, cfg, conv_map_ref, num_parts, shard_docs,
             batch_size, fingerprint,
-            n_shards=(doc_count + shard_docs - 1) // shard_docs or 1,
+            offsets_table_ref=offsets_table_ref,
+            index_dir_to_wipe_on_invalid=index_dir,
+            n_shards=n_shards_hint,
         )
+        if got is not None:
+            conv_offsets, doc_count, _t_waited = got
+            t_offsets += _t_waited
+            _t_stage = time.monotonic()
+            mf.atomic_write_parquet(
+                conv_offsets,
+                os.path.join(index_dir, "id_map", "conv_offsets.parquet"),
+            )
+            t_idmap = time.monotonic() - _t_stage
     else:
         # Dataset sort-shuffle fallback: Dataset sources (no stable
         # file list to plan map units over) and >4k-file inputs.

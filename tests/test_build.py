@@ -293,3 +293,24 @@ def test_duplicate_turn_idx_compensating_gap_fails_loudly(ray_session):
     )
     with pytest.raises(ValueError, match="duplicate-free"):
         compute_conv_offsets(ray.data.from_arrow(t))
+
+
+def test_invalid_turn_idx_raises_and_wipes(tmp_path, ray_session):
+    # duplicate turn_idx: the overlapped-offsets validation must raise
+    # a ValueError AND leave no partial index behind (never-validated
+    # doc_ids must not survive for a later resume)
+    src = str(tmp_path / "bad.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": ["c0", "c0", "c0", "c1"],
+                "turn_idx": pa.array([0, 1, 1, 0], type=pa.int32()),
+                "text": ["a b", "c d", "e f", "g h"],
+            }
+        ),
+        src,
+    )
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="contiguous"):
+        build_index(src, idx, SparseConfig(), num_parts=2, resume=False)
+    assert not os.path.exists(idx)
