@@ -81,6 +81,20 @@ def _ensure_input(path: str, n_convs: int) -> None:
         write_transcripts(path, n_convs, seed=42, profile="heavy")
 
 
+def _cpu_stat():
+    """(busy, steal, total) jiffies from /proc/stat — the guest-visible
+    measure of host co-tenancy (firecracker steal time)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
+        total = sum(vals[:8])
+        return user + nice + system, steal, total
+    except (OSError, ValueError):
+        return 0, 0, 0
+
+
 def main() -> None:
     import ray
 
@@ -141,9 +155,18 @@ def main() -> None:
 
     index_dir = os.path.join(BENCH_ROOT, f"index_{n_convs}_cpus{NUM_CPUS}")
     shutil.rmtree(index_dir, ignore_errors=True)  # wipe outside the timer
+    _st0 = _cpu_stat()
     t0 = time.monotonic()
     build_index(src, index_dir, SparseConfig(), resume=False)
     t_build = time.monotonic() - t0
+    _st1 = _cpu_stat()
+    # host steal during the timed build, as % of elapsed cpu-time —
+    # the guest-visible disturbance measure for this leg's window
+    steal_pct = (
+        round(100.0 * (_st1[1] - _st0[1]) / max(1, _st1[2] - _st0[2]), 1)
+        if _st1[2] > _st0[2]
+        else None
+    )
 
     if os.environ.get("GRAFT_SKIP_QUERIES"):
         # scaling legs: build throughput only (queries don't feed the
@@ -157,6 +180,7 @@ def main() -> None:
             "num_cpus": NUM_CPUS,
             "n_turns": int(n_turns),
             "warmup_sec": round(t_warm, 3),
+            "steal_pct": steal_pct,
             "build_turns_per_sec": round(n_turns / t_build, 1),
             "msearch_qps": None,
         }
@@ -196,6 +220,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "n_turns": int(n_turns),
         "warmup_sec": round(t_warm, 3),
+        "steal_pct": steal_pct,
         "build_turns_per_sec": round(n_turns / t_build, 1),
         "msearch_qps": round(N_QUERIES / t_msearch, 1),
         "msearch_rows": int(n_rows),
@@ -329,6 +354,8 @@ def scaling() -> None:
     _eff_med, lo, hi = pairs[len(pairs) // 2]
     lo["all_turns_per_sec"] = [p[1]["build_turns_per_sec"] for p in pairs]
     hi["all_turns_per_sec"] = [p[2]["build_turns_per_sec"] for p in pairs]
+    lo["all_steal_pct"] = [p[1].get("steal_pct") for p in pairs]
+    hi["all_steal_pct"] = [p[2].get("steal_pct") for p in pairs]
     eff = _eff_med  # median of the three interleaved-pair ratios
     src = os.path.join(BENCH_ROOT, f"transcripts_heavy_{SCALING_CONVS}")
     hw = _hw_ceiling(src, lo_cpus, hi_cpus)
@@ -347,6 +374,11 @@ def scaling() -> None:
                 f"runs_{lo_cpus}": lo["all_turns_per_sec"],
                 f"runs_{hi_cpus}": hi["all_turns_per_sec"],
                 "pair_ratios": [round(p[0], 3) for p in pairs],
+                # host steal% during each leg's timed build, pair
+                # order matching pair_ratios — the guest-visible
+                # co-tenancy disturbance behind a low ratio
+                f"steal_pct_{lo_cpus}": lo["all_steal_pct"],
+                f"steal_pct_{hi_cpus}": hi["all_steal_pct"],
                 f"build_sec_{lo_cpus}": lo["queries"]["index_build"],
                 f"build_sec_{hi_cpus}": hi["queries"]["index_build"],
                 f"msearch_qps_{lo_cpus}": lo["msearch_qps"],
