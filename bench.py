@@ -81,6 +81,25 @@ def _ensure_input(path: str, n_convs: int) -> None:
         write_transcripts(path, n_convs, seed=42, profile="heavy")
 
 
+def _bw_probe_gbs(size_mb: int = 256, reps: int = 4) -> float:
+    """Quick single-thread memory-bandwidth probe (GB/s): co-tenant
+    VMs can degrade shared memory bandwidth WITHOUT showing up as
+    steal time, and the build's reduce/encode path is
+    bandwidth-sensitive — reporting the probe per leg makes that
+    disturbance channel visible too."""
+    import numpy as np
+
+    a = np.empty(size_mb * 131072, dtype=np.float64)  # size_mb MB
+    a[:] = 1.0
+    b = np.empty_like(a)
+    t0 = time.monotonic()
+    for _ in range(reps):
+        np.copyto(b, a)
+    dt = time.monotonic() - t0
+    # 2 bytes moved per byte copied (read + write)
+    return round(2 * reps * a.nbytes / dt / 1e9, 1)
+
+
 def _cpu_stat():
     """(busy, steal, total) jiffies from /proc/stat — the guest-visible
     measure of host co-tenancy (firecracker steal time)."""
@@ -155,6 +174,7 @@ def main() -> None:
 
     index_dir = os.path.join(BENCH_ROOT, f"index_{n_convs}_cpus{NUM_CPUS}")
     shutil.rmtree(index_dir, ignore_errors=True)  # wipe outside the timer
+    bw_gbs = _bw_probe_gbs()
     _st0 = _cpu_stat()
     t0 = time.monotonic()
     build_index(src, index_dir, SparseConfig(), resume=False)
@@ -181,6 +201,7 @@ def main() -> None:
             "n_turns": int(n_turns),
             "warmup_sec": round(t_warm, 3),
             "steal_pct": steal_pct,
+            "bw_probe_gbs": bw_gbs,
             "build_turns_per_sec": round(n_turns / t_build, 1),
             "msearch_qps": None,
         }
@@ -221,6 +242,7 @@ def main() -> None:
         "n_turns": int(n_turns),
         "warmup_sec": round(t_warm, 3),
         "steal_pct": steal_pct,
+        "bw_probe_gbs": bw_gbs,
         "build_turns_per_sec": round(n_turns / t_build, 1),
         "msearch_qps": round(N_QUERIES / t_msearch, 1),
         "msearch_rows": int(n_rows),
@@ -368,6 +390,8 @@ def scaling() -> None:
     hi["all_turns_per_sec"] = [p[2]["build_turns_per_sec"] for p in pairs]
     lo["all_steal_pct"] = [p[1].get("steal_pct") for p in pairs]
     hi["all_steal_pct"] = [p[2].get("steal_pct") for p in pairs]
+    lo["all_bw_gbs"] = [p[1].get("bw_probe_gbs") for p in pairs]
+    hi["all_bw_gbs"] = [p[2].get("bw_probe_gbs") for p in pairs]
     eff = _eff_med  # median of the three interleaved-pair ratios
     src = os.path.join(BENCH_ROOT, f"transcripts_heavy_{SCALING_CONVS}")
     hw = _hw_ceiling(src, lo_cpus, hi_cpus)
@@ -391,6 +415,8 @@ def scaling() -> None:
                 # co-tenancy disturbance behind a low ratio
                 f"steal_pct_{lo_cpus}": lo["all_steal_pct"],
                 f"steal_pct_{hi_cpus}": hi["all_steal_pct"],
+                f"bw_gbs_{lo_cpus}": lo["all_bw_gbs"],
+                f"bw_gbs_{hi_cpus}": hi["all_bw_gbs"],
                 "steal_limit_pct": steal_limit,
                 # pairs discarded by the pre-declared steal rule, with
                 # the ratios they WOULD have contributed (full audit)
