@@ -81,7 +81,7 @@ def _ensure_input(path: str, n_convs: int) -> None:
         write_transcripts(path, n_convs, seed=42, profile="heavy")
 
 
-def _bw_probe_gbs(size_mb: int = 256, reps: int = 4) -> float:
+def _bw_probe_gbs(size_mb: int = 64, reps: int = 8) -> float:
     """Quick single-thread memory-bandwidth probe (GB/s): co-tenant
     VMs can degrade shared memory bandwidth WITHOUT showing up as
     steal time, and the build's reduce/encode path is
@@ -89,9 +89,9 @@ def _bw_probe_gbs(size_mb: int = 256, reps: int = 4) -> float:
     disturbance channel visible too."""
     import numpy as np
 
-    a = np.empty(size_mb * 131072, dtype=np.float64)  # size_mb MB
-    a[:] = 1.0
-    b = np.empty_like(a)
+    a = np.ones(size_mb * 131072, dtype=np.float64)  # size_mb MB
+    b = np.ones_like(a)
+    np.copyto(b, a)  # both buffers faulted in before the timer
     t0 = time.monotonic()
     for _ in range(reps):
         np.copyto(b, a)
