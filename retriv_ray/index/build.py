@@ -456,17 +456,24 @@ class _TokenizePartials:
         texts = batch.column("text").to_pylist()
         tokens = self.pre.tokens_many("" if t is None else t for t in texts)
 
-        # flat (term_code, doc) pairs
-        vocab: Dict[str, int] = {}
-        codes: List[int] = []
-        reps = np.empty(len(texts), dtype=np.int64)
-        setd = vocab.setdefault
-        for i, toks in enumerate(tokens):
-            reps[i] = len(toks)
-            for t in toks:
-                codes.append(setd(t, len(vocab)))
+        # flat (term_code, doc) pairs — token->code via Arrow
+        # dictionary_encode (C++ hash table over UTF-8, first-seen
+        # order like the dict it replaced; the per-token Python
+        # setdefault loop was the build's hottest line)
+        from itertools import chain
+
+        flat_tokens = list(chain.from_iterable(tokens))
+        reps = np.fromiter(
+            (len(t) for t in tokens), dtype=np.int64, count=len(texts)
+        )
         doc_lens = reps
-        code_arr = np.asarray(codes, dtype=np.int64)
+        if flat_tokens:
+            denc = pa.array(flat_tokens, type=pa.string()).dictionary_encode()
+            code_arr = denc.indices.to_numpy().astype(np.int64)
+            inv_vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        else:
+            code_arr = np.empty(0, dtype=np.int64)
+            inv_vocab = np.empty(0, dtype=object)
 
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
@@ -498,9 +505,6 @@ class _TokenizePartials:
             brk[1:] = (u_code[1:] != u_code[:-1]) | (shard[1:] != shard[:-1])
             r_starts = np.flatnonzero(brk)
             r_ends = np.append(r_starts[1:], len(u_code))
-            inv_vocab = np.empty(len(vocab), dtype=object)
-            for t, c in vocab.items():
-                inv_vocab[c] = t
             r_terms = inv_vocab[u_code[r_starts]]
             r_parts = _term_parts_np(r_terms, P)
             r_gkey = shard[r_starts] * (P + 1) + r_parts
