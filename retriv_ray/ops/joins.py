@@ -91,6 +91,11 @@ def _split_group(group: pa.Table):
 def _bucket_salt_right(batch: pa.Table, span_us: int, bucket_us: int) -> pa.Table:
     """Replicate each right row into every bucket that
     [ts, ts + span_us) overlaps; left rows keep their own bucket."""
+    if batch.num_rows == 0:
+        # all-filtered upstream blocks still flow through map_batches;
+        # keep the schema consistent (bucket column present) so Ray can
+        # unify empty and non-empty blocks.
+        return batch.append_column("bucket", pa.array([], type=pa.int64()))
     ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
     side = batch.column("side").to_numpy(zero_copy_only=False)
     b_lo = ts // bucket_us

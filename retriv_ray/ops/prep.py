@@ -51,6 +51,24 @@ def clean_text(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _drop_null_keys(batch: pa.Table, key_col: str) -> pa.Table:
+    """Null-key rows are dropped (documented contract of
+    :func:`topk_per_group` / :func:`stratified_sample`): Ray Data's
+    groupby shuffle cannot range-partition blocks whose key column
+    mixes nulls with strings, so a null group can't survive the
+    exchange anyway — dropping them here keeps the vectorized partial
+    from raising ArrowInvalid on null dictionary indices."""
+    key = batch.column(key_col)
+    if key.null_count:
+        batch = batch.filter(pc.is_valid(key))
+    return batch
+
+
+def _group_codes(col: pa.ChunkedArray) -> np.ndarray:
+    """Integer group codes for a (null-free) key column."""
+    return col.combine_chunks().dictionary_encode().indices.to_numpy()
+
+
 def _md5_low64(values) -> np.ndarray:
     """DuckDB ``md5_number_lower`` equivalent: low 8 digest bytes,
     little-endian, as uint64."""
@@ -161,10 +179,10 @@ def pack_token_stream(
     import ray
 
     def counts(batch: pa.Table) -> pa.Table:
-        n = pa.array(
-            [len((t or "").split()) for t in batch.column(text_col).to_pylist()],
-            type=pa.int64(),
-        )
+        # whitespace token count = number of maximal \S+ runs; RE2 in
+        # pyarrow = RE2 in the DuckDB oracle, one dialect both sides
+        txt = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        n = pc.cast(pc.count_substring_regex(txt, pattern=r"\S+"), pa.int64())
         return pa.Table.from_arrays([batch.column(id_col), n], names=[id_col, "n"])
 
     b = budget
@@ -293,12 +311,8 @@ def topk_per_group(
         # fully vectorized group-wise top-k: C dictionary-encode for
         # group codes, one lexsort (group, -score, id), then ranks
         # within each run — no Python loop over rows or groups
-        codes = (
-            batch.column(key_col)
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy()
-        )
+        batch = _drop_null_keys(batch, key_col)
+        codes = _group_codes(batch.column(key_col))
         scores = batch.column(score_col).to_numpy()
         ids = batch.column(id_col).to_numpy()
         order = np.lexsort((ids, -scores, codes))
@@ -357,12 +371,8 @@ def stratified_sample(
         return _md5_low64([f"{seed}:{v}" for v in ids])
 
     def partial(batch: pa.Table) -> pa.Table:
-        codes = (
-            batch.column(key_col)
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy()
-        )
+        batch = _drop_null_keys(batch, key_col)
+        codes = _group_codes(batch.column(key_col))
         h = rank_hash(batch)
         ids = batch.column(id_col).to_numpy()
         order = np.lexsort((ids, h, codes))

@@ -12,6 +12,11 @@ delete) and may differ from PyStemmer on a handful of rare owner
 forms — PyStemmer is not installable in this environment to
 diff against, so the unit vectors below are hand-traced.
 
+Every among is evaluated with the match itself restricted to R1
+(Snowball ``setlimit tolimit ... among``): a shorter suffix wholly in
+R1 beats a longer one that straddles the boundary (e.g. ``onként``
+with r1=2 strips ``ként`` → ``on``, not nothing).
+
 Spec summary:
 - vowels a á e é i í o ó ö ő u ú ü ű; digraphs cs dz dzs gy ly ny sz
   ty zs count as single consonants for R1; doubled consonants
@@ -104,6 +109,22 @@ def _undouble(w: str) -> str:
     return w[: len(w) - len(d)] + half
 
 
+def _longest_in(w: str, r1: int, pairs):
+    """Longest (suffix, repl) among those whose match lies wholly in
+    R1 — Snowball wraps each ``among`` in ``setlimit`` to R1, which
+    restricts the *match itself*, so a shorter in-R1 suffix must win
+    over a longer one that straddles the R1 boundary."""
+    best = None
+    for suf, repl in pairs:
+        if (
+            w.endswith(suf)
+            and len(w) - len(suf) >= r1
+            and (best is None or len(suf) > len(best[0]))
+        ):
+            best = (suf, repl)
+    return best
+
+
 def _v_ending(w: str, r1: int) -> str:
     if w.endswith("á") and len(w) - 1 >= r1:
         return w[:-1] + "a"
@@ -126,31 +147,26 @@ def stem(word: str) -> str:
             break
 
     # ---- step 2: frequent cases
-    best = None
-    for suf in _STEP2_CASES:
-        if w.endswith(suf) and (best is None or len(suf) > len(best)):
-            best = suf
-    if best is not None and len(w) - len(best) >= r1:
-        w = w[: len(w) - len(best)]
+    best = _longest_in(w, r1, ((s, "") for s in _STEP2_CASES))
+    if best is not None:
+        w = w[: len(w) - len(best[0])]
         w = _v_ending(w, r1)
 
     # ---- step 3: special cases
-    best = None
-    for suf, repl in (("ánként", "a"), ("án", "a"), ("én", "e")):
-        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
-            best = (suf, repl)
-    if best is not None and len(w) - len(best[0]) >= r1:
+    best = _longest_in(w, r1, (("ánként", "a"), ("án", "a"), ("én", "e")))
+    if best is not None:
         w = w[: len(w) - len(best[0])] + best[1]
 
     # ---- step 4: other cases
-    best = None
-    for suf, repl in (
-        ("astul", ""), ("estül", ""), ("ástul", "a"), ("éstül", "e"),
-        ("stul", ""), ("stül", ""),
-    ):
-        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
-            best = (suf, repl)
-    if best is not None and len(w) - len(best[0]) >= r1:
+    best = _longest_in(
+        w,
+        r1,
+        (
+            ("astul", ""), ("estül", ""), ("ástul", "a"), ("éstül", "e"),
+            ("stul", ""), ("stül", ""),
+        ),
+    )
+    if best is not None:
         w = w[: len(w) - len(best[0])] + best[1]
 
     # ---- step 5: factive á/é after a double consonant
@@ -161,41 +177,48 @@ def stem(word: str) -> str:
             break
 
     # ---- step 6: owned
-    best = None
-    for sufs, repl in ((_STEP6_A, "a"), (_STEP6_E, "e"), (_STEP6_DELETE, "")):
-        for suf in sufs:
-            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
-                best = (suf, repl)
-    if best is not None and len(w) - len(best[0]) >= r1:
+    best = _longest_in(
+        w,
+        r1,
+        [(s, "a") for s in _STEP6_A]
+        + [(s, "e") for s in _STEP6_E]
+        + [(s, "") for s in _STEP6_DELETE],
+    )
+    if best is not None:
         w = w[: len(w) - len(best[0])] + best[1]
 
     # ---- step 7: singular owner
-    best = None
-    for sufs, repl in ((_STEP7_A, "a"), (_STEP7_E, "e"), (_STEP7_DELETE, "")):
-        for suf in sufs:
-            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
-                best = (suf, repl)
-    if best is not None and len(w) - len(best[0]) >= r1:
+    best = _longest_in(
+        w,
+        r1,
+        [(s, "a") for s in _STEP7_A]
+        + [(s, "e") for s in _STEP7_E]
+        + [(s, "") for s in _STEP7_DELETE],
+    )
+    if best is not None:
         w = w[: len(w) - len(best[0])] + best[1]
 
     # ---- step 8: plural owner
-    best = None
-    for sufs, repl in ((_STEP8_A, "a"), (_STEP8_E, "e"), (_STEP8_DELETE, "")):
-        for suf in sufs:
-            if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
-                best = (suf, repl)
-    if best is not None and len(w) - len(best[0]) >= r1:
+    best = _longest_in(
+        w,
+        r1,
+        [(s, "a") for s in _STEP8_A]
+        + [(s, "e") for s in _STEP8_E]
+        + [(s, "") for s in _STEP8_DELETE],
+    )
+    if best is not None:
         w = w[: len(w) - len(best[0])] + best[1]
 
     # ---- step 9: plural
-    best = None
-    for suf, repl in (
-        ("ák", "a"), ("ék", "e"),
-        ("ök", ""), ("ok", ""), ("ek", ""), ("ak", ""), ("k", ""),
-    ):
-        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
-            best = (suf, repl)
-    if best is not None and len(w) - len(best[0]) >= r1:
+    best = _longest_in(
+        w,
+        r1,
+        (
+            ("ák", "a"), ("ék", "e"),
+            ("ök", ""), ("ok", ""), ("ek", ""), ("ak", ""), ("k", ""),
+        ),
+    )
+    if best is not None:
         w = w[: len(w) - len(best[0])] + best[1]
 
     return w

@@ -156,3 +156,42 @@ def test_asof_salted_requires_tolerance(sides):
     _, lefts, rights = sides
     with pytest.raises(ValueError, match="tolerance_s"):
         asof_join(lefts, rights, tolerance_s=None, bucket_s=900)
+
+
+def test_bucket_salt_right_empty_batch():
+    """ADVICE r3: an all-filtered (zero-row) block through the salted
+    path must not crash and must keep the bucket column in the schema."""
+    import pyarrow as pa
+
+    from retriv_ray.ops.joins import _bucket_salt_right
+
+    empty = pa.Table.from_arrays(
+        [
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.int64()),
+            pa.array([], type=pa.float64()),
+            pa.array([], type=pa.int8()),
+        ],
+        names=["key", "ts_us", "id", "val", "side"],
+    )
+    out = _bucket_salt_right(empty, span_us=10, bucket_us=5)
+    assert out.num_rows == 0
+    assert out.schema.field("bucket").type == pa.int64()
+
+
+def test_asof_salted_with_empty_filtered_blocks(sides):
+    """End-to-end: blocks that filter to zero rows flow through the
+    salted asof path (this crashed before the empty-batch guard)."""
+    import ray.data
+
+    df, _, _ = sides
+    # keep only key 6 -> most upstream blocks become empty
+    lefts = ray.data.from_pandas(
+        df[(df.side == 0) & (df.user_id == 6)].drop(columns=["side"])
+    ).repartition(4)
+    rights = ray.data.from_pandas(
+        df[(df.side == 1) & (df.user_id == 6)].drop(columns=["side"])
+    ).repartition(4)
+    got = asof_join(lefts, rights, tolerance_s=TOL, bucket_s=BUCKET).to_pandas()
+    assert len(got) == 1 and float(got.anchor_val.iloc[0]) == 20.0

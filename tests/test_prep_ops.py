@@ -210,3 +210,31 @@ def test_stratified_sample_deterministic_and_partition_independent(ray_session):
     # a different seed picks a different sample
     r3 = stratified_sample(one, n=4, seed=1).take_all()
     assert sorted(r["doc_id"] for r in r3) != sorted(r["doc_id"] for r in r1)
+
+
+def test_topk_and_stratified_accept_null_group_keys(ray_session):
+    """ADVICE r3: dictionary_encode leaves null indices for null keys;
+    the vectorized partials must not raise ArrowInvalid. Null-key rows
+    are dropped (documented contract — Ray's groupby shuffle cannot
+    range-partition null-mixed string keys)."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.prep import stratified_sample, topk_per_group
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["a", "a", None, None, "b", None], type=pa.string()),
+            "n_chars": pa.array([5, 9, 1, 7, 3, 4], type=pa.int64()),
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    top = topk_per_group(ds, k=1).to_pandas()
+    assert not top.source.isna().any()
+    assert set(top[top.source == "a"].doc_id) == {2}
+    assert set(top[top.source == "b"].doc_id) == {5}
+
+    samp = stratified_sample(ds, n=2, key_col="source", id_col="doc_id").to_pandas()
+    assert not samp.source.isna().any()
+    assert set(samp[samp.source == "a"].doc_id) == {1, 2}

@@ -554,7 +554,11 @@ HUNGARIAN_VECTORS = [
     ("házaim", "ház"),  # owner -m, plural-owner -ai
     ("babáknak", "baba"),  # -nak case, plural ák -> a
     ("kertben", "kert"),  # -ben
-    ("fákkal", "fák"),  # instrumental with undouble; plural ák outside R1
+    # instrumental with undouble; then plural: 'ák' straddles the R1
+    # boundary so (setlimit semantics) the shorter in-R1 'k' wins
+    ("fákkal", "fá"),
+    # ADVICE r3 case: 'onként' straddles R1, in-R1 'ként' strips
+    ("onként", "on"),
     ("asztal", "asztal"),  # sz digraph pushes R1; nothing strips
 ]
 
