@@ -299,6 +299,153 @@ def compute_conv_offsets(ds, driver_merge_limit: int = 5_000_000) -> Tuple[pa.Ta
     return _finalize_offsets(conv, n, tmin, tmax, tsum, tsq)
 
 
+# ---------------------------------------------------------------------------
+# sharded conv map: bucketed join of turns against conv offsets
+# ---------------------------------------------------------------------------
+#
+# Above the broadcast limit the per-conversation offsets table never
+# touches the driver OR a single worker: the conv-level partials
+# groupby+sort (range-partitioned by conv_id), per-bucket turn sums
+# prefix-sum on the driver (O(buckets) rows), and each bucket
+# finalizes its own bases, writes its id_map parquet slice, and stays
+# in the object store as one lookup object. doc_id assignment then
+# becomes a bucketed map-side hash join: each tokenize task routes its
+# conv_ids to buckets via the (tiny) boundary array and fetches only
+# the buckets it touches (LRU-capped per worker) — with inputs laid
+# out by conv range that is 1-2 buckets per task. Same pattern as
+# ops/prep.py pack_token_stream's distributed prefix-sum.
+
+
+def _offsets_block_stats(tbl: pa.Table) -> Tuple[int, int, Optional[str], Optional[str]]:
+    """(n_convs, n_turns, first_conv, last_conv) of one sorted block."""
+    if tbl.num_rows == 0:
+        return (0, 0, None, None)
+    conv = tbl.column("conv_id")
+    return (
+        tbl.num_rows,
+        int(pc.sum(tbl.column("sum(count())")).as_py()),
+        conv[0].as_py(),
+        conv[-1].as_py(),
+    )
+
+
+def _finalize_offsets_block(tbl: pa.Table, base_start: int, bucket_idx: int, index_dir: str):
+    """Finalize ONE conv-range bucket (run with ``num_returns=2``):
+    validate turn contiguity, prefix-sum bases from ``base_start``,
+    write id_map/conv_offsets-{i:05d}.parquet, and return the tiny
+    meta separately from the (conv_ids, bases) lookup arrays so the
+    driver fetches only the meta and tokenize workers only the
+    arrays."""
+    conv = np.asarray(tbl.column("conv_id").to_pylist(), dtype=object)
+    n = tbl.column("sum(count())").to_numpy()
+    tmin = tbl.column("min(min(turn_idx))").to_numpy()
+    tmax = tbl.column("max(max(turn_idx))").to_numpy()
+    tsum = tbl.column("sum(sum(turn_idx))").to_numpy()
+    tsq = tbl.column("sum(sumsq(turn_idx))").to_numpy()
+    _validate_offsets(conv, n, tmin, tmax, tsum, tsq)
+    base = base_start + np.cumsum(n) - n
+    table = pa.Table.from_arrays(
+        [
+            pa.array(conv, type=pa.string()),
+            pa.array(base, type=pa.int64()),
+            pa.array(n.astype(np.int64), type=pa.int64()),
+        ],
+        names=["conv_id", "base", "n_turns"],
+    )
+    mf.atomic_write_parquet(
+        table,
+        os.path.join(index_dir, "id_map", f"conv_offsets-{bucket_idx:05d}.parquet"),
+    )
+    return (int(tbl.num_rows), int(n.sum())), (conv, base)
+
+
+def compute_conv_offsets_sharded(source, index_dir: str, n_buckets: Optional[int] = None):
+    """Distributed conv-offset computation for conversation counts past
+    the broadcast limit: returns ``(handle, doc_count)`` where
+    ``handle = ("sharded", boundaries, [ObjectRef, ...])`` — boundaries
+    is the first conv_id of each bucket, each ref resolves to that
+    bucket's (conv_ids, bases) arrays. The per-conversation table is
+    never gathered to the driver or ray.put whole; driver memory is
+    O(buckets). Buckets double as the id_map parquet slices.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    files = _list_parquet_files(source) if isinstance(source, (str, list)) else None
+    if files is not None and len(files) <= 4096:
+        ncpu = int(ray.cluster_resources().get("CPU", 1))
+        chunks = _plan_offset_units(files, n_tasks=max(len(files), 2 * ncpu))
+        task = ray.remote(num_cpus=1)(_offsets_partial_from_units)
+        partials = ray.data.from_arrow_refs([task.remote(c) for c in chunks])
+    else:
+        if isinstance(source, (str, list)):
+            ds = ray.data.read_parquet(source, columns=["conv_id", "turn_idx"])
+        else:
+            ds = source.select_columns(["conv_id", "turn_idx"])
+        partials = ds.map_batches(_offsets_partial, batch_format="pyarrow")
+    agg = (
+        partials.groupby("conv_id")
+        .aggregate(
+            Sum("count()"),
+            Min("min(turn_idx)"),
+            Max("max(turn_idx)"),
+            Sum("sum(turn_idx)"),
+            Sum("sumsq(turn_idx)"),
+        )
+        .sort("conv_id")
+    )
+    n_buckets = n_buckets or int(os.environ.get("GRAFT_CONV_BUCKETS", "0")) or None
+    if n_buckets:
+        # order-preserving split (no shuffle): bucket-size control for
+        # tests and for sources whose sort yields few big blocks
+        agg = agg.repartition(n_buckets)
+    agg = agg.materialize()
+
+    os.makedirs(os.path.join(index_dir, "id_map"), exist_ok=True)
+    block_refs = list(agg.to_arrow_refs())
+    stats_task = ray.remote(num_cpus=1)(_offsets_block_stats)
+    stats = ray.get([stats_task.remote(r) for r in block_refs])
+    live = [(r, s) for r, s in zip(block_refs, stats) if s[0] > 0]
+    if not live:
+        raise ValueError("empty input dataset")
+    for (_, a), (_, b) in zip(live, live[1:]):
+        if not a[3] < b[2]:  # groupby output has unique keys -> strict
+            raise ValueError(
+                "conv offset blocks are not globally ordered after sort"
+            )
+    fin = ray.remote(num_cpus=1, num_returns=2)(_finalize_offsets_block)
+    base = 0
+    metas, data_refs, boundaries = [], [], []
+    for i, (ref, s) in enumerate(live):
+        m_ref, d_ref = fin.remote(ref, base, i, index_dir)
+        metas.append(m_ref)
+        data_refs.append(d_ref)
+        boundaries.append(s[2])
+        base += s[1]
+    ray.get(metas)  # surface contiguity-validation errors NOW
+    handle = ("sharded", np.asarray(boundaries, dtype=object), data_refs)
+    return handle, int(base)
+
+
+def read_conv_offsets(index_dir: str) -> pa.Table:
+    """id_map reader for both layouts: the single conv_offsets.parquet
+    of broadcast builds, or the concatenation (already globally
+    conv_id-sorted) of a sharded build's conv_offsets-*.parquet."""
+    d = os.path.join(index_dir, "id_map")
+    single = os.path.join(d, "conv_offsets.parquet")
+    if os.path.exists(single):
+        return pq.read_table(single)
+    parts = sorted(
+        f
+        for f in os.listdir(d)
+        if f.startswith("conv_offsets-") and f.endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(single)
+    return pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in parts])
+
+
 def _merge_offset_partials(t: pa.Table) -> Tuple[pa.Table, int]:
     """Merge conv-level offset partials (one pandas groupby) and
     finalize: validation + prefix-sum. Pure — runs on the driver or
@@ -323,7 +470,7 @@ def _merge_offset_partials(t: pa.Table) -> Tuple[pa.Table, int]:
     )
 
 
-def _finalize_offsets(conv, n, tmin, tmax, tsum, tsq) -> Tuple[pa.Table, int]:
+def _validate_offsets(conv, n, tmin, tmax, tsum, tsq) -> None:
     # contiguity: min==0, max+1==count, sum==n(n-1)/2 AND
     # sumsq==n(n-1)(2n-1)/6 — two independent moments on top of
     # min/max/count. One moment admits compensating multisets (e.g.
@@ -351,6 +498,10 @@ def _finalize_offsets(conv, n, tmin, tmax, tsum, tsq) -> Tuple[pa.Table, int]:
             "turn_idx must be 0-based, contiguous and duplicate-free per "
             f"conv_id; violations e.g. conv_ids {[conv[i] for i in bad]}"
         )
+
+
+def _finalize_offsets(conv, n, tmin, tmax, tsum, tsq) -> Tuple[pa.Table, int]:
+    _validate_offsets(conv, n, tmin, tmax, tsum, tsq)
     base = np.cumsum(n) - n
     table = pa.Table.from_arrays(
         [
@@ -438,6 +589,11 @@ class _TokenizePartials:
         self._conv = None  # lazy: fetched at first partial-aggregation
         self.P = num_parts
         self.shard_docs = shard_docs
+        # sharded conv map: bucket_idx -> (conv_ids, bases), LRU-capped
+        from collections import OrderedDict
+
+        self._buckets: "OrderedDict[int, tuple]" = OrderedDict()
+        self._bucket_cap = int(os.environ.get("GRAFT_CONV_BUCKET_CACHE", "16"))
 
     def _conv_map(self):
         # deliberately NOT in __init__: when the conv offsets are still
@@ -448,6 +604,36 @@ class _TokenizePartials:
 
             self._conv = ray.get(self._conv_ref)
         return self._conv
+
+    def _doc_bases(self, conv: np.ndarray) -> np.ndarray:
+        """base[conv_id] per row. Broadcast mode: one searchsorted over
+        the whole (fetched-once) map. Sharded mode: route rows to conv-
+        range buckets via the boundary array, fetch only the buckets
+        this task touches (bucketed map-side hash join — the
+        10^11-conversation path; no whole-map object ever exists)."""
+        ref = self._conv_ref
+        if not (isinstance(ref, tuple) and ref[0] == "sharded"):
+            convs, bases = self._conv_map()
+            return bases[np.searchsorted(convs, conv)]
+        import ray
+
+        _, bounds, refs = ref
+        b = np.searchsorted(bounds, conv, side="right") - 1
+        np.maximum(b, 0, out=b)  # bounds[0] is the global min conv_id
+        out = np.empty(len(conv), dtype=np.int64)
+        for bi in np.unique(b):
+            bucket = self._buckets.get(int(bi))
+            if bucket is None:
+                bucket = ray.get(refs[int(bi)])
+                self._buckets[int(bi)] = bucket
+                while len(self._buckets) > self._bucket_cap:
+                    self._buckets.popitem(last=False)
+            else:
+                self._buckets.move_to_end(int(bi))
+            convs_b, bases_b = bucket
+            m = b == bi
+            out[m] = bases_b[np.searchsorted(convs_b, conv[m])]
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         P, shard_docs = self.P, self.shard_docs
@@ -477,9 +663,7 @@ class _TokenizePartials:
 
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        convs, bases = self._conv_map()
-        pos = np.searchsorted(convs, conv)
-        doc_ids = bases[pos] + turn
+        doc_ids = self._doc_bases(conv) + turn
         doc_rep = np.repeat(doc_ids, reps)
 
         rows_gkey: List[np.ndarray] = []
@@ -1075,7 +1259,27 @@ def build_index(
     _t_stage = time.monotonic()
     t_plan = _t_stage - _t_begin
     offsets_table_ref = None
-    if plans is not None and files is not None:
+    # conv-map mode: past the broadcast limit (conversations bounded
+    # above by turns; ~400 bytes/turn from the size estimate), the
+    # whole-map gather + ray.put would hit the driver/object-size wall,
+    # so the map goes bucketed (compute_conv_offsets_sharded).
+    conv_mode = os.environ.get("GRAFT_CONV_MAP", "auto")
+    conv_limit = int(os.environ.get("GRAFT_CONV_BROADCAST_LIMIT", str(100_000_000)))
+    est_turns = (int(est3) // 400) if est3 is not None else None
+    use_sharded_conv = conv_mode == "sharded" or (
+        conv_mode == "auto" and est_turns is not None and est_turns > conv_limit
+    )
+    if use_sharded_conv:
+        single = os.path.join(index_dir, "id_map", "conv_offsets.parquet")
+        if os.path.exists(single):  # other-mode leftover from a resume
+            os.remove(single)
+        conv_map_ref, doc_count = compute_conv_offsets_sharded(
+            source if plans is not None else ds_keys, index_dir
+        )
+        conv_offsets = None
+        t_offsets = time.monotonic() - _t_stage
+        t_idmap = 0.0
+    elif plans is not None and files is not None:
         # OVERLAPPED offsets (direct path): submit the per-unit offset
         # partials and their merge as Ray tasks and DON'T wait — the
         # tokenize map tasks read + tokenize first and block on the
@@ -1099,6 +1303,10 @@ def build_index(
         conv_offsets, doc_count = compute_conv_offsets(ds_keys)
         t_offsets = time.monotonic() - _t_stage
         _t_stage = time.monotonic()
+        id_map_dir = os.path.join(index_dir, "id_map")
+        for f in os.listdir(id_map_dir):  # sharded leftovers from a resume
+            if f.startswith("conv_offsets-"):
+                os.remove(os.path.join(id_map_dir, f))
         mf.atomic_write_parquet(
             conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
         )
@@ -1135,6 +1343,10 @@ def build_index(
             conv_offsets, doc_count, _t_waited = got
             t_offsets += _t_waited
             _t_stage = time.monotonic()
+            id_map_dir = os.path.join(index_dir, "id_map")
+            for f in os.listdir(id_map_dir):  # sharded leftovers
+                if f.startswith("conv_offsets-"):
+                    os.remove(os.path.join(id_map_dir, f))
             mf.atomic_write_parquet(
                 conv_offsets,
                 os.path.join(index_dir, "id_map", "conv_offsets.parquet"),

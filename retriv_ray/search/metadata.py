@@ -56,7 +56,9 @@ def build_metadata(source, index_dir: str, schema: Dict[str, str]) -> None:
     if bad:
         raise ValueError(f"unsupported kinds: {bad}")
     fields = list(schema)
-    im = pq.read_table(os.path.join(index_dir, "id_map", "conv_offsets.parquet"))
+    from retriv_ray.index.build import read_conv_offsets
+
+    im = read_conv_offsets(index_dir)
     convs = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
     bases = im.column("base").to_numpy()
     ref = ray.put((convs, bases))

@@ -52,6 +52,24 @@ from retriv_ray.search import kernel
 from retriv_ray.text.pipeline import TextPreprocessor
 
 
+def _prefix8(data: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Zero-padded 8-byte big-endian prefix of each term as uint64,
+    vectorized from the raw Arrow string buffers. Terms sorted by full
+    UTF-8 bytes have non-decreasing prefixes, so np.searchsorted over
+    this array brackets a term's equal-prefix run in pure C."""
+    # 1-D gathers only: broadcasting a stride-0 inner dim is ~30x
+    # slower than eight contiguous passes in this numpy build
+    starts = off[:-1]
+    lens = off[1:] - starts
+    dpad = np.concatenate([data, np.zeros(8, np.uint8)])
+    pref = np.zeros(len(starts), np.uint64)
+    for k in range(8):
+        b = dpad[starts + k].astype(np.uint64)
+        b[lens <= k] = 0
+        pref = (pref << np.uint64(8)) | b
+    return pref
+
+
 class TermStats:
     """Lazy, part-sharded view of the global terms table (vocabulary
     membership + df), replacing the former whole-vocabulary Python
@@ -60,10 +78,14 @@ class TermStats:
     term (index.build._merge_part_terms), so each part loads on first
     touch as a single Arrow string array + numpy df array — resident
     memory is the raw Arrow byte buffers of only the parts a workload
-    touches (no per-term str objects, no hashtable) — and a term is
-    looked up by binary search over the Arrow array (UTF-8 byte order
-    == code-point order, so Arrow's sort agrees with Python ``<``).
-    A small bounded memo keeps hot Zipf terms at dict speed.
+    touches (no per-term str objects, no hashtable). A term is looked
+    up via ONE ``np.searchsorted`` over a per-part array of 8-byte
+    big-endian term prefixes (zero-padded; bytewise order == UTF-8
+    byte order == code-point order, so the padded-prefix sort agrees
+    with the on-disk term sort), then an exact raw-byte compare over
+    the (almost always singleton) equal-prefix run — no ``.as_py()``,
+    no Python-object churn per probe. A small bounded memo keeps hot
+    Zipf terms at dict speed.
 
     Implements the read-only mapping surface (get/in/[]/iter/len) the
     serving code and tests use; ``__iter__``/``__len__`` load every
@@ -86,8 +108,17 @@ class TermStats:
         if os.path.exists(path):
             t = pq.read_table(path, columns=["term", "df"])
             if t.num_rows:
+                arr = t.column("term").combine_chunks()
+                odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+                off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+                    arr.offset : arr.offset + len(arr) + 1
+                ].astype(np.int64)
+                data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
                 entry = (
-                    t.column("term").combine_chunks(),
+                    arr,  # keeps the buffers alive; off/data are views
+                    _prefix8(data, off),
+                    off,
+                    data,
                     t.column("df").to_numpy(),
                 )
         self._parts[p] = entry
@@ -100,16 +131,16 @@ class TermStats:
         entry = self._part(term_part(term, self.num_parts))
         out = None
         if entry is not None:
-            terms, df = entry
-            lo, hi = 0, len(terms)
-            while lo < hi:
-                mid = (lo + hi) >> 1
-                if terms[mid].as_py() < term:
-                    lo = mid + 1
-                else:
-                    hi = mid
-            if lo < len(terms) and terms[lo].as_py() == term:
-                out = int(df[lo])
+            _, prefixes, off, data, df = entry
+            tb = term.encode("utf-8")
+            qp = np.uint64(int.from_bytes(tb[:8].ljust(8, b"\0"), "big"))
+            lo = int(np.searchsorted(prefixes, qp, side="left"))
+            hi = int(np.searchsorted(prefixes, qp, side="right"))
+            for i in range(lo, hi):
+                s, e = int(off[i]), int(off[i + 1])
+                if e - s == len(tb) and data[s:e].tobytes() == tb:
+                    out = int(df[i])
+                    break
         if len(self._memo) >= self._memo_cap:
             self._memo.pop(next(iter(self._memo)))
         self._memo[term] = out
@@ -139,9 +170,11 @@ class TermStats:
 
     def resident_bytes(self) -> int:
         """Arrow + numpy bytes of the parts loaded so far (for RSS
-        accounting; compare against ~100 bytes/term of dict+str)."""
+        accounting; compare against ~100 bytes/term of dict+str).
+        off/data are zero-copy views into the Arrow buffers, so only
+        the array, the prefix table, and df count."""
         return sum(
-            e[0].nbytes + e[1].nbytes
+            e[0].nbytes + e[1].nbytes + e[4].nbytes
             for e in self._parts.values()
             if e is not None
         )
@@ -206,7 +239,9 @@ class LoadedIndex:
             float(self.relative_doc_lens.min()) if self.local_count else 0.0
         )
 
-        im = pq.read_table(os.path.join(index_dir, "id_map", "conv_offsets.parquet"))
+        from retriv_ray.index.build import read_conv_offsets
+
+        im = read_conv_offsets(index_dir)
         self.conv_ids = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
         self.conv_bases = im.column("base").to_numpy()
 

@@ -314,3 +314,62 @@ def test_invalid_turn_idx_raises_and_wipes(tmp_path, ray_session):
     with pytest.raises(ValueError, match="contiguous"):
         build_index(src, idx, SparseConfig(), num_parts=2, resume=False)
     assert not os.path.exists(idx)
+
+
+def test_sharded_conv_map_byte_identical(tmp_path, ray_session):
+    """VERDICT r3 #1: the bucketed conv-map path (distributed offsets,
+    no whole-map gather/broadcast) must produce a byte-identical index
+    to the broadcast path, and serving must read the bucketed id_map."""
+    table = transcripts_table(80, seed=23)
+    src = _write_parquet(table, tmp_path / "t.parquet")
+    cfg = SparseConfig()
+    d1, d2 = str(tmp_path / "broadcast"), str(tmp_path / "sharded")
+    build_index(src, d1, cfg, num_parts=4, shard_docs=256, batch_size=64)
+    os.environ["GRAFT_CONV_MAP"] = "sharded"
+    os.environ["GRAFT_CONV_BUCKETS"] = "4"
+    os.environ["GRAFT_CONV_BUCKET_CACHE"] = "2"  # force eviction too
+    try:
+        man2 = build_index(src, d2, cfg, num_parts=4, shard_docs=256, batch_size=64)
+    finally:
+        for k in ("GRAFT_CONV_MAP", "GRAFT_CONV_BUCKETS", "GRAFT_CONV_BUCKET_CACHE"):
+            del os.environ[k]
+    # index bytes identical (doc_ids don't depend on the map's layout)
+    for sub in ("segments", "doc_lens", "terms"):
+        f1 = sorted(os.listdir(os.path.join(d1, sub)))
+        f2 = sorted(os.listdir(os.path.join(d2, sub)))
+        assert f1 == f2, sub
+        for name in f1:
+            b1 = open(os.path.join(d1, sub, name), "rb").read()
+            b2 = open(os.path.join(d2, sub, name), "rb").read()
+            assert b1 == b2, (sub, name)
+    # id_map: sharded layout has bucket files, no single file; content
+    # equal after concat
+    from retriv_ray.index.build import read_conv_offsets
+
+    id2 = sorted(os.listdir(os.path.join(d2, "id_map")))
+    assert "conv_offsets.parquet" not in id2
+    assert len([f for f in id2 if f.startswith("conv_offsets-")]) > 1
+    assert read_conv_offsets(d2).equals(read_conv_offsets(d1))
+    assert man2.doc_count == table.num_rows
+    # serving over the bucketed id_map
+    r1, r2 = RaySparseRetriever(d1), RaySparseRetriever(d2)
+    q = "error in the tool output"
+    assert r1.search(q, cutoff=10) == r2.search(q, cutoff=10)
+
+
+def test_sharded_conv_map_rejects_bad_turn_idx(tmp_path, ray_session):
+    """Contiguity validation must fire on the sharded path too."""
+    import ray.data
+
+    from retriv_ray.index.build import compute_conv_offsets_sharded
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "b", "b"],
+            "turn_idx": pa.array([0, 2, 0, 1], type=pa.int32()),
+        }
+    )
+    with pytest.raises(Exception, match="contiguous"):
+        compute_conv_offsets_sharded(
+            ray.data.from_arrow(t), str(tmp_path / "idx")
+        )
