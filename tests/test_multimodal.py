@@ -120,3 +120,97 @@ def test_video_real_decode_branch(monkeypatch):
     out = st(_payload_batch([3], [b"mp4bytes"]))
     assert out.column("frame_idx").to_pylist() == [0, 5]
     assert out.column("doc_id").to_pylist() == [3, 3]
+
+
+# ---------------------------------------------------------------------------
+# dependency-free real decoders (VERDICT r3 #5): PPM/PGM, BMP, WAV
+# ---------------------------------------------------------------------------
+
+
+def test_decode_pnm_p6_exact():
+    # 2x2 P6 with a comment line; known luma values
+    raster = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  10, 20, 30])
+    payload = b"P6\n# comment\n2 2\n255\n" + raster
+    img = mm.decode_pnm(payload)
+    # (299R + 587G + 114B) // 1000
+    want = np.array([[76, 149], [29, (10*299 + 20*587 + 30*114)//1000]], np.uint8)
+    assert img.dtype == np.uint8 and np.array_equal(img, want)
+
+
+def test_decode_pnm_p5_and_malformed():
+    img = mm.decode_pnm(b"P5\n3 1\n255\n" + bytes([9, 8, 7]))
+    assert np.array_equal(img, np.array([[9, 8, 7]], np.uint8))
+    assert mm.decode_pnm(b"P6\n2 2\n255\nshort") is None  # truncated raster
+    assert mm.decode_pnm(b"JFIF....") is None  # not a PNM
+
+
+def test_decode_bmp_bottom_up_with_padding():
+    # 2x2, 24bpp: rows padded to 4 bytes (2*3=6 -> stride 8),
+    # stored bottom-up as B,G,R
+    row_bottom = bytes([0, 0, 255,  0, 255, 0]) + b"\0\0"   # red, green
+    row_top = bytes([255, 0, 0,  30, 20, 10]) + b"\0\0"     # blue, (10,20,30)
+    raster = row_bottom + row_top
+    header = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + bytes(20)
+    )
+    img = mm.decode_bmp(header + raster)
+    want = np.array(
+        [[29, (10*299 + 20*587 + 30*114)//1000], [76, 149]], np.uint8
+    )
+    assert np.array_equal(img, want)
+    assert mm.decode_bmp(b"BMtooshort") is None
+
+
+def test_decode_wav_roundtrip_16bit_stereo_downmix():
+    import io
+    import wave
+
+    samples = np.array([1000, -1000, 32767, -32768, 0, 16384], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(samples.tobytes())
+    x = mm.decode_wav(buf.getvalue())
+    want = samples.astype(np.float32).reshape(-1, 2).mean(axis=1) / 32768.0
+    assert np.allclose(x, want, rtol=0, atol=0)
+    assert mm.decode_wav(b"RIFFnot-a-wav") is None
+
+
+def test_synth_ppm_pins_image_features_without_pil():
+    """The synthesized P6 payload decodes through the REAL byte
+    decoder: px_mean equals the luma of the known raster, not the
+    fake's raw-byte mean."""
+    seed = b"hello world"
+    payload = mm.synth_ppm(seed, w=16, h=16)
+    img = mm.decode_pnm(payload)
+    assert img.shape == (16, 16)
+    stage = mm.ImageFeatures(side=16)
+    assert not stage.have_decoder  # PIL absent in this container
+    out = stage(_payload_batch([1], [payload]))
+    got_mean = out.column("px_mean")[0].as_py()
+    assert got_mean == float(img.astype(np.float64).mean())
+    # and differs from the fake branch's raw-byte mean
+    fake = stage._fake_decode(payload).astype(np.float64).mean()
+    assert got_mean != fake
+
+
+def test_synth_wav_pins_audio_features_without_soundfile():
+    payload = mm.synth_wav(b"abc", n_samples=1024, rate=16000)
+    stage = mm.AudioFeatures(frame=256)
+    assert not stage._have_decoder
+    out = stage(_payload_batch([1], [payload]))
+    assert out.column("n_frames")[0].as_py() == 4
+    x = mm.decode_wav(payload)
+    fr = x[:1024].reshape(4, 256)  # float32, same dtype path as the stage
+    want_rms = np.sqrt((fr ** 2).mean(axis=1))
+    assert np.allclose(out.column("frame_rms")[0].as_py(), want_rms, rtol=0, atol=0)
