@@ -3,21 +3,24 @@
 Reference: retriv/sparse_retriever/preprocessing/stemmer.py:10-223
 resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
 None of those packages is available here; we ship from-scratch
-implementations of the published algorithms for 17 of the names:
+implementations of the published algorithms for 20 of the names:
 Porter2 for the default "english" (the reference's "english" is
 NLTK's Snowball english, stemmer.py:23), classic Porter 1980 for
 "porter" (see porter1.py's parity note on NLTK's extensions),
-Lancaster/Paice-Husk, CISTEM (Weißweiler & Fraser 2017), and the
+Lancaster/Paice-Husk, CISTEM (Weißweiler & Fraser 2017), the
 Snowball algorithms for german, spanish, italian, french,
 portuguese, russian, danish, norwegian, swedish, dutch, romanian,
-finnish and hungarian — each written from the spec prose at
-snowballstem.org with hand-traced golden vectors (PyStemmer is not
-installable here to diff against; per-module docstrings note any
-reconstruction caveats). The remaining 15 names (krovetz — a
-dictionary-based C++ stemmer, the arabic family, greek, turkish and
-other PyStemmer languages) raise with a clear message; custom
-callables pass through; ``None`` -> identity (reference
-stemmer.py:215-223).
+finnish, hungarian and turkish, the Tala/Asian confix-stripping
+algorithm for indonesian, and the Ramanathan-Rao lightweight
+stemmer for hindi — each written from the published spec/paper with
+hand-traced golden vectors (PyStemmer is not installable here to
+diff against; per-module docstrings note any reconstruction
+caveats). The remaining 12 names (krovetz — a dictionary-based C++
+stemmer; the arabic family arlstem/arlstem2/isri/arabic; greek,
+basque, catalan, irish, lithuanian, nepali, tamil) raise with a
+clear message — their specs are long rule tables that cannot be
+reproduced here with parity-grade fidelity; custom callables pass
+through; ``None`` -> identity (reference stemmer.py:215-223).
 """
 
 from __future__ import annotations
@@ -30,7 +33,9 @@ from retriv_ray.text.dutch import stem as dutch_stem
 from retriv_ray.text.finnish import stem as finnish_stem
 from retriv_ray.text.french import stem as french_stem
 from retriv_ray.text.german import stem as german_stem
+from retriv_ray.text.hindi import stem as hindi_stem
 from retriv_ray.text.hungarian import stem as hungarian_stem
+from retriv_ray.text.indonesian import stem as indonesian_stem
 from retriv_ray.text.italian import stem as italian_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.norwegian import stem as norwegian_stem
@@ -42,6 +47,7 @@ from retriv_ray.text.russian import stem as russian_stem
 from retriv_ray.text.spanish import stem as spanish_stem
 from retriv_ray.text.swedish import stem as swedish_stem
 from retriv_ray.text.tokenizer import identity_function
+from retriv_ray.text.turkish import stem as turkish_stem
 
 _STEMMERS = {
     "english": english_stem,
@@ -60,6 +66,9 @@ _STEMMERS = {
     "romanian": romanian_stem,
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
+    "turkish": turkish_stem,
+    "indonesian": indonesian_stem,
+    "hindi": hindi_stem,
     "cistem": cistem_stem,
 }
 

@@ -287,3 +287,38 @@ LISTS = {
     "hungarian": HUNGARIAN,
     "romanian": ROMANIAN,
 }
+
+# Turkish: NLTK's turkish list is a 53-word function-word list (not a
+# Snowball file — Snowball publishes no turkish stop words); embedded
+# verbatim from the public corpus.
+TURKISH = _dedup("""
+acaba ama aslında az bazı belki biri birkaç birşey biz bu çok çünkü
+da daha de defa diye eğer en gibi hem hep hepsi her hiç için ile ise
+kez ki kim mı mu mü nasıl ne neden nerde nerede nereye niçin niye o
+sanki şey siz şu tüm ve veya ya yani
+""".split())
+
+# Indonesian: a function-word core (pronouns, prepositions,
+# conjunctions, auxiliaries, question words, common discourse
+# particles). NLTK's indonesian list (from Tala's corpus) is much
+# larger (~750 forms, mostly derived variants); callers needing exact
+# NLTK parity should pass that list explicitly.
+INDONESIAN = _dedup("""
+ada adalah adanya agak agar akan aku anda antara apa apakah atas atau
+bagaimana bagi bahkan bahwa baik banyak baru beberapa begitu belum
+berada berapa bisa bukan dalam dan dapat dari darinya demikian dengan
+depan di dia dialah dini dua gunanya hanya harus hingga ia ialah ini
+itu itulah jadi jangan jika juga kalau kami kamu kapan karena ke
+kemudian kenapa kepada ketika kita lagi lain lalu lebih maka mana
+masih melainkan melakukan memang mengapa mereka merupakan meski
+meskipun namun nanti oleh pada padahal para per pernah pula pun saat
+saja sama sambil sampai sana sangat saya sebab sebagai sebelum
+sebuah sedang sedangkan segera sehingga sejak sekarang sekitar
+selain selalu selama seluruh sementara semua sendiri seorang seperti
+sering serta sesuatu setelah setiap siapa sini situ suatu sudah
+supaya tanpa tapi telah tentang tentu terhadap termasuk tersebut
+tetapi tiap tidak untuk walaupun yaitu yakni yang
+""".split())
+
+LISTS["turkish"] = TURKISH
+LISTS["indonesian"] = INDONESIAN

@@ -629,13 +629,118 @@ def test_round3_stemmer_langs_pipeline_end_to_end():
 
 
 def test_stemmer_registry_round3_count():
-    """M9 coverage: 16 named stemmers resolve (reference names 32;
+    """M9 coverage: 20 named stemmers resolve (reference names 32;
     the rest raise with a clear message)."""
     names = [
         "english", "porter", "lancaster", "german", "spanish",
         "italian", "french", "portuguese", "russian", "danish",
         "norwegian", "swedish", "dutch", "romanian", "finnish",
-        "hungarian", "cistem",
+        "hungarian", "cistem", "turkish", "indonesian", "hindi",
     ]
     for n in names:
         assert callable(get_stemmer(n)), n
+
+
+TURKISH_VECTORS = [
+    ("evler", "ev"),  # plural
+    ("evleri", "ev"),  # plural + possessive/acc
+    ("kitabı", "kitap"),  # accusative + final devoicing b->p
+    ("kitaplardan", "kitap"),  # plural + ablative
+    ("arabası", "araba"),  # 3sg possessive with s buffer
+    ("arabasındakilerden", "araba"),  # full chain: DAn, lAr, ki+ndA, sU
+    ("kapıyı", "kapı"),  # accusative y buffer (not bare-ı overstrip)
+    ("doktorsunuz", "doktor"),  # person ending -sUnUz (not -nUz)
+    ("geldiniz", "gel"),  # -nUz then -yDU chain
+    ("evlerdir", "ev"),  # -DUr then -lAr
+    ("hastaydı", "has"),  # -yDU after vowel, then -DA (aggressive, documented)
+    ("kredi", "kredi"),  # stripped to kred, d-final vowel append restores
+    ("istanbul'da", "istanbul"),  # apostrophe suffix
+    ("anne", "anne"),  # harmony blocks -nA
+    ("su", "su"),  # single-syllable floor
+    ("eski", "esk"),  # bare -U strips (aggressive, documented)
+    ("türki", "türki"),  # ki without locative/genitive host survives
+]
+
+
+@pytest.mark.parametrize("word,expected", TURKISH_VECTORS)
+def test_turkish_vectors(word, expected):
+    from retriv_ray.text.turkish import stem as turkish
+
+    assert turkish(word) == expected
+
+
+INDONESIAN_VECTORS = [
+    ("menulis", "tulis"),  # men+V -> t recoding
+    ("menyapu", "sapu"),  # meny+V -> s
+    ("memilih", "pilih"),  # mem+V -> p
+    ("membeli", "beli"),  # mem+C delete
+    ("pembelian", "beli"),  # pem + -an circumfix
+    ("kebijaksanaan", "bijaksana"),  # ke-an circumfix
+    ("diberikan", "beri"),  # di + -kan
+    ("berlari", "lari"),  # ber-, -i blocked after be-
+    ("belajar", "ajar"),  # bel before ajar
+    ("mempelajari", "ajar"),  # mem + pel-ajar + -i
+    ("makanan", "makan"),  # bare -an
+    ("bukunya", "buku"),  # possessive -nya
+    ("rumahkah", "rumah"),  # particle -kah
+    ("menang", "menang"),  # two-syllable floor protects the root
+]
+
+
+@pytest.mark.parametrize("word,expected", INDONESIAN_VECTORS)
+def test_indonesian_vectors(word, expected):
+    from retriv_ray.text.indonesian import stem as indonesian
+
+    assert indonesian(word) == expected
+
+
+HINDI_VECTORS = [
+    ("लड़के", "लड़क"),  # oblique -e
+    ("लड़कियाँ", "लड़क"),  # plural -iyan (4-char suffix)
+    ("खाएंगी", "ख"),  # future 3pl fem (4-char)
+    ("बोलने", "बोल"),  # infinitive oblique -ne
+    ("किताबें", "किताब"),  # plural -en
+    ("समझाकर", "समझ"),  # conjunctive -akar
+    ("घर", "घर"),  # no suffix
+]
+
+
+@pytest.mark.parametrize("word,expected", HINDI_VECTORS)
+def test_hindi_vectors(word, expected):
+    from retriv_ray.text.hindi import stem as hindi
+
+    assert hindi(word) == expected
+
+
+def test_turkish_indonesian_stopwords():
+    for lang, n_expect, words in (
+        ("turkish", 53, ["ve", "bu", "için", "mı", "değil"]),
+        ("indonesian", None, ["yang", "dan", "tidak", "adalah"]),
+    ):
+        sw = get_stopwords(lang)
+        if n_expect is not None:
+            assert len(sw) == n_expect, lang
+        assert len(set(sw)) == len(sw), lang
+        for w in words:
+            if w == "değil":  # not in nltk's turkish list
+                assert w not in sw
+            else:
+                assert w in sw, (lang, w)
+
+
+def test_turkish_indonesian_hindi_pipelines_end_to_end():
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.text.pipeline import TextPreprocessor
+
+    cases = {
+        ("turkish", "turkish"): ("Evlerde kitapları okuyoruz ve", "kitap"),
+        ("indonesian", "indonesian"): (
+            "Mereka membeli makanan yang enak",
+            "beli",
+        ),
+        ("hindi", None): ("लड़के बोलने", "लड़क"),
+    }
+    for (stemmer, stop), (sentence, expect_tok) in cases.items():
+        cfg = SparseConfig(stemmer=stemmer, stopwords=stop)
+        out = TextPreprocessor(cfg).tokens(sentence)
+        assert expect_tok in out, (stemmer, out)
