@@ -465,6 +465,30 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(_docs(sf_dir), n=7)
 
 
+def _q_contamination_check(sf_dir: str):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from retriv_ray.ops.textstats import contamination_check
+
+    t = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench = {
+        " ".join((r or "").split()[:8])
+        for d, r in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if d < 5 and len((r or "").split()) >= 8
+    }
+    return contamination_check(_docs(sf_dir), bench, n=8)
+
+
+def _q_token_rarity(sf_dir: str):
+    from retriv_ray.ops.textstats import token_rarity
+
+    return token_rarity(_docs(sf_dir))
+
+
 def _q_pii_scrub(sf_dir: str):
     from retriv_ray.ops.scrub import pattern_scrub
 
@@ -628,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "top_ngrams": _q_top_ngrams,
         "stratified_sample": _q_stratified_sample,
+        "contamination_check": _q_contamination_check,
+        "token_rarity": _q_token_rarity,
     }
 
 
@@ -1137,5 +1163,32 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY md5_number_lower('0:' || doc_id::VARCHAR),
                             doc_id) AS rn
           FROM documents) WHERE rn <= 7 ORDER BY source, doc_id
+    """
+    # benchmark = each doc_id<5 doc's first 8 tokens; 8-gram collision
+    # counts are integer-exact (ops/textstats.py contamination_check)
+    out["contamination_check"] = f"""
+        WITH toks AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t
+                      FROM documents),
+        bench AS (SELECT DISTINCT array_to_string(t[1:8], ' ') AS gram
+                  FROM toks WHERE doc_id < 5 AND len(t) >= 8),
+        grams AS (SELECT doc_id, array_to_string(t[i : i+7], ' ') AS gram
+                  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+                  WHERE len(t) >= 8)
+        SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_contaminated
+        FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+    # per-position corpus-frequency stats (ops/textstats.py token_rarity)
+    out["token_rarity"] = f"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(list_filter({_TOKS}, x -> x <> '')) AS tok
+                      FROM documents),
+        counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok)
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(c.cnt)::BIGINT AS sum_cnt, min(c.cnt)::BIGINT AS min_cnt
+        FROM toks t JOIN counts c ON t.tok = c.tok
+        GROUP BY t.doc_id ORDER BY t.doc_id
     """
     return out

@@ -293,3 +293,145 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
         [pa.array(grams[order], type=pa.string()), pa.array(cnts[order])],
         names=["gram", "cnt"],
     )
+
+
+def contamination_check(
+    ds,
+    benchmark_grams,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram collision
+    check): per document, the number of whitespace ``n``-gram positions
+    and how many of them collide with ``benchmark_grams`` (an iterable
+    of n-gram strings from the held-out eval sets). Documents with
+    fewer than ``n`` tokens emit no row (they cannot collide).
+
+    Scale: the benchmark set is the SMALL side — it is ``ray.put``
+    once and read per worker from the object store (never re-shipped
+    per batch, never a shuffle); the documents stream through one
+    map_batches. Integer-exact, so the SQL oracle reproduces every
+    value."""
+    import ray
+
+    bench_ref = ray.put(frozenset(benchmark_grams))
+
+    def check(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_n, out_hit = [], [], []
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if len(toks) < n:
+                continue
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            out_id.append(ids[i].as_py())
+            out_n.append(len(grams))
+            out_hit.append(sum(1 for g in grams if g in bench))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, type=ids.type),
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_hit, type=pa.int64()),
+            ],
+            names=[id_col, "n_grams", "n_contaminated"],
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def token_rarity(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document corpus-frequency stats of its tokens — the
+    unigram-LM quality signal, kept integer-exact so the SQL oracle
+    pins every value: (doc_id, n_tokens, sum_cnt, min_cnt) where cnt
+    is each token's corpus-wide occurrence count, summed per token
+    POSITION (sum over distinct tokens of tf * cnt). A mean corpus
+    log-probability is a trivial client-side map of these integers.
+    Documents with zero tokens emit no row.
+
+    Scale plan (no vocabulary broadcast — the 10^9-term path):
+    pass 1 is the word-count shuffle with a per-batch Counter combiner;
+    pass 2 re-emits per-doc (token, tf) partials and co-groups them
+    with the counts by token (union + groupby — a hash join), then a
+    doc-keyed aggregate produces the three stats."""
+    from collections import Counter
+
+    from ray.data.aggregate import Min, Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update((t or "").split())
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(c.keys()), type=pa.string()),
+                pa.array(list(c.values()), type=pa.int64()),
+            ],
+            names=["tok", "v"],
+        )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        out_t, out_d, out_tf = [], [], []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            c = Counter((t or "").split())
+            out_t.extend(c.keys())
+            out_d.extend([int(ids[i])] * len(c))
+            out_tf.extend(c.values())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_t, type=pa.string()),
+                pa.array(out_d, type=pa.int64()),
+                pa.array(out_tf, type=pa.int64()),
+            ],
+            names=["tok", id_col, "v"],
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("v", alias_name="cnt"))
+    )
+
+    def attach_cnt(group: pa.Table) -> pa.Table:
+        # one co-group per token: the count row (id = -1) carries the
+        # global cnt; every doc row contributes (doc, tf, tf*cnt, cnt)
+        ids = group.column(id_col).to_numpy()
+        vs = group.column("v").to_numpy()
+        is_cnt = ids == -1
+        cnt = int(vs[is_cnt].sum())
+        d, tf = ids[~is_cnt], vs[~is_cnt]
+        return pa.Table.from_arrays(
+            [
+                pa.array(d),
+                pa.array(tf),
+                pa.array(tf * cnt),
+                pa.array(np.full(len(d), cnt, dtype=np.int64)),
+            ],
+            names=[id_col, "tf", "tfcnt", "cnt"],
+        )
+
+    tagged_counts = counts.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("tok"),
+                pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                t.column("cnt"),
+            ],
+            names=["tok", id_col, "v"],
+        ),
+        batch_format="pyarrow",
+    )
+    joined = (
+        ds.map_batches(doc_partial, batch_format="pyarrow")
+        .union(tagged_counts)
+        .groupby("tok")
+        .map_groups(attach_cnt, batch_format="pyarrow")
+    )
+    return joined.groupby(id_col).aggregate(
+        Sum("tf", alias_name="n_tokens"),
+        Sum("tfcnt", alias_name="sum_cnt"),
+        Min("cnt", alias_name="min_cnt"),
+    )

@@ -91,3 +91,42 @@ def test_top_ngrams_exact_order_and_ties(ray_mod):
         {"gram": "b a", "cnt": 1},
         {"gram": "b c", "cnt": 1},
     ]
+
+
+def test_contamination_check(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.textstats import contamination_check
+
+    docs = [
+        {"doc_id": 0, "text": "a b c d e f g h tail words here"},  # bench doc
+        {"doc_id": 1, "text": "x a b c d e f g h y"},  # contains the bench gram
+        {"doc_id": 2, "text": "clean text with eight tokens or more today"},
+        {"doc_id": 3, "text": "too short"},  # < 8 tokens -> no row
+    ]
+    bench = {" ".join(docs[0]["text"].split()[:8])}
+    out = contamination_check(
+        ray.data.from_items(docs), bench, n=8
+    ).to_pandas().set_index("doc_id")
+    assert 3 not in out.index
+    assert out.loc[0, "n_contaminated"] == 1  # its own first gram
+    assert out.loc[1, "n_contaminated"] == 1 and out.loc[1, "n_grams"] == 3
+    assert out.loc[2, "n_contaminated"] == 0
+
+
+def test_token_rarity(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.textstats import token_rarity
+
+    docs = [
+        {"doc_id": 0, "text": "a a b"},
+        {"doc_id": 1, "text": "a c"},
+        {"doc_id": 2, "text": ""},  # no tokens -> no row
+    ]
+    # corpus counts: a=3, b=1, c=1
+    out = token_rarity(ray.data.from_items(docs)).to_pandas().set_index("doc_id")
+    assert 2 not in out.index
+    assert out.loc[0, "n_tokens"] == 3 and out.loc[0, "sum_cnt"] == 2 * 3 + 1
+    assert out.loc[0, "min_cnt"] == 1
+    assert out.loc[1, "n_tokens"] == 2 and out.loc[1, "sum_cnt"] == 4
