@@ -483,6 +483,12 @@ def _q_contamination_check(sf_dir: str):
     return contamination_check(_docs(sf_dir), bench, n=8)
 
 
+def _q_duplicate_windows(sf_dir: str):
+    from retriv_ray.ops.dedup import duplicate_window_stats
+
+    return duplicate_window_stats(_docs(sf_dir), window=8, stride=4)
+
+
 def _q_token_rarity(sf_dir: str):
     from retriv_ray.ops.textstats import token_rarity
 
@@ -654,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "contamination_check": _q_contamination_check,
         "token_rarity": _q_token_rarity,
+        "duplicate_windows": _q_duplicate_windows,
     }
 
 
@@ -1179,6 +1186,21 @@ def oracle_sql() -> dict[str, str]:
                  AS n_contaminated
         FROM grams g LEFT JOIN bench b ON g.gram = b.gram
         GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+    # windowed exact-substring duplication (ops/dedup.py
+    # duplicate_window_stats; window=8 stride=4); the oracle groups by
+    # the VERBATIM window text, so an md5 collision would surface here
+    out["duplicate_windows"] = f"""
+        WITH toks AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t
+                      FROM documents),
+        w AS (SELECT doc_id, array_to_string(t[i : i+7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(t) - 7, 4)) AS g(i)
+              WHERE len(t) >= 8),
+        c AS (SELECT gram, count(*)::BIGINT AS n FROM w GROUP BY gram)
+        SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+               sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_windows
+        FROM w JOIN c ON w.gram = c.gram
+        GROUP BY w.doc_id ORDER BY w.doc_id
     """
     # per-position corpus-frequency stats (ops/textstats.py token_rarity)
     out["token_rarity"] = f"""

@@ -722,3 +722,78 @@ def dedup_filter(ds, pairs, id_col: str = "doc_id"):
         return out.drop_columns(drop)
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def duplicate_window_stats(
+    ds,
+    window: int = 50,
+    stride: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact substring-duplication stats (the windowed form of
+    Lee et al. 2022's "Deduplicating Training Data Makes Language
+    Models Better" exact-substring pass): per document, the number of
+    ``window``-token windows sampled at ``stride`` and how many of
+    them occur — verbatim — at two or more (doc, position) sites
+    corpus-wide. Documents shorter than ``window`` tokens emit no row.
+
+    Scale plan: windows are md5-low64 hashed at the map side (8 bytes
+    + doc_id per window cross the wire, never the window text), one
+    groupby(hash) counts each window's global multiplicity and emits
+    per-occurrence (doc_id, dup) flags locally, and a doc-keyed sum
+    produces (doc_id, n_windows, dup_windows). No driver state, no
+    broadcast; 2^-64 hash-collision odds stand in for the verify pass
+    (the SQL oracle groups by the verbatim window text, so a collision
+    would surface as a mismatch)."""
+    from retriv_ray.ops.prep import _md5_low64
+
+    from ray.data.aggregate import Sum
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        out_h, out_d = [], []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            if len(toks) < window:
+                continue
+            grams = [
+                " ".join(toks[j : j + window])
+                for j in range(0, len(toks) - window + 1, stride)
+            ]
+            out_h.append(_md5_low64(grams).astype(np.int64))
+            out_d.append(np.full(len(grams), ids[i], dtype=np.int64))
+        if not out_h:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64())],
+                names=["h", id_col],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_h)),
+                pa.array(np.concatenate(out_d)),
+            ],
+            names=["h", id_col],
+        )
+
+    def flag(group: pa.Table) -> pa.Table:
+        dup = 1 if group.num_rows > 1 else 0
+        return pa.Table.from_arrays(
+            [
+                group.column(id_col),
+                pa.array(np.ones(group.num_rows, dtype=np.int64)),
+                pa.array(np.full(group.num_rows, dup, dtype=np.int64)),
+            ],
+            names=[id_col, "w", "dup"],
+        )
+
+    return (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(flag, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("w", alias_name="n_windows"),
+            Sum("dup", alias_name="dup_windows"),
+        )
+    )

@@ -149,3 +149,28 @@ def test_ngram_default_cap_survives_100k_df_shingle(ray_session):
     got = _pairs(ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas())
     # the hot-shingle group emits nothing; the true dup pair survives
     assert got == {(n_hot, n_hot + 1)}
+
+
+def test_duplicate_window_stats(ray_session):
+    """Windowed exact-substring duplication (Lee et al. 2022 style):
+    shared verbatim windows are flagged corpus-wide; short docs drop."""
+    import ray.data
+
+    from retriv_ray.ops.dedup import duplicate_window_stats
+
+    shared = "one two three four"  # a 4-token window shared verbatim
+    docs = [
+        {"doc_id": 0, "text": shared + " unique tail aaa bbb"},
+        {"doc_id": 1, "text": shared + " other words ccc ddd"},
+        {"doc_id": 2, "text": "completely different text with no overlap at all"},
+        {"doc_id": 3, "text": "shorty"},  # < window -> no row
+    ]
+    out = (
+        duplicate_window_stats(ray.data.from_items(docs), window=4, stride=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 3 not in out.index
+    assert out.loc[0, "n_windows"] == 2 and out.loc[0, "dup_windows"] == 1
+    assert out.loc[1, "n_windows"] == 2 and out.loc[1, "dup_windows"] == 1
+    assert out.loc[2, "dup_windows"] == 0
