@@ -426,7 +426,9 @@ class VideoFrameSampler:
                 return
             except Exception:
                 pass  # undecodable container — deterministic fake below
-        n_frames = len(payload) // self.frame_bytes
+        # ceil: a trailing partial chunk is still a frame, so payloads
+        # shorter than frame_bytes sample one frame instead of zero
+        n_frames = -(-len(payload) // self.frame_bytes)
         for fi in range(0, n_frames, self.every_k):
             chunk = payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes]
             yield fi, fi / self.fps, chunk

@@ -104,11 +104,14 @@ def test_audio_video_multimodal_plumbing(ray_session):
     ds = ray.data.from_items(
         [{"doc_id": i, "text": f"sample audio text {i} " * 50} for i in range(8)]
     )
-    with_payload = attach_payload(ds)
-    af = audio_features(with_payload, concurrency=2).take_all()
+    # wav payloads drive the real stdlib RIFF decode in the audio stage
+    af = audio_features(attach_payload(ds, kind="wav"), concurrency=2).take_all()
     assert len(af) == 8
     assert all(r["n_frames"] >= 1 for r in af)
     assert all(len(r["frame_rms"]) == r["n_frames"] for r in af)
-    vf = video_frame_samples(with_payload, every_k=1, concurrency=2).take_all()
+    # raw payloads (~3 KB) give the byte-chunk frame fake several frames
+    vf = video_frame_samples(
+        attach_payload(ds, kind="raw"), every_k=1, concurrency=2
+    ).take_all()
     assert len(vf) > 8  # expansion: multiple sampled frames per doc
     assert {len(r["frame_digest"]) for r in vf} == {16}
