@@ -322,3 +322,265 @@ tetapi tiap tidak untuk walaupun yaitu yakni yang
 
 LISTS["turkish"] = TURKISH
 LISTS["indonesian"] = INDONESIAN
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: the remaining 13 languages of the reference's 29
+# (reference retriv/sparse_retriever/preprocessing/stopwords.py:5-34).
+# NLTK's corpus files are not downloadable in this environment; each
+# list below is a reconstruction of the public list (NLTK /
+# stopwords-iso lineage) covering the language's closed-class function
+# words — pronouns, adpositions, conjunctions, copula/auxiliary forms,
+# determiners, question words, common particles. Exact NLTK parity is
+# not guaranteed (the embedded-list caveat at the top of this module
+# applies); callers needing the byte-exact corpus list should pass it
+# explicitly.
+# ---------------------------------------------------------------------------
+
+ARABIC = _dedup("""
+في من على إلى الى عن مع هذا هذه هذان هاتان هؤلاء ذلك تلك ذانك أولئك
+الذي التي الذين اللذان اللتان اللاتي اللواتي اللائي هو هي هما هم هن
+أنا نحن أنت أنتما أنتم أنتن إياه إياها إياهم كان كانت كانا كانوا كن
+يكون تكون أكون نكون كنت كنا كنتم ليس ليست ليسوا لست لسنا أصبح أضحى
+أمسى بات صار ظل مازال مادام أن إن أنه أنها أنهم إنه إنها إنهم لا لم
+لن ما ماذا متى أين أينما كيف كيفما لماذا لمَ هل و ف ثم أو أم بل حتى
+إذا إذ إذما لو لولا لوما لكن لكنه لكنها قد لقد كل كلما بعض غير بين
+فوق تحت أمام خلف وراء قبل بعد عند عندما منذ مذ ضد حول دون سوى كما
+لأن لدى لدي إلا ألا أيضا أيضاً فقط ثمة هناك هنالك هنا ذا ذي ذو كلا
+كلتا أي أية أيها مما ممن فيه فيها فيهم منه منها منهم عليه عليها
+عليهم إليه إليها إليهم معه معها معهم له لها لهم لهما لنا لكم لكما لي
+لك به بها بهم بهما بي بك بنا بكم أنّ إنّ يا أما إما نحو عبر خلال حسب
+ضمن مثل مثلما أكثر أقل جدا جداً بضع بعدما بينما حيث حيثما ريث عل علّ
+لعل لعلّ كأن كأنّ كأنما كي كيلا لكي لكيلا هكذا هاهنا أنى شتان سوف
+ولا وما ومن وهو وهي آه آها إي نعم بلى كلا اللهم ولكن فإن وإن وإذا
+وقد ومع وعن وعلى وفي ذلكم أولاء هذي هاته تينك تانك عما عمن فيما
+""".split())
+
+AZERBAIJANI = _dedup("""
+a ad altı altmış amma arasında artıq ay az bax belə bəli bəlkə bəs
+bəzən bəzi bilər bir biraz biri birşey biz bizim bizlər bu buna
+bundan bunlar bunların bunu bunun buradan bütün ci cı cu cü cü çox
+çünki da daha də dedi dək dən dəqiqə deyil dir doqquz doqsan dörd
+düz ə edən edir əgər əlbəttə elə əlli ən əslində et etdi etmə etmək
+faiz gilə görə ha haqqında harada hə heç həm həmin həmişə hansı hara
+hər hətta iki il ilə ildə ilk indi isə istifadə iyirmi ki kim kimə
+kimi lakin lap məhz mən mənə mirşey müəyyən nə necə nəyə niyə o obirisi
+of olan olar olaraq oldu olduğu olmadı olmaz olmuşdur olsun olur on
+ona ondan onlar onlardan onların onsuzda onu onun orada otuz oğlan
+öz özü qarşı qədər qırx saat sadəcə saniyə səhv səkkiz səksən sən
+sənə sənin siz sizin sizlər sonra səbəb üç üçün var və ya yalnız
+yaxşı yeddi yenə yetmiş yox yoxdur yoxsa yüz zaman
+""".split())
+
+BASQUE = _dedup("""
+al anitz arabera asko baina bat batean batek bati batzuei batzuek
+batzuetan batzuk bera beraiek berau berauek bere berori beroriek
+beste bezala da dago dira ditu du dute edo egin ere eta eurak ez
+gainera gu gutxi guzti haiei haiek haietan hainbeste hala han handik
+hango hara hari hark hartan hau hauei hauek hauetan hemen hemendik
+hemengo hi hona honek honela honetan honi hor hori horiei horiek
+horietan horko horra horrek horrela horretan horri hortik hura izan
+ni noiz nola non nondik nongo nor nora ze zein zen zenbait zenbat
+zer zergatik ziren zituen zu zuek zuen zuten
+""".split())
+
+BENGALI = _dedup("""
+অতএব অথচ অথবা অনুযায়ী অনেক অনেকে অন্তত অন্য অবধি অবশ্য আগে আছে আজ
+আপনার আপনি আবার আমরা আমাকে আমাদের আমার আমি আর আরও ই ইত্যাদি উচিত
+উনি উপর এ এঁদের এঁরা এই একই একটি একবার একে এখন এখনও এখানে এখানেই
+এটা এটাই এটি এত এতটাই এতে এদের এব এবং এবার এমন এমনকী এমনি এর এরা
+এল এস এসে ঐ ও ওঁদের ওঁর ওঁরা ওই ওকে ওখানে ওদের ওর ওরা কখনও কত কবে
+কয়েক কয়েকটি করছে করছেন করতে করবে করবেন করলে করলেন করা করাই করায়
+করার করি করিতে করিয়া করিয়ে করে করেই করেছিলেন করেছে করেছেন করেন
+কাউকে কাছ কাছে কাজ কাজে কারও কারণ কি কিংবা কিছু কিছুই কিন্তু কী কে
+কেউ কেউই কেন কোটি কোন কোনও কোনো ক্ষেত্রে খুব গিয়ে গিয়েছে গেছে গেল
+গেলে গোটা চলে চান চায় চার চালু চেয়ে চেষ্টা ছাড়া ছাড়াও ছিল ছিলেন
+জন জনকে জনের জন্য জানতে জানা জানানো জানায় জানিয়ে জানিয়েছে টি ঠিক
+তখন তত তথা তবু তবে তা তাঁকে তাঁদের তাঁর তাঁরা তাই তাও তাকে তাতে
+তাদের তার তারপর তারা তাহলে তাহা তাহাতে তাহার তিনি তিনিও তুমি তুলে
+তেমন তো তোমার থাকবে থাকবেন থাকা থাকায় থাকে থাকেন থেকে থেকেই থেকেও
+দিকে দিতে দিন দিয়ে দিয়েছে দিয়েছেন দিলেন দু দুই দুটি দুটো দেওয়া
+দেওয়ার দেখতে দেখা দেখে দেন দেয় দ্বারা ধরা ধরে নতুন নয় না নাই নাকি
+নাগাদ নানা নিজে নিজেই নিজেদের নিজের নিতে নিয়ে নিয়েই নেই নেওয়া
+নেওয়ার পক্ষে পর পরে পরেই পরেও পর্যন্ত পাওয়া পারি পারে পারেন পেয়ে
+প্রতি প্রথম প্রভৃতি প্রায় ফলে ফিরে ফের বক্তব্য বদলে বরং বলতে বলল
+বললেন বলা বলে বলেছেন বলেন বসে বহু বা বাদে বার বিনা বিভিন্ন বিশেষ
+বিষয়টি বেশ বেশি ব্যবহার ব্যাপারে ভাবে ভাবেই মতো মতোই মধ্যে মধ্যেই
+মধ্যেও মনে মাত্র মাধ্যমে মোট মোটেই যখন যত যতটা যথেষ্ট যদি যদিও যা
+যাঁর যাঁরা যাওয়া যাওয়ার যাকে যাচ্ছে যাতে যাদের যান যাবে যায় যার
+যারা যিনি যে যেখানে যেতে যেন যেমন রকম রয়েছে রাখা রেখে শুধু শুরু
+সঙ্গে সঙ্গেও সব সবার সমস্ত সম্প্রতি সহ সহিত সাধারণ সামনে সুতরাং সে
+সেই সেখান সেখানে সেটা সেটাই সেটাও সেটি স্পষ্ট স্বয়ং হইতে হইবে হইয়া
+হওয়া হওয়ায় হওয়ার হচ্ছে হত হতে হতেই হন হবে হবেন হয় হয়তো হয়নি
+হয়ে হয়েই হয়েছিল হয়েছে হয়েছেন হল হলে হলেই হলেও হলো হাজার হিসাবে
+হোক হয়
+""".split())
+
+CATALAN = _dedup("""
+a abans ací ah així això al als altra altre altres amb ambdós
+ambdues apenes aquell aquella aquelles aquells aquest aquesta
+aquestes aquests aquí baix cada cadascú cadascuna cadascunes
+cadascuns com contra d'un d'una d'unes d'uns dalt de del dels des
+després dins dintre donat doncs durant e eh el els em en encara ens
+entre érem eren éreu es és esta està estàvem estaven estàveu esteu
+et etc ets fins fora gairebé ha han has havia he hem heu hi ho i
+igual iguals ja la les li llavors m'he ma mal malgrat mateix mateixa
+mateixes mateixos me mentre més meu meus meva meves molt molta
+moltes molts mon mons n'he n'hi ne ni no només nosaltres nostra
+nostre nostres o oh oi on pas pel pels per però perquè poc poca pocs
+poques potser propi qual quals quan quant que què quelcom qui quin
+quina quines quins s'ha s'han sa semblant semblants ses seu seus
+seva seves si sobre sobretot sóc solament sols son són sons sota sou
+t'ha t'han t'he ta tal també tampoc tan tant tanta tantes teu teus
+teva teves ton tons tot tota totes tots un una unes uns us va vaig
+vam van vas veu vosaltres vostra vostre vostres
+""".split())
+
+CHINESE = _dedup("""
+的 一 不 在 人 有 是 为 以 于 上 他 而 后 之 来 及 了 因 下 可 到 由 这
+与 也 此 但 并 个 其 已 无 小 我 们 起 最 再 今 去 好 只 又 或 很 亦 某
+把 那 你 乃 它 吧 被 比 别 趁 当 从 得 打 凡 儿 尔 该 各 给 跟 和 何 还
+即 几 既 看 据 距 靠 啦 另 么 每 嘛 拿 哪 您 凭 且 却 让 仍 啥 如 若 使
+谁 虽 随 同 所 她 哇 往 些 向 沿 哟 用 咱 则 怎 曾 至 致 着 诸 自 我们
+你们 他们 她们 它们 这个 那个 这些 那些 这样 那样 什么 怎么 为什么
+因为 所以 但是 可是 然而 而且 并且 或者 如果 虽然 即使 无论 不论
+只要 只有 除了 关于 对于 由于 通过 根据 按照 经过 作为 没有 不是
+就是 也是 还是 都是 可以 能够 应该 必须 已经 正在 将要 曾经 一直
+一些 一种 一样 这里 那里 哪里 时候 现在 然后 接着 于是 其中 其他
+其它 大家 自己 之一 之中 之间 以及 以后 以前 以为 以上 以下 而是
+不过 不能 不会 不要 这种 那种 上面 下面 里面 外面 旁边 之后 之前
+本身 对 从而 而言 来说 吗 呢 啊 哦 嗯 呀 吧 罢了 而已 何况 况且
+的话 的确 之类 等等 例如 譬如 比如
+""".split())
+
+GREEK = _dedup("""
+αλλα αλλά αν αντι αντί απο από αυτα αυτά αυτες αυτές αυτη αυτή αυτο
+αυτό αυτοι αυτοί αυτος αυτός αυτους αυτούς αυτων αυτών για δε δεν
+εαν εάν ειμαι είμαι ειμαστε είμαστε ειναι είναι εισαι είσαι ειστε
+είστε εκεινα εκείνα εκεινες εκείνες εκεινη εκείνη εκεινο εκείνο
+εκεινοι εκείνοι εκεινος εκείνος εκεινους εκείνους εκεινων εκείνων
+ενω ενώ επι επί η ή θα ισως ίσως κ και κατα κατά κι μα με μετα μετά
+μη μην να ο οι ομως όμως οπως όπως οσο όσο οτι ότι παρα παρά ποια
+ποιά ποιες ποιές ποιο ποιό ποιοι ποιοί ποιος ποιός ποιους ποιούς
+ποιων ποιών που πού προς πως πώς σε στη στην στο στον τα την της το
+τον τοτε τότε του των ως σας σου μας μου τους τις τη εγω εγώ εσυ εσύ
+εμεις εμείς εσεις εσείς ειχα είχα ειχε είχε ειχαν είχαν εχω έχω εχει
+έχει εχουν έχουν εχουμε έχουμε ηταν ήταν ειτε είτε ουτε ούτε μηπως
+μήπως ωστε ώστε ωστοσο ωστόσο επειδη επειδή αφου αφού ολα όλα ολοι
+όλοι ολες όλες ολη όλη ολο όλο ολος όλος καθε κάθε μερικα μερικά
+μερικοι μερικοί κατι κάτι τιποτα τίποτα καποιος κάποιος καποια
+κάποια καποιο κάποιο πολυ πολύ πολλα πολλά λιγο λίγο τωρα τώρα εδω
+εδώ εκει εκεί πανω πάνω κατω κάτω μεσα μέσα εξω έξω πριν μεχρι μέχρι
+χωρις χωρίς δηλαδη δηλαδή ακομα ακόμα ακομη ακόμη ετσι έτσι οταν
+όταν οπου όπου γιατι γιατί τι σαν προ μον μόνο μονο
+""".split())
+
+HEBREW = _dedup("""
+אבל או אולי אותה אותו אותי אותך אותם אותן אותנו אז אחר אחרות אחרי
+אחרים אחרת אי איזה איך אין איפה איתה איתו איתי איתך איתכם איתכן
+איתם איתן איתנו אך אל אלה אלו אם אנחנו אני אף אצל אשר את אתה אתכם
+אתכן אתם אתן בגלל בין בלי במידה בעבור ברם בשביל בתוך גם דרך הוא היא
+היה היכן היתה הם הן הנה הרי ואילו ואת זאת זה זו יהיה יוכל יוכלו
+יותר יכול יכולה יכולות יכולים יכל יכלה יכלו יש כאן כאשר כולם כולן
+כזה כי כיצד כך ככה כל כלל כמו כן כפי כש לא לאן לבין לה להיות להם
+להן לו לי לך לכם לכן למה למטה למעלה למרות לנו לעבר לפיכך לפני מאד
+מאחורי מאין מאיפה מבלי מבעד מדוע מה מהיכן מול מחוץ מי מכאן מכיוון
+מלבד מן מנין מסוגל מעט מעטים מעל מצד מתחת מתי נגד נו עד על עלי עליה
+עליהם עליהן עליו עליך עליכם עלינו עם עצמה עצמו עצמי עצמם עצמן עצמנו
+פה רק שוב של שלה שלהם שלהן שלו שלי שלך שלכם שלכן שלנו שם תהיה תחת
+""".split())
+
+# Hinglish: NLTK's hinglish list is the english list plus romanized
+# Hindi function words (pronouns, postpositions, auxiliaries,
+# particles, question words and their common spelling variants).
+# Only the Hindi portion lives here; stopwords.py composes it with
+# ENGLISH for the "hinglish" name.
+HINGLISH_HINDI = _dedup("""
+main mai mujhe mujhko mera meri mere hum hame hamein humko hamara
+hamari hamare tu tum tumhe tumko tera teri tere tumhara tumhari
+tumhare aap aapko aapka aapki aapke yeh ye woh wo voh isse usse isko
+usko iska iski iske uska uski uske inka inki inke unka unki unke is
+us in un ka ki ke ko se mein me par pe tak liye lie vaste bina saath
+sath andar bahar upar neeche niche aage peeche pichhe paas pas aur
+ya athva evam tatha lekin magar par kintu parantu kyunki kyonki
+isliye isiliye agar yadi to toh warna varna jab tab jabki jahan
+wahan vahan yahan yahin wahin kab kahan kaun kaunsa kya kyun kyon
+kaise kitna kitni kitne hai hain ho hoon hun tha thi the hoga hogi
+honge hota hoti hote hua hui hue raha rahi rahe rahega kar karke
+karna karta karti karte kiya kiye kiyo gaya gayi gaye jata jati jate
+diya liya wala wali wale vala vali vale apna apni apne khud swayam
+koi kisi kisiko kisika kuch kuchh sab sabhi sabka har pratyek kai
+kafi bahut bohot thoda thodi thode zyada jyada adhik kam aise aisa
+aisi waise waisa waisi jaise jaisa jaisi abhi ab tab phir fir bas
+sirf keval matlab yani arthat bhi hi na nahi nahin mat haan han ji
+accha acha theek thik are arre wagera vagera etc itna itni itne utna
+utni utne jo jinhe jinka jinki jinke jise jiska jiski jiske hona
+hokar hote hue karne hue
+""".split())
+
+KAZAKH = _dedup("""
+ах ох эх ай эй ой тағы тағыда әрине жоқ сондай осындай осылай солай
+мұндай мұнда мында осында сонда жаңа құр жай сияқты жалғыз ғана
+ғанибет аз көп саны бірнеше біршама бірталай қыруар және мен бен
+пен да де та те бұл ол осы сол әр бір екі үш төрт бес алты жеті
+сегіз тоғыз он үшін туралы дейін кейін бірақ немесе егер қалай
+қашан қайда қайдан кім кімге кімнен не неге неден несі өте емес еді
+екен болды болады болған болса бар барлық барша өз өзі өзінің біз
+бізге бізді біздің сіз сізге сізді сіздің олар оларға оларды
+олардың мына анау осы осыған осыны осының соған соны соның қазір
+сондықтан себебі арқылы бойынша дегенмен яғни алайда әйтпесе әлде
+бәрі бәріне кейбір ешкім ештеңе еш әлі енді тек қана ма ме ба бе па
+пе ші ғой ау ақ ды ді
+""".split())
+
+NEPALI = _dedup("""
+छ र पनि छन् लागि भएको गरेको भने गर्न गर्ने हो तथा यो रहेको उनले थियो
+हुने अनुसार गरी त्यो अब दुई एक मा को का की ले बाट द्वारा संग सँग
+हुन् थिए तर म हामी हामीले उनी उनीहरू उनको तिमी तिमीले तपाईं तपाईंले
+यी ती कुनै केही सबै धेरै थोरै अर्को अरू पछि अघि माथि तल भित्र बाहिर
+कहाँ कहिले किन कसरी के कसले जो जुन जसले जसको त्यस यस उक्त भन्ने
+गरेका गर्दै हुँदै भएका छु छौ छौं हुन्छ गर्छ गर्छन् गरे गरेर भए भएर
+हुनु गर्नु भन्नु भन्छन् भन्यो थिएन छैन हैन होइन नै ता त चाहिँ मात्र
+मात्रै समेत लगायत अनि अथवा वा कि भनेर यदि भनेपनि तापनि यसरी त्यसरी
+जसरी यहाँ त्यहाँ जहाँ आफू आफ्नो आफैं उसको उसले उसलाई यसको यसले
+यसलाई त्यसको त्यसले त्यसलाई मलाई मेरो हाम्रो तिम्रो तपाईंको कति
+यति उति जति निकै साह्रै एकदम देखि सम्म तिर प्रति बारे बिना सहित
+अनुसार क्रममा रूपमा
+""".split())
+
+SLOVENE = _dedup("""
+in je na za se da so bi pa ne ki ga s z v o od do pri po če ali kot
+tudi še le bo bil bila bilo bili bile smo ste sta sem si ta to te ti
+tega tem tej tisti tista tisto jaz mi me moj moja moje naš naša naše
+vi vas vam vaš vaša vaše on ona ono oni njegov njegova njegovo njen
+njena njeno njihov njihova njihovo kdo kaj kje kam kdaj zakaj kako
+kateri katera katero nekaj nekdo nič nihče vse vsak vsaka vsako vsi
+ker ampak vendar torej potem zdaj sedaj tukaj tam brez med nad pod
+pred čez skozi proti zaradi okoli poleg morda mogoče lahko treba ni
+nismo niso nisem bova bosta bomo boste bodo ju jih jim mu ji nam jo
+""".split())
+
+TAJIK = _dedup("""
+ва дар ба аз бо ки ин он барои то чун агар аммо ё ҳам низ не на буд
+аст ҳаст шуд мешавад мекунад кард карда мо шумо ман ту вай онҳо худ
+ҳамин ҳамон чӣ кӣ куҷо кай чаро чанд якчанд ҳар баъзе ҳама бисёр
+кам дигар пас пеш баъд зери болои байни миёни бе оид доир тибқи
+чунин инчунин яъне гарчанде зеро бинобар ҳатто танҳо фақат боз ҳоло
+акнун ҳеҷ мебошад мебошанд буданд ҳастанд нест шудааст гардид
+намуд менамояд дошт дорад доранд метавонад бояд мумкин лозим даст
+сӯи тарафи назди пушти дохили хориҷи вақте ҳангоми баъди пеши аммо
+вале лекин балки ҳамчун мисли монанди қадар андозаи ғайр илова
+ҳамроҳи якҷоя алоҳида умуман асосан махсусан айнан маҳз
+""".split())
+
+LISTS["arabic"] = ARABIC
+LISTS["azerbaijani"] = AZERBAIJANI
+LISTS["basque"] = BASQUE
+LISTS["bengali"] = BENGALI
+LISTS["catalan"] = CATALAN
+LISTS["chinese"] = CHINESE
+LISTS["greek"] = GREEK
+LISTS["hebrew"] = HEBREW
+LISTS["kazakh"] = KAZAKH
+LISTS["nepali"] = NEPALI
+LISTS["slovene"] = SLOVENE
+LISTS["tajik"] = TAJIK

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import List, Set, Union
 
+from retriv_ray.text.stopword_lists import HINGLISH_HINDI as _HINGLISH_HINDI
 from retriv_ray.text.stopword_lists import LISTS as _EXTRA_LISTS
 
 ENGLISH = [
@@ -52,9 +53,15 @@ ENGLISH = [
 
 _NAMED = {"english": ENGLISH, **_EXTRA_LISTS}
 
+# NLTK's "hinglish" corpus is the english list plus romanized Hindi
+# function words (reference stopwords.py:20 names it alongside the
+# monolingual lists); compose it the same way.
+_NAMED["hinglish"] = list(dict.fromkeys(ENGLISH + _HINGLISH_HINDI))
+
 
 def get_stopwords(sw_list: Union[str, List[str], Set[str], None]) -> List[str]:
-    """reference stopwords.py:46-56 (named set: english + 6 embedded)."""
+    """reference stopwords.py:46-56 (named set: all 29 reference
+    languages embedded; see stopword_lists.py for sourcing caveats)."""
     if isinstance(sw_list, str):
         name = sw_list.lower()
         if name not in _NAMED:

@@ -744,3 +744,38 @@ def test_turkish_indonesian_hindi_pipelines_end_to_end():
         cfg = SparseConfig(stemmer=stemmer, stopwords=stop)
         out = TextPreprocessor(cfg).tokens(sentence)
         assert expect_tok in out, (stemmer, out)
+
+
+def test_stopword_registry_all_29_reference_languages():
+    """M10 closed: every language the reference's nltk registry names
+    (reference stopwords.py:5-34) resolves to a non-empty embedded
+    list; duplicates removed; all lowercase entries."""
+    reference_langs = [
+        "arabic", "azerbaijani", "basque", "bengali", "catalan",
+        "chinese", "danish", "dutch", "english", "finnish", "french",
+        "german", "greek", "hebrew", "hinglish", "hungarian",
+        "indonesian", "italian", "kazakh", "nepali", "norwegian",
+        "portuguese", "romanian", "russian", "slovene", "spanish",
+        "swedish", "tajik", "turkish",
+    ]
+    assert len(reference_langs) == 29
+    for lang in reference_langs:
+        sw = get_stopwords(lang)
+        assert len(sw) > 40, (lang, len(sw))
+        assert len(set(sw)) == len(sw), lang
+    # spot checks: high-frequency function words per language
+    assert "في" in get_stopwords("arabic")
+    assert "eta" in get_stopwords("basque")
+    assert "এবং" in get_stopwords("bengali")
+    assert "amb" in get_stopwords("catalan")
+    assert "的" in get_stopwords("chinese")
+    assert "και" in get_stopwords("greek")
+    assert "של" in get_stopwords("hebrew")
+    assert "және" in get_stopwords("kazakh")
+    assert "पनि" in get_stopwords("nepali")
+    assert "ampak" in get_stopwords("slovene")
+    assert "дар" in get_stopwords("tajik")
+    assert "üçün" in get_stopwords("azerbaijani")
+    # hinglish composes english + romanized hindi
+    hing = get_stopwords("hinglish")
+    assert "the" in hing and "nahi" in hing and "kyunki" in hing
