@@ -3,30 +3,33 @@
 Reference: retriv/sparse_retriever/preprocessing/stemmer.py:10-223
 resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
 None of those packages is available here; we ship from-scratch
-implementations of the published algorithms for 20 of the names:
+implementations of the published algorithms for 26 of the names:
 Porter2 for the default "english" (the reference's "english" is
 NLTK's Snowball english, stemmer.py:23), classic Porter 1980 for
 "porter" (see porter1.py's parity note on NLTK's extensions),
 Lancaster/Paice-Husk, CISTEM (Weißweiler & Fraser 2017), the
 Snowball algorithms for german, spanish, italian, french,
 portuguese, russian, danish, norwegian, swedish, dutch, romanian,
-finnish, hungarian and turkish, the Tala/Asian confix-stripping
-algorithm for indonesian, and the Ramanathan-Rao lightweight
-stemmer for hindi — each written from the published spec/paper with
-hand-traced golden vectors (PyStemmer is not installable here to
-diff against; per-module docstrings note any reconstruction
-caveats). The remaining 12 names (krovetz — a dictionary-based C++
-stemmer; the arabic family arlstem/arlstem2/isri/arabic; greek,
-basque, catalan, irish, lithuanian, nepali, tamil) raise with a
-clear message — their specs are long rule tables that cannot be
-reproduced here with parity-grade fidelity; custom callables pass
-through; ``None`` -> identity (reference stemmer.py:215-223).
+finnish, hungarian, turkish, catalan, basque, irish, lithuanian,
+nepali and tamil, the Tala/Asian confix-stripping algorithm for
+indonesian, and the Ramanathan-Rao lightweight stemmer for hindi —
+each written from the published spec/paper with hand-traced golden
+vectors (PyStemmer is not installable here to diff against;
+per-module docstrings note any reconstruction caveats — the six
+round-4 additions reconstruct the published among-tables and may
+miss rare entries). The remaining names (krovetz — a
+dictionary-based C++ stemmer whose lexicon cannot be embedded;
+greek and the arabic family arabic/arlstem/arlstem2/isri, pending)
+raise with a clear message; custom callables pass through;
+``None`` -> identity (reference stemmer.py:215-223).
 """
 
 from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.basque import stem as basque_stem
+from retriv_ray.text.catalan import stem as catalan_stem
 from retriv_ray.text.cistem import stem as cistem_stem
 from retriv_ray.text.danish import stem as danish_stem
 from retriv_ray.text.dutch import stem as dutch_stem
@@ -36,8 +39,11 @@ from retriv_ray.text.german import stem as german_stem
 from retriv_ray.text.hindi import stem as hindi_stem
 from retriv_ray.text.hungarian import stem as hungarian_stem
 from retriv_ray.text.indonesian import stem as indonesian_stem
+from retriv_ray.text.irish import stem as irish_stem
 from retriv_ray.text.italian import stem as italian_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
+from retriv_ray.text.lithuanian import stem as lithuanian_stem
+from retriv_ray.text.nepali import stem as nepali_stem
 from retriv_ray.text.norwegian import stem as norwegian_stem
 from retriv_ray.text.porter1 import stem as porter1_stem
 from retriv_ray.text.porter2 import stem as english_stem
@@ -46,6 +52,7 @@ from retriv_ray.text.romanian import stem as romanian_stem
 from retriv_ray.text.russian import stem as russian_stem
 from retriv_ray.text.spanish import stem as spanish_stem
 from retriv_ray.text.swedish import stem as swedish_stem
+from retriv_ray.text.tamil import stem as tamil_stem
 from retriv_ray.text.tokenizer import identity_function
 from retriv_ray.text.turkish import stem as turkish_stem
 
@@ -70,6 +77,12 @@ _STEMMERS = {
     "indonesian": indonesian_stem,
     "hindi": hindi_stem,
     "cistem": cistem_stem,
+    "catalan": catalan_stem,
+    "basque": basque_stem,
+    "irish": irish_stem,
+    "lithuanian": lithuanian_stem,
+    "nepali": nepali_stem,
+    "tamil": tamil_stem,
 }
 
 

@@ -779,3 +779,131 @@ def test_stopword_registry_all_29_reference_languages():
     # hinglish composes english + romanized hindi
     hing = get_stopwords("hinglish")
     assert "the" in hing and "nahi" in hing and "kyunki" in hing
+
+
+CATALAN_VECTORS = [
+    ("cases", "cas"),        # plural -es
+    ("casa", "cas"),         # final -a residual
+    ("nacionalitat", "nacional"),  # -itat
+    ("cantava", "cant"),     # imperfect
+    ("cantarien", "cant"),   # conditional
+    ("parlant", "parl"),     # gerund
+    ("biologia", "biolog"),  # logia -> log
+    ("institució", "institu"),  # ució -> u
+    ("portar-los", "port"),  # hyphen clitic + infinitive
+    ("dona'm", "don"),       # apostrophe clitic
+    ("catalanisme", "catalan"),  # -isme (bare "me" must NOT strip)
+    ("treballadores", "treball"),  # -adores
+    ("feliçment", "felic"),  # -ment + ç cleaning
+]
+
+
+@pytest.mark.parametrize("word,expected", CATALAN_VECTORS)
+def test_catalan_vectors(word, expected):
+    from retriv_ray.text.catalan import stem as catalan
+
+    assert catalan(word) == expected
+
+
+BASQUE_VECTORS = [
+    ("etxea", "etxe"),       # absolutive sg article
+    ("etxeak", "etxe"),      # absolutive pl
+    ("etxetik", "etxe"),     # ablative
+    ("etxearen", "etxe"),    # genitive
+    ("mendietan", "mendi"),  # inessive pl
+    ("lagunarekin", "lagun"),  # comitative
+    ("ikasten", "ikas"),     # imperfective verb
+    ("ikastea", "ikas"),     # nominalization
+    ("handiagoa", "handi"),  # comparative
+    ("egin", "egin"),        # -n-final root survives (no bare -n strip)
+    ("liburuak", "liburu"),
+]
+
+
+@pytest.mark.parametrize("word,expected", BASQUE_VECTORS)
+def test_basque_vectors(word, expected):
+    from retriv_ray.text.basque import stem as basque
+
+    assert basque(word) == expected
+
+
+IRISH_VECTORS = [
+    ("n-athair", "athair"),  # prothetic n-
+    ("t-uisce", "uisce"),    # prothetic t-
+    ("bhfear", "fear"),      # eclipsis bhf -> f
+    ("gcarr", "carr"),       # eclipsis gc -> c
+    ("scoileanna", "scoil"),  # plural -eanna
+    ("ceolann", "ceol"),     # present -ann
+    ("ólfaidh", "ól"),       # future -faidh
+    ("cuirimid", "cuir"),    # 1pl -imid
+    ("déanamh", "déan"),     # verbal noun -amh
+    ("teangacha", "teang"),  # plural -acha
+]
+
+
+@pytest.mark.parametrize("word,expected", IRISH_VECTORS)
+def test_irish_vectors(word, expected):
+    from retriv_ray.text.irish import stem as irish
+
+    assert irish(word) == expected
+
+
+LITHUANIAN_VECTORS = [
+    ("namas", "nam"),      # nom sg
+    ("namuose", "nam"),    # loc pl
+    ("knygomis", "knyg"),  # instr pl
+    ("dirbti", "dirb"),    # infinitive
+    ("dirbčiau", "dirb"),  # conditional
+    ("gražiausias", "graž"),  # superlative
+    ("medžio", "med"),     # gen sg with dž -> d recoding
+    ("medis", "med"),      # nom sg
+]
+
+
+@pytest.mark.parametrize("word,expected", LITHUANIAN_VECTORS)
+def test_lithuanian_vectors(word, expected):
+    from retriv_ray.text.lithuanian import stem as lithuanian
+
+    assert lithuanian(word) == expected
+
+
+NEPALI_VECTORS = [
+    ("घरहरूमा", "घर"),    # plural + locative stack
+    ("घरको", "घर"),       # genitive
+    ("किताबलाई", "किताब"),  # dative
+    ("गरेको", "गर"),      # participle एको (genitive guard)
+    ("गर्छन्", "गर्"),     # present 3pl
+    ("नेपालमा", "नेपाल"),  # locative
+]
+
+
+@pytest.mark.parametrize("word,expected", NEPALI_VECTORS)
+def test_nepali_vectors(word, expected):
+    from retriv_ray.text.nepali import stem as nepali
+
+    assert nepali(word) == expected
+
+
+TAMIL_VECTORS = [
+    ("மரங்கள்", "மரம்"),     # plural with ம் sandhi undo
+    ("மரத்தை", "மரம்"),      # accusative + oblique fixup
+    ("மரமும்", "மரம்"),      # conjunctive உம்
+    ("புத்தகத்தில்", "புத்தகம்"),  # locative + oblique fixup
+    ("வீட்டில்", "வீடு"),     # locative + ட்ட் fixup
+    ("செய்கிறான்", "செய்"),   # present 3sg masc
+    ("செய்தான்", "செய்"),     # past 3sg masc (no double virama)
+    ("செய்வான்", "செய்"),     # future 3sg masc
+]
+
+
+@pytest.mark.parametrize("word,expected", TAMIL_VECTORS)
+def test_tamil_vectors(word, expected):
+    from retriv_ray.text.tamil import stem as tamil
+
+    assert tamil(word) == expected
+
+
+def test_stemmer_registry_round4_count():
+    """M9 coverage: 26 named stemmers resolve."""
+    for n in ["catalan", "basque", "irish", "lithuanian", "nepali", "tamil"]:
+        assert callable(get_stemmer(n)), n
