@@ -1,0 +1,256 @@
+"""Greek Snowball stemmer, implemented from the published algorithm
+(G. Ntais, "Development of a Stemmer for the Greek Language", 2006 —
+the algorithm snowballstem.org's greek stemmer and Lucene's
+GreekStemmer encode, with the Saroukos refinements) — same
+from-scratch-from-spec approach as :mod:`retriv_ray.text.spanish`.
+
+Reference parity note: the reference's ``get_stemmer("greek")``
+resolves to PyStemmer's Snowball greek
+(retriv/sparse_retriever/preprocessing/stemmer.py:27). PyStemmer is
+not installable here to diff against. The published algorithm is a
+fixed sequence of ~22 suffix rules, each "remove ending, then if the
+remaining stem is in the rule's exception list re-append a short
+string". The rule sequence and ending inventories below follow the
+paper; the per-rule exception lists are reconstructed and REDUCED to
+their high-frequency entries (the full lists enumerate several
+hundred rare stems), so rare words can diverge from PyStemmer.
+Golden vectors in tests/test_text_registry.py are hand-traced
+through this spec.
+
+Processing: lowercase, strip accents/diaereses, fold final sigma
+(ς -> σ), protect words shorter than 4 letters, apply the rules in
+order (first matching rule per family), finish with the
+comparative/superlative rule.
+"""
+
+from __future__ import annotations
+
+_DEACCENT = str.maketrans(
+    "άέήίόύώϊϋΐΰς",
+    "αεηιουωιυιυσ",
+)
+
+_VOWELS = set("αεηιουω")
+
+
+def _ends(word, sufs):
+    """Longest ending of ``sufs`` that ``word`` ends with, or None."""
+    for suf in sorted(sufs, key=len, reverse=True):
+        if word.endswith(suf) and len(word) > len(suf):
+            return suf
+    return None
+
+
+# rule families: (endings, exception stems -> re-append string)
+# Verb ΙΖΩ family
+_R_IZ = (("ιζα", "ιζεσ", "ιζε", "ιζαμε", "ιζατε", "ιζαν", "ιζανε",
+          "ιζω", "ιζεισ", "ιζει", "ιζουμε", "ιζετε", "ιζουν",
+          "ιζουνε"),
+         {"αναμπα", "εμπα", "επα", "ξαναπα", "πα", "περιπα", "αθρο",
+          "συναθρο", "δανε"}, "ι")
+
+_R_OTHIK = (("ωθηκα", "ωθηκεσ", "ωθηκε", "ωθηκαμε", "ωθηκατε",
+             "ωθηκαν", "ωθηκανε"),
+            {"αλ", "βι", "εν", "υψ", "λι", "ζω", "σ", "χ"}, "ων")
+
+_R_ISA = (("ισα", "ισεσ", "ισε", "ισαμε", "ισατε", "ισαν", "ισανε"),
+          {"αναμπα", "αθρο", "εμπα", "εσε", "εσωκλε", "επα",
+           "ξαναπα", "επε", "περιπα", "συναθρο", "δανε", "κλε",
+           "χαρτοκλε", "εξωκλε", "προκλε", "προσκλε"}, "ισ")
+
+_R_ISO = (("ισω", "ισεισ", "ισει", "ισουμε", "ισετε", "ισουν",
+           "ισουνε"),
+          {"αναμπα", "εμπα", "εσε", "εσωκλε", "επα", "ξαναπα",
+           "επε", "περιπα", "αθρο", "συναθρο", "δανε", "κλε",
+           "χαρτοκλε", "εξωκλε", "προκλε", "προσκλε"}, "ισ")
+
+_R_IST = (("ιστοσ", "ιστου", "ιστο", "ιστε", "ιστοι", "ιστων",
+           "ιστουσ", "ιστη", "ιστησ", "ιστα", "ιστεσ"),
+          {"μ", "π", "απ", "αρ", "ηδ", "κτ", "σκ", "σχ", "υψ",
+           "φα", "χρ", "χτ", "ακτ", "αορ", "ασχ", "ατα", "αχν",
+           "αχτ", "γεμ", "γυρ", "εμπ", "ευπ", "εχθ", "ηφα", "καθ",
+           "κακ", "κυλ", "λυγ", "μακ", "μεγ", "ταχ", "φιλ", "χωρ"},
+          "ιστ")
+
+_R_ISM = (("ισμο", "ισμοι", "ισμοσ", "ισμου", "ισμουσ", "ισμων"),
+          set(), "")
+
+_R_ARAK = (("αρακι", "αρακια", "ουδακι", "ουδακια"),
+           {"σ", "χ"}, "αρακ")
+
+_R_AKI = (("ακι", "ακια", "ιτσα", "ιτσασ", "ιτσεσ", "ιτσων",
+           "ιτσασ"),
+          {"βαμβ", "βρ", "καιμ", "κον", "κορ", "λαβρ", "λουλ",
+           "μερ", "μουστ", "ναγκασ", "πλ", "ρ", "ρυ", "σ", "σκ",
+           "σοκ", "σπαν", "τζ", "φαρμ", "χ", "καπακ", "αλισφ",
+           "αμβρ", "ανθρ", "κ", "φυλ", "κατραπ", "κλιμ", "μαλ",
+           "σλοβ", "φ", "σφ", "τσεχοσλοβ"}, "ακ")
+
+_R_IDIO = (("ιδιο", "ιδια", "ιδιων"),
+           {"παρ", "εν", "κορ", "μεν", "δαφν", "δ"}, "ιδ")
+
+_R_ISK = (("ισκοσ", "ισκου", "ισκο", "ισκε"),
+          {"μ", "π", "κ", "φ", "γλυκομ", "γλυκυρ"}, "ισκ")
+
+_R_ADES = (("αδεσ", "αδων"), None, "")  # special: keep αδ for some
+_R_EDES = (("εδεσ", "εδων"),
+           {"οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
+            "μιλ"}, "εδ")
+_R_OUDES = (("ουδεσ", "ουδων"),
+            {"αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ",
+             "φλ", "φρ", "βελ", "λουλ", "χν", "σπ", "τραγ",
+             "φε"}, "ουδ")
+_R_EOS = (("εωσ", "εων", "εασ", "εα"),
+          {"θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ", "στερ",
+           "ορφ", "ανδρ", "αντρ"}, "ε")
+
+# nominal ΙΚ family
+_R_IK = (("ικοσ", "ικο", "ικου", "ικα", "ικη", "ικησ", "ικοι",
+          "ικεσ", "ικων", "ικουσ", "ικεισ"),
+         {"αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ",
+          "αντιδ", "φυσ", "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν",
+          "καταδ", "μουλ", "μπαν", "μπαγιατ", "μπολ", "μποσ",
+          "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ", "πικαντ",
+          "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+          "υποδ", "φιλον", "φυλοδ", "χασ"}, "ικ")
+
+# verb past/continuous families
+_R_AGAME = (("αγαμε", "ησαμε", "ουσαμε", "ηκαμε", "ηθηκαμε"),
+            {"αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+             "πεθ", "πικρ", "ποτ", "σιχ", "χ"}, "αμ")
+_R_AME = (("αμε",),
+          {"αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+           "πεθ", "πικρ", "ποτ", "σιχ", "χ"}, "αμ")
+_R_ANE_LONG = (("αγανε", "ησανε", "ουσανε", "ιοντανε", "ιοτανε",
+                "ιουντανε", "οντανε", "οτανε", "ουντανε", "ηκανε",
+                "ηθηκανε"),
+               {"τρ", "τσ"}, "αγαν")
+_R_ANE = (("ανε",),
+          {"βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ",
+           "καστελ", "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ",
+           "ν", "ουλ", "π", "πελεκ", "πλ", "πολισ", "πορτολ",
+           "σαρακατσ", "σουλτ", "τσαρλατ", "ορφ", "τσιγγ", "τσοπ",
+           "φωτοστεφ", "χ", "ψυχοπλ", "αγ", "ορφ", "γαλ", "γερ",
+           "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ", "πουριτ", "σ",
+           "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ", "μαιντ",
+           "μελ", "σιγ", "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ",
+           "αδαπ", "αθιγγ", "αμηχ", "ανικ", "ανοργ", "απηγ", "απιθ",
+           "ατσιγγ", "βασ", "βασκ", "βαθυγαλ", "βιομηχ", "βραχυκ",
+           "διατ", "διαφ", "ενοργ", "θυσ", "καπνοβιομηχ", "καταγαλ",
+           "κλιβ", "κοιλαρφ", "λιβ", "μεγλοβιομηχ", "μικροβιομηχ",
+           "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ",
+           "περηφ", "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ",
+           "ταβ", "τετ", "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"},
+          "αν")
+_R_ETE = (("ησετε", "ετε"),
+          {"αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ",
+           "βαρον", "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ", "πολ",
+           "σερτ", "συνερ", "τσερτ", "υπερ", "υποσ", "χρ", "χτ",
+           "ακταιωρ", "αορ", "ασχ", "αταβ", "αχν", "αχτ", "γεμ",
+           "γυρ", "εμπ", "ευπ", "εχθ", "ηφα", "ηχ", "καθ", "κακ",
+           "κυλ", "λυγ", "μακ", "μεγ", "ταχ", "φιλ", "χωρ"}, "ετ")
+_R_ONTAS = (("οντασ", "ωντασ"),
+            {"αρχ"}, "οντ")  # special: κρε -> ωντ handled below
+_R_OMASTE = (("ομαστε", "ιομαστε"),
+             {"ον"}, "ομαστ")
+_R_ESTE = (("ιεστε", "εστε"),
+           {"π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"}, "ιεστ")
+_R_HKA = (("ηθηκα", "ηθηκεσ", "ηθηκε", "ηκα", "ηκεσ", "ηκε"),
+          {"διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"}, "ηκ")
+_R_OUSA = (("ουσα", "ουσεσ", "ουσε"),
+           {"φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ",
+            "λαμπιδ", "λεχ", "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ",
+            "υποτειν", "αμ", "αιθ", "ανηκ", "δεσποζ", "ενδιαφερ",
+            "δε", "δευτερευ", "καθαρευ", "πλε", "τσα"}, "ουσ")
+_R_AGA = (("αγα", "αγεσ", "αγε"),
+          {"ψοφ", "ναυλοχ", "οφ", "πελ", "χορτ", "λλ", "σφ", "ρπ",
+           "φρ", "πρ", "λοχ", "σμην"}, "αγ")
+_R_HSE = (("ησε", "ησου", "ησα"),
+          {"ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον",
+           "επταν"}, "ησ")
+_R_HSTE = (("ηστε",),
+           {"ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ",
+            "ευχρ", "κοινοχρ", "παλιμψ"}, "ηστ")
+_R_OUNE = (("ουνε", "ησουνε", "ηθουνε"),
+           {"ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"},
+           "ουν")
+_R_OUME = (("ουμε", "ησουμε", "ηθουμε"),
+           {"παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ",
+            "ασουσ"}, "ουμ")
+
+# the big final inflectional rule: simple noun/verb endings
+_FINAL = (
+    "ιουμε", "ειουμε", "ιεσαι", "ιεται", "ιεμαι", "ομουνα",
+    "οσουνα", "ιομουν", "ιοσουν", "ιοταν", "ουμαστε", "ομασταν",
+    "οσασταν", "ουσαστε", "ιουνται", "ιουνταν", "ηθηκαν",
+    "ομουν", "οσουν", "ονται", "ονταν", "ομαστ", "οσαστ",
+    "ουνται", "ουνταν", "ουμαι", "εσαι", "εται", "ομαι",
+    "ασαι", "αται", "αμαι", "οταν",
+    "αγατε", "ησατε", "ουσατε", "ειτε", "ατε",
+    "εισ", "ει", "εισαι", "ω", "ουν", "ουμε",
+    "ασ", "εσ", "ησ", "οσ", "υσ", "ωσ", "ουσ", "οισ", "αισ",
+    "ου", "οι", "α", "ε", "η", "ι", "ο", "υ", "ων", "ειο", "ειου",
+    "ειων", "ια", "ιου", "ιων", "ικων",
+)
+
+_COMPARATIVE = ("εστερ", "εστατ", "οτερ", "οτατ", "υτερ", "υτατ",
+                "ωτερ", "ωτατ")
+
+_RULES = (
+    _R_IZ, _R_OTHIK, _R_ISA, _R_ISO, _R_IST, _R_ISM, _R_ARAK,
+    _R_AKI, _R_IDIO, _R_ISK, _R_EDES, _R_OUDES, _R_EOS, _R_IK,
+    _R_AGAME, _R_AME, _R_ANE_LONG, _R_ANE, _R_ETE, _R_ONTAS,
+    _R_OMASTE, _R_ESTE, _R_HKA, _R_OUSA, _R_AGA, _R_HSE, _R_HSTE,
+    _R_OUNE, _R_OUME,
+)
+
+
+def stem(word: str) -> str:
+    word = word.lower().translate(_DEACCENT)
+    if len(word) < 4:
+        return word
+
+    stepped = False
+    # αδεσ/αδων: delete unless the stem would end in one of the
+    # protected patterns, in which case keep the αδ
+    suf = _ends(word, ("αδεσ", "αδων"))
+    if suf:
+        base = word[: len(word) - len(suf)]
+        if base.endswith(("οκ", "μαμ", "μαν", "μπαμπ", "πατερ",
+                          "γιαγι", "νταντ", "κυρ", "θει", "πεθερ")):
+            word = base + "αδ"
+        else:
+            word = base
+        stepped = True
+
+    if not stepped:
+        for sufs, exc, add in _RULES:
+            suf = _ends(word, sufs)
+            if suf:
+                base = word[: len(word) - len(suf)]
+                # derivational rules need a real base left behind
+                # (παιδιά must fall through to the inflection rule,
+                # not match ΙΔΙΑ with base "π")
+                if sufs is _R_IDIO[0] and len(base) < 3:
+                    continue
+                if exc is not None and base in exc:
+                    base += add
+                word = base
+                stepped = True
+                break
+
+    # final simple inflections — only when no derivational rule
+    # fired (a fired rule already removed the inflection along with
+    # the derivational suffix; re-stripping would eat the stem:
+    # μουσική -> ΙΚ rule -> μουσ, which must NOT lose its ουσ)
+    if not stepped:
+        suf = _ends(word, _FINAL)
+        if suf:
+            word = word[: len(word) - len(suf)]
+
+    # comparative / superlative
+    suf = _ends(word, _COMPARATIVE)
+    if suf:
+        word = word[: len(word) - len(suf)]
+
+    return word

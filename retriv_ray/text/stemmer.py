@@ -3,7 +3,7 @@
 Reference: retriv/sparse_retriever/preprocessing/stemmer.py:10-223
 resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
 None of those packages is available here; we ship from-scratch
-implementations of the published algorithms for 26 of the names:
+implementations of the published algorithms for 31 of the names:
 Porter2 for the default "english" (the reference's "english" is
 NLTK's Snowball english, stemmer.py:23), classic Porter 1980 for
 "porter" (see porter1.py's parity note on NLTK's extensions),
@@ -11,23 +11,29 @@ Lancaster/Paice-Husk, CISTEM (Weißweiler & Fraser 2017), the
 Snowball algorithms for german, spanish, italian, french,
 portuguese, russian, danish, norwegian, swedish, dutch, romanian,
 finnish, hungarian, turkish, catalan, basque, irish, lithuanian,
-nepali and tamil, the Tala/Asian confix-stripping algorithm for
-indonesian, and the Ramanathan-Rao lightweight stemmer for hindi —
+nepali, tamil, greek (Ntais 2006) and arabic (Chelli et al.), the
+Tala/Asian confix-stripping algorithm for indonesian, the
+Ramanathan-Rao lightweight stemmer for hindi, and the three
+paper-based Arabic stemmers ISRI (Taghva et al. 2005), ARLSTem
+(Abainia et al. 2017) and ARLSTem2 (Abainia-Rebbani revision) —
 each written from the published spec/paper with hand-traced golden
-vectors (PyStemmer is not installable here to diff against;
-per-module docstrings note any reconstruction caveats — the six
-round-4 additions reconstruct the published among-tables and may
-miss rare entries). The remaining names (krovetz — a
-dictionary-based C++ stemmer whose lexicon cannot be embedded;
-greek and the arabic family arabic/arlstem/arlstem2/isri, pending)
-raise with a clear message; custom callables pass through;
-``None`` -> identity (reference stemmer.py:215-223).
+vectors (PyStemmer/NLTK are not installable here to diff against;
+per-module docstrings note any reconstruction caveats — the
+round-4 additions reconstruct the published rule/among tables and
+may miss rare entries). The one remaining name, krovetz, is a
+dictionary-based stemmer whose published algorithm requires its
+~50k-entry lexicon, which cannot be embedded here — it raises with
+a clear message; custom callables pass through; ``None`` ->
+identity (reference stemmer.py:215-223).
 """
 
 from __future__ import annotations
 
 from typing import Callable, Union
 
+from retriv_ray.text.arabic import stem as arabic_stem
+from retriv_ray.text.arlstem import stem as arlstem_stem
+from retriv_ray.text.arlstem2 import stem as arlstem2_stem
 from retriv_ray.text.basque import stem as basque_stem
 from retriv_ray.text.catalan import stem as catalan_stem
 from retriv_ray.text.cistem import stem as cistem_stem
@@ -36,10 +42,12 @@ from retriv_ray.text.dutch import stem as dutch_stem
 from retriv_ray.text.finnish import stem as finnish_stem
 from retriv_ray.text.french import stem as french_stem
 from retriv_ray.text.german import stem as german_stem
+from retriv_ray.text.greek import stem as greek_stem
 from retriv_ray.text.hindi import stem as hindi_stem
 from retriv_ray.text.hungarian import stem as hungarian_stem
 from retriv_ray.text.indonesian import stem as indonesian_stem
 from retriv_ray.text.irish import stem as irish_stem
+from retriv_ray.text.isri import stem as isri_stem
 from retriv_ray.text.italian import stem as italian_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.lithuanian import stem as lithuanian_stem
@@ -83,6 +91,11 @@ _STEMMERS = {
     "lithuanian": lithuanian_stem,
     "nepali": nepali_stem,
     "tamil": tamil_stem,
+    "greek": greek_stem,
+    "arabic": arabic_stem,
+    "arlstem": arlstem_stem,
+    "arlstem2": arlstem2_stem,
+    "isri": isri_stem,
 }
 
 

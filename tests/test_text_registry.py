@@ -907,3 +907,117 @@ def test_stemmer_registry_round4_count():
     """M9 coverage: 26 named stemmers resolve."""
     for n in ["catalan", "basque", "irish", "lithuanian", "nepali", "tamil"]:
         assert callable(get_stemmer(n)), n
+
+
+GREEK_VECTORS = [
+    ("άνθρωπος", "ανθρωπ"),   # nom sg, deaccent + ος
+    ("ανθρώπων", "ανθρωπ"),   # gen pl
+    ("καλύτερος", "καλ"),     # comparative
+    ("γράφουμε", "γραφ"),     # verb 1pl
+    ("μουσική", "μουσ"),      # ΙΚ rule (no double-strip of ουσ)
+    ("παιδιά", "παιδ"),       # plural (must NOT match ΙΔΙΑ rule)
+    ("οργανισμός", "οργαν"),  # ΙΣΜΟΣ
+    ("ελληνικά", "ελλην"),    # ΙΚΑ
+    ("θάλασσες", "θαλασσ"),   # plural -ες
+]
+
+
+@pytest.mark.parametrize("word,expected", GREEK_VECTORS)
+def test_greek_vectors(word, expected):
+    from retriv_ray.text.greek import stem as greek
+
+    assert greek(word) == expected
+
+
+ARABIC_VECTORS = [
+    ("الكتاب", "كتاب"),     # definite article
+    ("والكتاب", "كتاب"),    # conjunction + article
+    ("بالكتاب", "كتاب"),    # preposition + article
+    ("كتابها", "كتاب"),     # possessive
+    ("مسلمون", "مسلم"),     # sound masc plural
+    ("المعلمات", "معلم"),   # article + fem plural
+    ("يكتبون", "كتب"),      # imperfect circumfix
+    ("سيكتب", "كتب"),       # future prefix
+    ("مدرسة", "مدرس"),      # ta marbuta
+]
+
+
+@pytest.mark.parametrize("word,expected", ARABIC_VECTORS)
+def test_arabic_vectors(word, expected):
+    from retriv_ray.text.arabic import stem as arabic
+
+    assert arabic(word) == expected
+
+
+ISRI_VECTORS = [
+    ("الكتاب", "كتب"),      # article + root extraction
+    ("مكتبة", "كتب"),       # م-pattern + ta marbuta
+    ("يستخدمون", "خدم"),    # استفعل-family root
+    ("استخدام", "خدم"),     # افتعال/استفعال pattern
+    ("مفاتيح", "فتح"),      # مفاعيل broken plural
+    ("انفعال", "فعل"),      # انفعال pattern
+    ("مكتوب", "كتب"),       # مفعول pattern
+]
+
+
+@pytest.mark.parametrize("word,expected", ISRI_VECTORS)
+def test_isri_vectors(word, expected):
+    from retriv_ray.text.isri import stem as isri
+
+    assert isri(word) == expected
+
+
+ARLSTEM_VECTORS = [
+    ("الكتاب", "كتب"),      # article removal + broken plural فعال
+    ("مسلمون", "مسلم"),     # sound plural (light stem, not root)
+    ("معلمات", "معلم"),     # fem plural
+    ("أقلام", "قلم"),       # افعال broken plural
+    ("يكتبون", "كتب"),      # imperfect circumfix
+    ("سيذهبون", "ذهب"),     # future circumfix
+    ("مدرسة", "مدرس"),      # ta marbuta
+    ("قبائل", "قبيل"),      # فعائل broken plural
+]
+
+
+@pytest.mark.parametrize("word,expected", ARLSTEM_VECTORS)
+def test_arlstem_vectors(word, expected):
+    from retriv_ray.text.arlstem import stem as arlstem
+
+    assert arlstem(word) == expected
+
+
+ARLSTEM2_VECTORS = [
+    ("والكتاب", "كتب"),     # v2 conjunction+article
+    ("لنكتب", "كتب"),       # v2 ل-imperfect
+    ("ليكتبوا", "كتب"),     # v2 ل-imperfect + وا
+    ("المعلمات", "معلم"),   # fem plural before ta marbuta
+    ("سيذهبون", "ذهب"),     # future circumfix
+]
+
+
+@pytest.mark.parametrize("word,expected", ARLSTEM2_VECTORS)
+def test_arlstem2_vectors(word, expected):
+    from retriv_ray.text.arlstem2 import stem as arlstem2
+
+    assert arlstem2(word) == expected
+
+
+def test_stemmer_registry_31_of_32():
+    """M9: every reference name except dictionary-based krovetz
+    resolves (reference stemmer.py:10-43 names 32)."""
+    resolvable = [
+        "english", "porter", "lancaster", "cistem", "arabic",
+        "arlstem", "arlstem2", "isri", "basque", "catalan",
+        "danish", "dutch", "finnish", "french", "german", "greek",
+        "hindi", "hungarian", "indonesian", "irish", "italian",
+        "lithuanian", "nepali", "norwegian", "portuguese",
+        "romanian", "russian", "spanish", "swedish", "tamil",
+        "turkish",
+    ]
+    assert len(resolvable) == 31
+    for n in resolvable:
+        fn = get_stemmer(n)
+        assert callable(fn), n
+        assert isinstance(fn("test"), str), n
+    with pytest.raises(NotImplementedError):
+        get_stemmer("krovetz")
