@@ -3,7 +3,7 @@
 Reference: retriv/sparse_retriever/preprocessing/stemmer.py:10-223
 resolves 32 named stemmers via NLTK / PyStemmer / krovetzstemmer.
 None of those packages is available here; we ship from-scratch
-implementations of the published algorithms for 31 of the names:
+implementations of the published algorithms for all 32 names:
 Porter2 for the default "english" (the reference's "english" is
 NLTK's Snowball english, stemmer.py:23), classic Porter 1980 for
 "porter" (see porter1.py's parity note on NLTK's extensions),
@@ -20,11 +20,12 @@ each written from the published spec/paper with hand-traced golden
 vectors (PyStemmer/NLTK are not installable here to diff against;
 per-module docstrings note any reconstruction caveats — the
 round-4 additions reconstruct the published rule/among tables and
-may miss rare entries). The one remaining name, krovetz, is a
-dictionary-based stemmer whose published algorithm requires its
-~50k-entry lexicon, which cannot be embedded here — it raises with
-a clear message; custom callables pass through; ``None`` ->
-identity (reference stemmer.py:215-223).
+may miss rare entries), and krovetz (KSTEM, Krovetz SIGIR 1993 —
+the inflectional rule steps with the irregular-form tables; the
+package's ~30k-headword acceptance lexicon is replaced by the
+paper's orthographic heuristics, caveat in the module docstring).
+Custom callables pass through; ``None`` -> identity (reference
+stemmer.py:215-223).
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ from retriv_ray.text.indonesian import stem as indonesian_stem
 from retriv_ray.text.irish import stem as irish_stem
 from retriv_ray.text.isri import stem as isri_stem
 from retriv_ray.text.italian import stem as italian_stem
+from retriv_ray.text.krovetz import stem as krovetz_stem
 from retriv_ray.text.lancaster import stem as lancaster_stem
 from retriv_ray.text.lithuanian import stem as lithuanian_stem
 from retriv_ray.text.nepali import stem as nepali_stem
@@ -96,6 +98,7 @@ _STEMMERS = {
     "arlstem": arlstem_stem,
     "arlstem2": arlstem2_stem,
     "isri": isri_stem,
+    "krovetz": krovetz_stem,
 }
 
 

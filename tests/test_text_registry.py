@@ -1002,22 +1002,50 @@ def test_arlstem2_vectors(word, expected):
     assert arlstem2(word) == expected
 
 
-def test_stemmer_registry_31_of_32():
-    """M9: every reference name except dictionary-based krovetz
-    resolves (reference stemmer.py:10-43 names 32)."""
+def test_stemmer_registry_all_32():
+    """M9 closed: every name the reference's registry resolves
+    (reference stemmer.py:10-43 names 32) resolves here too."""
     resolvable = [
-        "english", "porter", "lancaster", "cistem", "arabic",
-        "arlstem", "arlstem2", "isri", "basque", "catalan",
-        "danish", "dutch", "finnish", "french", "german", "greek",
-        "hindi", "hungarian", "indonesian", "irish", "italian",
-        "lithuanian", "nepali", "norwegian", "portuguese",
-        "romanian", "russian", "spanish", "swedish", "tamil",
-        "turkish",
+        "english", "porter", "lancaster", "cistem", "krovetz",
+        "arabic", "arlstem", "arlstem2", "isri", "basque",
+        "catalan", "danish", "dutch", "finnish", "french",
+        "german", "greek", "hindi", "hungarian", "indonesian",
+        "irish", "italian", "lithuanian", "nepali", "norwegian",
+        "portuguese", "romanian", "russian", "spanish", "swedish",
+        "tamil", "turkish",
     ]
-    assert len(resolvable) == 31
+    assert len(resolvable) == 32
     for n in resolvable:
         fn = get_stemmer(n)
         assert callable(fn), n
         assert isinstance(fn("test"), str), n
     with pytest.raises(NotImplementedError):
-        get_stemmer("krovetz")
+        get_stemmer("nosuchstemmer")
+
+
+KROVETZ_VECTORS = [
+    ("cities", "city"),     # ies -> y
+    ("churches", "church"),  # ches -> ch
+    ("dogs", "dog"),        # plural s
+    ("hopped", "hop"),      # -ed with undoubling
+    ("hoped", "hope"),      # -ed with e-restore (CVC)
+    ("running", "run"),     # -ing with undoubling
+    ("hoping", "hope"),     # -ing with e-restore
+    ("dying", "die"),       # ying -> ie
+    ("studied", "study"),   # ied -> y
+    ("children", "child"),  # irregular plural
+    ("knives", "knife"),    # -ves irregular
+    ("series", "series"),   # protected
+    ("during", "during"),   # protected (not a gerund)
+    ("feeling", "feeling"),  # protected lexicalized gerund
+    ("was", "was"),         # inflectional stemmer leaves be-forms
+    ("pressed", "press"),   # ss not undoubled
+    ("rolling", "roll"),    # ll not undoubled
+]
+
+
+@pytest.mark.parametrize("word,expected", KROVETZ_VECTORS)
+def test_krovetz_vectors(word, expected):
+    from retriv_ray.text.krovetz import stem as krovetz
+
+    assert krovetz(word) == expected
