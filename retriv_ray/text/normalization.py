@@ -48,6 +48,33 @@ _NON_COMBINING_FOLDS = {
     ord("…"): "...",
 }
 
+# unidecode-style transliteration for the Greek and Cyrillic
+# alphabets (applied after NFKD so accented forms fold to their base
+# letter first). Tables follow unidecode's published mappings
+# (θ->th, χ->kh, ψ->ps; ж->zh, х->kh, ц->ts, щ->shch, ю->iu, я->ia).
+_GREEK_TRANSLIT = {
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+    "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+    "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+    "ς": "s", "τ": "t", "υ": "u", "φ": "ph", "χ": "kh", "ψ": "ps",
+    "ω": "o",
+}
+_CYRILLIC_TRANSLIT = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ё": "e", "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k",
+    "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+    "с": "s", "т": "t", "у": "u", "ф": "f", "х": "kh", "ц": "ts",
+    "ч": "ch", "ш": "sh", "щ": "shch", "ъ": "", "ы": "y", "ь": "",
+    "э": "e", "ю": "iu", "я": "ia",
+}
+_TRANSLIT_FOLDS = {}
+for _src, _dst in {**_GREEK_TRANSLIT, **_CYRILLIC_TRANSLIT}.items():
+    _TRANSLIT_FOLDS[ord(_src)] = _dst
+    _up = _src.upper()
+    if _up != _src:
+        _TRANSLIT_FOLDS[ord(_up)] = _dst.capitalize()
+del _src, _dst, _up
+
 
 def normalize_diacritics(x: str) -> str:
     """ASCII-fold accented latin characters (reference
@@ -56,18 +83,21 @@ def normalize_diacritics(x: str) -> str:
     combining-form latin accents, e.g. "übermensch" -> "ubermensch" —
     plus an explicit fold table for the non-combining letters where
     NFKD differs from unidecode: "ß"->"ss", "ø"->"o", "æ"->"ae",
-    "þ"->"th" etc. CJK transliteration remains out of scope. NOTE:
+    "þ"->"th" etc., plus unidecode-style Greek and Cyrillic
+    transliteration ("Ψάρι" -> "Psari", "Москва" -> "Moskva"). CJK
+    transliteration remains out of scope. NOTE:
     like the reference, this is exported but NOT wired into the
     default pipeline (reference preprocessing/__init__.py:31-63 never
     calls it despite the docstring at sparse_retriever.py:61)."""
     import unicodedata
 
     x = x.translate(_NON_COMBINING_FOLDS)
-    return "".join(
+    x = "".join(
         c
         for c in unicodedata.normalize("NFKD", x)
         if not unicodedata.combining(c)
     )
+    return x.translate(_TRANSLIT_FOLDS)
 
 
 def lowercasing(x: str) -> str:

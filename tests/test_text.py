@@ -241,3 +241,15 @@ def test_chain_wordpunct():
     # reference KEEPS the space tokens (preprocessing/__init__.py:54-57
     # filters only empty strings) — replicated faithfully.
     assert out == ["it", " ", "s", "rock", " ", "show"]
+
+
+def test_normalize_diacritics_greek_cyrillic_translit():
+    """M3 round-4 extension: unidecode-style Greek/Cyrillic
+    transliteration on top of NFKD latin folding."""
+    from retriv_ray.text.normalization import normalize_diacritics as nd
+
+    assert nd("Ψάρι") == "Psari"
+    assert nd("Москва") == "Moskva"
+    assert nd("Ελλάδα") == "Ellada"
+    assert nd("Щи") == "Shchi"
+    assert nd("groß übermensch") == "gross ubermensch"
