@@ -489,6 +489,18 @@ def _q_duplicate_windows(sf_dir: str):
     return duplicate_window_stats(_docs(sf_dir), window=8, stride=4)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from retriv_ray.ops.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(sf_dir))
+
+
+def _q_length_quantiles(sf_dir: str):
+    from retriv_ray.ops.textstats import length_quantiles
+
+    return length_quantiles(_docs(sf_dir))
+
+
 def _q_token_rarity(sf_dir: str):
     from retriv_ray.ops.textstats import token_rarity
 
@@ -661,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": _q_contamination_check,
         "token_rarity": _q_token_rarity,
         "duplicate_windows": _q_duplicate_windows,
+        "dedup_clusters": _q_dedup_clusters,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -1213,4 +1227,33 @@ def oracle_sql() -> dict[str, str]:
         FROM toks t JOIN counts c ON t.tok = c.tok
         GROUP BY t.doc_id ORDER BY t.doc_id
     """
+    # transitive duplicate clusters over two blocking keys
+    # (ops/dedup.py dedup_clusters: bipartite min-label propagation;
+    # oracle spreads labels along shared-key edges with a recursive
+    # CTE — cluster id = min doc_id per connected component)
+    out["dedup_clusters"] = """
+        WITH RECURSIVE memb AS (
+          SELECT doc_id, 'a#' || lang || '#' ||
+                 CAST(n_chars // 8 AS VARCHAR) AS k FROM documents
+          UNION ALL
+          SELECT doc_id, 'b#' || source || '#' ||
+                 CAST(n_chars // 12 AS VARCHAR) AS k FROM documents
+        ), edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM memb a JOIN memb b ON a.k = b.k
+        ), cc AS (
+          SELECT doc_id, doc_id AS label FROM documents
+          UNION
+          SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
+        )
+        SELECT doc_id, MIN(label) AS cluster_id FROM cc
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    # exact histogram-based quantiles (ops/textstats.py
+    # length_quantiles; binary-fraction q keeps ceil(q*n) float-exact)
+    out["length_quantiles"] = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(n_chars, {q}) AS value FROM documents"
+        for q in (0.25, 0.5, 0.75, 0.875, 0.96875)
+    )
     return out

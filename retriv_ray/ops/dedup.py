@@ -797,3 +797,144 @@ def duplicate_window_stats(
             Sum("dup", alias_name="dup_windows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components / duplicate clustering
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    memb,
+    id_col: str = "doc_id",
+    key_col: str = "k",
+    max_iters: int = 64,
+):
+    """Connected components of the bipartite id-key graph: two ids are
+    connected when they share any key. Returns a Dataset with columns
+    ``(id_col, cluster_id)`` where ``cluster_id`` is the MINIMUM id in
+    the component (deterministic canonical representative).
+
+    This is the standard scalable entity-resolution / dedup-clustering
+    primitive (Hash-to-Min-style label propagation): iterate
+    ``label(key) := min label of member ids`` then ``label(id) := min
+    label over its keys``, which strictly decreases labels until the
+    fixpoint. Each round is TWO hash shuffles of the (id, key, label)
+    membership rows — never the payload, never an explicit edge list
+    (a blocking key with g members would otherwise expand to g²
+    edges). Rounds needed = O(component diameter in key-hops); the
+    driver holds only the changed-row counter. At 100 TB the
+    membership table is O(#docs × #key-families) rows of ~24 bytes.
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min, Sum
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column(id_col), batch.column(key_col),
+             batch.column(id_col)],
+            names=[id_col, key_col, "label"],
+        )
+
+    m = memb.map_batches(init, batch_format="pyarrow").materialize()
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        return batch.append_column("prev", batch.column("label"))
+
+    def group_min(col_keep):
+        def fn(group: pa.Table) -> pa.Table:
+            lab = _pc.min(group.column("label"))
+            n = group.num_rows
+            return pa.Table.from_arrays(
+                [group.column(id_col), group.column(key_col),
+                 pa.array(np.full(n, lab.as_py(), dtype=np.int64)),
+                 group.column("prev")],
+                names=[id_col, key_col, "label", "prev"],
+            )
+        return fn
+
+    def flag(batch: pa.Table) -> pa.Table:
+        chg = _pc.cast(
+            _pc.not_equal(batch.column("label"), batch.column("prev")),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays([chg], names=["chg"])
+
+    for _ in range(max_iters):
+        m = (
+            m.map_batches(snapshot, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(group_min(key_col), batch_format="pyarrow")
+            .groupby(id_col)
+            .map_groups(group_min(id_col), batch_format="pyarrow")
+            .materialize()
+        )
+        changed = (
+            m.map_batches(flag, batch_format="pyarrow").sum("chg") or 0
+        )
+        m = m.drop_columns(["prev"]).materialize()
+        if changed == 0:
+            break
+    else:
+        logger.warning(
+            "connected_components: no fixpoint after %d rounds "
+            "(component diameter exceeds the cap); labels are an "
+            "upper bound", max_iters,
+        )
+
+    return (
+        m.groupby(id_col)
+        .aggregate(Min("label", alias_name="cluster_id"))
+    )
+
+
+def dedup_clusters(
+    ds,
+    id_col: str = "doc_id",
+    lang_bucket: int = 8,
+    source_bucket: int = 12,
+    max_iters: int = 64,
+):
+    """Duplicate clusters over the documents table via two blocking
+    keys — (lang, n_chars//lang_bucket) and (source,
+    n_chars//source_bucket) — merged transitively with
+    :func:`connected_components` (a doc pair in the same cluster may
+    share NO key directly; the chain runs through intermediates,
+    which is exactly what pairwise dedup misses). Returns
+    ``(doc_id, cluster_id)``, cluster_id = min doc_id in the cluster.
+
+    SQL oracle: the same membership + recursive CTE label spread
+    (see ``oracle_sql()['dedup_clusters']``).
+    """
+
+    def membership(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks()
+        n_chars = batch.column("n_chars")
+        # integer division == floor for the positive n_chars, matching
+        # SQL's // in the oracle
+        b1 = pc.cast(pc.divide(n_chars, lang_bucket), pa.string())
+        b2 = pc.cast(pc.divide(n_chars, source_bucket), pa.string())
+        prefix_a = pa.array(["a"] * batch.num_rows)
+        prefix_b = pa.array(["b"] * batch.num_rows)
+        k1 = pc.binary_join_element_wise(
+            prefix_a, pc.cast(batch.column("lang"), pa.string()), b1, "#"
+        )
+        k2 = pc.binary_join_element_wise(
+            prefix_b, pc.cast(batch.column("source"), pa.string()), b2, "#"
+        )
+
+        def _flat(arr):
+            return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([_flat(ids), _flat(ids)]),
+                pa.concat_arrays([_flat(k1), _flat(k2)]),
+            ],
+            names=[id_col, "k"],
+        )
+
+    memb = ds.map_batches(membership, batch_format="pyarrow")
+    return connected_components(
+        memb, id_col=id_col, key_col="k", max_iters=max_iters
+    )

@@ -435,3 +435,51 @@ def token_rarity(ds, text_col: str = "text", id_col: str = "doc_id"):
         Sum("tfcnt", alias_name="sum_cnt"),
         Min("cnt", alias_name="min_cnt"),
     )
+
+
+def length_quantiles(
+    ds,
+    col: str = "n_chars",
+    qs=(0.25, 0.5, 0.75, 0.875, 0.96875),
+):
+    """EXACT quantiles of an integer column via a value histogram:
+    ``groupby(col).count()`` shuffles only (distinct_value, count)
+    pairs — never the rows — and the quantile selection runs over the
+    sorted histogram, whose size is bounded by the column's distinct
+    cardinality (document lengths: thousands of values at any corpus
+    size; this is the scale path — a rank-select over 10^12 rows
+    costs one combiner-friendly groupby). For unbounded-cardinality
+    columns use a bucketed two-pass instead.
+
+    Matches DuckDB ``quantile_disc``: index = max(0, ceil(q*n) - 1)
+    over the ascending values. The default ``qs`` are binary
+    fractions (k/2^m), so ``q*n`` is EXACT in IEEE double on both
+    sides of the comparison — no float-boundary off-by-one against
+    the SQL oracle.
+
+    Returns a pyarrow Table ``(q: double, value: int64)``.
+    """
+    import math
+
+    hist = ds.groupby(col).count()
+    rows = hist.sort(col).take_all()  # bounded by distinct values
+    values = [r[col] for r in rows]
+    counts = [r["count()"] for r in rows]
+    n = sum(counts)
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        cum = 0
+        val = values[-1] if values else None
+        for v, c in zip(values, counts):
+            cum += c
+            if cum > idx:
+                val = v
+                break
+        out_q.append(float(q))
+        out_v.append(val)
+    return pa.Table.from_arrays(
+        [pa.array(out_q, type=pa.float64()),
+         pa.array(out_v, type=pa.int64())],
+        names=["q", "value"],
+    )

@@ -174,3 +174,70 @@ def test_duplicate_window_stats(ray_session):
     assert out.loc[0, "n_windows"] == 2 and out.loc[0, "dup_windows"] == 1
     assert out.loc[1, "n_windows"] == 2 and out.loc[1, "dup_windows"] == 1
     assert out.loc[2, "dup_windows"] == 0
+
+
+def test_connected_components_multi_hop(ray_session):
+    """A 3-hop chain through shared keys must collapse to one cluster
+    (pairwise dedup would miss the 1-4 link), and disjoint keys must
+    stay separate."""
+    import ray.data
+
+    from retriv_ray.ops.dedup import connected_components
+
+    # component A: 1-2 share k1, 2-3 share k2, 3-4 share k3 (chain)
+    # component B: 5-6 share k4; singleton: 7
+    memb = ray.data.from_items(
+        [
+            {"doc_id": 1, "k": "k1"}, {"doc_id": 2, "k": "k1"},
+            {"doc_id": 2, "k": "k2"}, {"doc_id": 3, "k": "k2"},
+            {"doc_id": 3, "k": "k3"}, {"doc_id": 4, "k": "k3"},
+            {"doc_id": 5, "k": "k4"}, {"doc_id": 6, "k": "k4"},
+            {"doc_id": 7, "k": "k5"},
+        ]
+    )
+    out = connected_components(memb).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_matches_recursive_sql(ray_session):
+    """Label propagation == recursive-CTE min-label spread."""
+    import duckdb
+    import ray.data
+
+    from retriv_ray.ops.dedup import dedup_clusters
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = (
+        dedup_clusters(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(
+        """
+        WITH RECURSIVE memb AS (
+          SELECT doc_id, 'a#' || lang || '#' ||
+                 CAST(n_chars // 8 AS VARCHAR) AS k FROM documents
+          UNION ALL
+          SELECT doc_id, 'b#' || source || '#' ||
+                 CAST(n_chars // 12 AS VARCHAR) AS k FROM documents
+        ), edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM memb a JOIN memb b ON a.k = b.k
+        ), cc AS (
+          SELECT doc_id, doc_id AS label FROM documents
+          UNION
+          SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
+        )
+        SELECT doc_id, MIN(label) AS cluster_id FROM cc
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    assert list(out["doc_id"]) == list(exp["doc_id"])
+    assert list(out["cluster_id"]) == list(exp["cluster_id"])

@@ -238,3 +238,23 @@ def test_topk_and_stratified_accept_null_group_keys(ray_session):
     samp = stratified_sample(ds, n=2, key_col="source", id_col="doc_id").to_pandas()
     assert not samp.source.isna().any()
     assert set(samp[samp.source == "a"].doc_id) == {1, 2}
+
+
+def test_length_quantiles_exact(ray_session):
+    """Histogram rank-select matches quantile_disc semantics
+    (index = ceil(q*n) - 1) on a known multiset."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import length_quantiles
+
+    # 10 values 1..10, each once
+    ds = ray.data.from_items([{"n_chars": i} for i in range(1, 11)])
+    t = length_quantiles(ds, qs=(0.25, 0.5, 0.75)).to_pandas()
+    assert list(t["q"]) == [0.25, 0.5, 0.75]
+    assert list(t["value"]) == [3, 5, 8]  # duckdb quantile_disc parity
+    # skewed multiset: 1 x9, 100 x1
+    ds2 = ray.data.from_items(
+        [{"n_chars": 1}] * 9 + [{"n_chars": 100}]
+    )
+    t2 = length_quantiles(ds2, qs=(0.5, 0.96875)).to_pandas()
+    assert list(t2["value"]) == [1, 100]
