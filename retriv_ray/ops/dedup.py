@@ -839,6 +839,11 @@ def connected_components(
     m = memb.map_batches(init, batch_format="pyarrow").materialize()
 
     def snapshot(batch: pa.Table) -> pa.Table:
+        # (re)set prev := label at the top of each round; the final
+        # aggregate ignores prev, so it is never dropped mid-loop
+        # (dropping would cost an extra full materialization per round)
+        if "prev" in batch.column_names:
+            batch = batch.drop_columns(["prev"])
         return batch.append_column("prev", batch.column("label"))
 
     def group_min(col_keep):
@@ -872,7 +877,6 @@ def connected_components(
         changed = (
             m.map_batches(flag, batch_format="pyarrow").sum("chg") or 0
         )
-        m = m.drop_columns(["prev"]).materialize()
         if changed == 0:
             break
     else:

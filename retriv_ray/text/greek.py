@@ -92,7 +92,8 @@ _R_IDIO = (("ιδιο", "ιδια", "ιδιων"),
 _R_ISK = (("ισκοσ", "ισκου", "ισκο", "ισκε"),
           {"μ", "π", "κ", "φ", "γλυκομ", "γλυκυρ"}, "ισκ")
 
-_R_ADES = (("αδεσ", "αδων"), None, "")  # special: keep αδ for some
+# (the αδεσ/αδων family is handled inline in stem() — its exception
+# re-appends αδ based on the stem ENDING, not stem identity)
 _R_EDES = (("εδεσ", "εδων"),
            {"οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
             "μιλ"}, "εδ")
