@@ -501,6 +501,18 @@ def _q_length_quantiles(sf_dir: str):
     return length_quantiles(_docs(sf_dir))
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    from retriv_ray.ops.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(sf_dir), k=5)
+
+
+def _q_rolling_events(sf_dir: str):
+    from retriv_ray.ops.windows import rolling_event_stats
+
+    return rolling_event_stats(_events(sf_dir), window_rows=5)
+
+
 def _q_token_rarity(sf_dir: str):
     from retriv_ray.ops.textstats import token_rarity
 
@@ -675,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_windows": _q_duplicate_windows,
         "dedup_clusters": _q_dedup_clusters,
         "length_quantiles": _q_length_quantiles,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "rolling_events": _q_rolling_events,
     }
 
 
@@ -1256,4 +1270,42 @@ def oracle_sql() -> dict[str, str]:
         f"quantile_disc(n_chars, {q}) AS value FROM documents"
         for q in (0.25, 0.5, 0.75, 0.875, 0.96875)
     )
+    # per-doc top-k TF-IDF keywords (ops/textstats.py tfidf_keywords;
+    # score quantized to floor(1e4 * tf * ln(N/df)) so the hash check
+    # covers values, and ordering (score_e4 DESC, term ASC) is
+    # integer-deterministic on both sides)
+    out["tfidf_keywords"] = f"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(list_filter({_TOKS}, x -> x <> '')) AS term
+                      FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 floor(10000.0 * tf.tf::DOUBLE
+                       * ln(n.n / df.df::DOUBLE))::BIGINT AS score_e4
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        SELECT doc_id, rank, term, tf, df, score_e4 FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY doc_id, rank
+    """
+    # trailing-5-row per-user window aggregates (ops/windows.py
+    # rolling_event_stats; floor-cents quantization is rounding-mode
+    # independent, integer sums are order-exact)
+    out["rolling_events"] = """
+        WITH e AS (SELECT event_id, user_id, ts,
+                          floor(value * 100)::BIGINT AS cents FROM events)
+        SELECT event_id, user_id,
+               count(*) OVER w::BIGINT AS n_window,
+               sum(cents) OVER w::BIGINT AS sum_cents,
+               max(cents) OVER w::BIGINT AS max_cents
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """
     return out

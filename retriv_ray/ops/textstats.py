@@ -483,3 +483,95 @@ def length_quantiles(
          pa.array(out_v, type=pa.int64())],
         names=["q", "value"],
     )
+
+
+def tfidf_keywords(
+    ds,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: Optional[int] = None,
+):
+    """Per-document keyword extraction: the top-``k`` whitespace
+    tokens by TF-IDF, ``score = tf * ln(N / df)`` with ``df`` = number
+    of documents containing the token and ``N`` = total document
+    count. Returns (doc_id, rank, term, tf, df, score_e4) where
+    ``score_e4 = floor(10000 * score)`` — the score is quantized to an
+    integer so the SQL oracle hash-checks ranking AND values without
+    float-formatting ambiguity (exact real-value score ties, e.g.
+    ``2*ln(N/df) == ln(N/df**2 * N)`` families, land on the same
+    integer regardless of last-ulp libm differences; ordering is
+    (score_e4 DESC, term ASC), fully integer-deterministic).
+    Zero-token documents emit no rows.
+
+    Scale plan: one tokenize map emits per-doc distinct (token,
+    doc_id, tf) rows (per-doc Counter — tf is exact, one row per
+    distinct term per doc); ONE hash shuffle groups them by token,
+    and ``df`` is just the group size, so the idf attaches in-group
+    with no vocabulary broadcast and no second pass (cf.
+    ``token_rarity``); a second hash shuffle groups the scored rows
+    by document for the vectorized local top-k. Hot-token groups are
+    the known skew (df can approach N for stopword-like tokens): at
+    the 100-TB target pre-drop tokens whose partial-df bound exceeds
+    ``max_df`` — they rank near zero anyway (idf <= ln(1/frac)) —
+    the same cap strategy as ``ngram_jaccard_pairs``'s
+    ``max_shingle_df``.
+    """
+    from collections import Counter
+
+    N = int(n_docs if n_docs is not None else ds.count())
+    lnN = float(np.log(N))  # noqa: F841  (documented: idf = ln(N/df))
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        out_t: list = []
+        out_d: list = []
+        out_tf: list = []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            c = Counter((t or "").split())
+            out_t.extend(c.keys())
+            out_d.extend([int(ids[i])] * len(c))
+            out_tf.extend(c.values())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_t, type=pa.string()),
+                pa.array(out_d, type=pa.int64()),
+                pa.array(out_tf, type=pa.int64()),
+            ],
+            names=["term", id_col, "tf"],
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        # df = number of docs containing this token = group size
+        # (doc_partial emits one row per distinct (term, doc))
+        n = group.num_rows
+        return group.append_column(
+            "df", pa.array(np.full(n, n, dtype=np.int64))
+        )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        tf = group.column("tf").to_numpy().astype(np.float64)
+        df = group.column("df").to_numpy().astype(np.float64)
+        score_e4 = np.floor(10000.0 * tf * np.log(N / df)).astype(np.int64)
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((terms, -score_e4))[:k]
+        n = len(order)
+        return pa.Table.from_arrays(
+            [
+                group.column(id_col).take(order),
+                pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                pa.array(terms[order], type=pa.string()),
+                group.column("tf").take(order),
+                group.column("df").take(order),
+                pa.array(score_e4[order]),
+            ],
+            names=[id_col, "rank", "term", "tf", "df", "score_e4"],
+        )
+
+    return (
+        ds.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(local_topk, batch_format="pyarrow")
+    )

@@ -209,3 +209,68 @@ def sessionize(
         .map_groups(sessions, batch_format="pyarrow")
     )
     return partials.groupby(key_col).map_groups(stitch, batch_format="pyarrow")
+
+
+def rolling_event_stats(
+    ds,
+    window_rows: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+):
+    """Per-key ROW-window rolling aggregates — the feature-engineering
+    staple SQL spells ``... OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``. For every event,
+    over the trailing ``window_rows`` events of the same key ordered
+    by (ts, id): event count ``n_window``, value sum and max as
+    integer cents (``floor(value * 100)`` — floor, not round, so the
+    quantization is rounding-mode-independent between Arrow and the
+    SQL oracle; sums of integers are order-exact). Returns
+    (event_id, key, n_window, sum_cents, max_cents).
+
+    Scale plan: one hash shuffle groups events by key; inside each
+    group the window is a vectorized prefix-sum difference (sum) and
+    a sliding-window maximum — O(rows), no per-row Python. Group size
+    = events per key, naturally bounded for user-keyed streams; for a
+    pathological hot key the exact split is time-bucket salting with
+    a ``window_rows - 1`` row overlap carried between buckets (the
+    ``sessionize`` split-and-stitch pattern) — overlap rows are
+    recomputed, results are identical because a ROW window only looks
+    ``window_rows - 1`` rows back.
+    """
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy()
+        ids = group.column(id_col).to_numpy()
+        order = np.lexsort((ids, ts))
+        cents = np.floor(
+            group.column(value_col).to_numpy().astype(np.float64) * 100.0
+        ).astype(np.int64)[order]
+        n = len(order)
+        w = int(window_rows)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.maximum(np.arange(n) - (w - 1), 0)
+        hi = np.arange(n) + 1
+        sums = csum[hi] - csum[lo]
+        counts = hi - lo
+        if n:
+            pad = np.full(w - 1, np.iinfo(np.int64).min, dtype=np.int64)
+            sw = np.lib.stride_tricks.sliding_window_view(
+                np.concatenate((pad, cents)), w
+            )
+            maxs = sw.max(axis=1)
+        else:
+            maxs = np.empty(0, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[order]),
+                group.column(key_col).take(order),
+                pa.array(counts.astype(np.int64)),
+                pa.array(sums),
+                pa.array(maxs),
+            ],
+            names=[id_col, key_col, "n_window", "sum_cents", "max_cents"],
+        )
+
+    return ds.groupby(key_col).map_groups(roll, batch_format="pyarrow")
