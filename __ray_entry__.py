@@ -513,6 +513,24 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_jaccard_join(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    from retriv_ray.ops.dedup import jaccard_join
+
+    def parity(p):
+        def fn(t):
+            return t.filter(
+                _pc.equal(_pc.bit_wise_and(t.column("doc_id"), 1), p)
+            )
+        return fn
+
+    docs = _docs(sf_dir)
+    left = docs.map_batches(parity(0), batch_format="pyarrow")
+    right = docs.map_batches(parity(1), batch_format="pyarrow")
+    return jaccard_join(left, right, n=3, threshold=0.5)
+
+
 def _q_token_rarity(sf_dir: str):
     from retriv_ray.ops.textstats import token_rarity
 
@@ -689,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "tfidf_keywords": _q_tfidf_keywords,
         "rolling_events": _q_rolling_events,
+        "jaccard_join": _q_jaccard_join,
     }
 
 
@@ -1307,5 +1326,27 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+    """
+    # cross-dataset fuzzy join (ops/dedup.py jaccard_join) — left =
+    # even doc_ids, right = odd; same distinct-3-gram Jaccard as
+    # ngram_jaccard_pairs but only cross-side pairs survive
+    out["jaccard_join"] = f"""
+        WITH docs AS (SELECT doc_id,
+                             list_filter({_TOKS}, x -> x <> '') AS t
+                      FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          FROM docs, unnest(generate_series(1, len(t) - 2)) AS u(i)
+          WHERE len(t) >= 3),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT g1.doc_id AS a, g2.doc_id AS b, count(*)::DOUBLE AS i
+          FROM grams g1 JOIN grams g2 ON g1.g = g2.g
+          WHERE g1.doc_id % 2 = 0 AND g2.doc_id % 2 = 1
+          GROUP BY g1.doc_id, g2.doc_id)
+        SELECT a AS left_id, b AS right_id,
+               floor(10000 * i / (sa.sz + sb.sz - i))::BIGINT AS jaccard_e4
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.5
     """
     return out

@@ -267,6 +267,131 @@ def ngram_jaccard_pairs(
     return pair_counts.map_batches(finalize, batch_format="pyarrow")
 
 
+def jaccard_join(
+    left,
+    right,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: Optional[int] = 10_000,
+):
+    """Cross-DATASET fuzzy join: every (left_id, right_id) pair whose
+    word-``n``-gram shingle sets have Jaccard >= ``threshold``, with
+    the exact similarity as ``jaccard_e4 = floor(j * 10000)``. The
+    decontamination shape: ``left`` = training corpus, ``right`` =
+    held-out benchmark; matched pairs name exactly which training doc
+    leaks which eval doc (``contamination_check`` gives per-doc
+    counts; this gives the pair evidence).
+
+    Same shuffle skeleton as ``ngram_jaccard_pairs``: shingle both
+    sides (tagged), ONE groupby(shingle) emits only CROSS-side
+    candidate pairs (within-side pairs are never formed, so a
+    boilerplate shingle costs df_l*df_r, not (df_l+df_r)²/2), then a
+    pair-keyed aggregate counts the intersection and the Jaccard is
+    finalized row-locally from the carried set sizes — no driver
+    state, no size-map broadcast. ``max_shingle_df`` caps
+    df_l + df_r per shingle (drop + warn) exactly like the self-join
+    variant. Ids may collide across sides (they are independent
+    datasets); output columns are ``left_id`` / ``right_id``.
+    """
+    from ray.data.aggregate import Count, Max
+
+    def shingle_side(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy()
+            texts = batch.column(text_col).to_pylist()
+            out_s: List[np.ndarray] = []
+            out_d: List[np.ndarray] = []
+            out_z: List[np.ndarray] = []
+            for d, t in zip(ids, texts):
+                h = _shingle_hashes(_tokens(t), n)
+                out_s.append(h)
+                out_d.append(np.full(len(h), d, dtype=np.int64))
+                out_z.append(np.full(len(h), len(h), dtype=np.int64))
+            s = np.concatenate(out_s) if out_s else np.empty(0, np.uint64)
+            nrows = len(s)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(s.astype(np.int64)),
+                    pa.array(
+                        np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+                    ),
+                    pa.array(
+                        np.concatenate(out_z) if out_z else np.empty(0, np.int64)
+                    ),
+                    pa.array(np.full(nrows, side, dtype=np.int64)),
+                ],
+                names=["sh", id_col, "sz", "side"],
+            )
+
+        return fn
+
+    sh = left.map_batches(shingle_side(0), batch_format="pyarrow").union(
+        right.map_batches(shingle_side(1), batch_format="pyarrow")
+    )
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.int64())] * 4,
+            names=["a", "b", "sa", "sb"],
+        )
+        if max_shingle_df is not None and group.num_rows > max_shingle_df:
+            logger.warning(
+                "jaccard_join: dropping hot shingle with df=%d > cap %d",
+                group.num_rows,
+                max_shingle_df,
+            )
+            return empty
+        sides = group.column("side").to_numpy()
+        docs = group.column(id_col).to_numpy()
+        sizes = group.column("sz").to_numpy()
+        l = sides == 0
+        dl, zl = docs[l], sizes[l]
+        dr, zr = docs[~l], sizes[~l]
+        if not len(dl) or not len(dr):
+            return empty
+        ai, bi = np.meshgrid(np.arange(len(dl)), np.arange(len(dr)), indexing="ij")
+        ai, bi = ai.ravel(), bi.ravel()
+        return pa.Table.from_arrays(
+            [
+                pa.array(dl[ai]),
+                pa.array(dr[bi]),
+                pa.array(zl[ai]),
+                pa.array(zr[bi]),
+            ],
+            names=["a", "b", "sa", "sb"],
+        )
+
+    pair_counts = (
+        sh.groupby("sh")
+        .map_groups(cross_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(), Max("sa"), Max("sb"))
+    )
+
+    thr = threshold
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        inter = batch.column("count()").to_numpy().astype(np.float64)
+        sa = batch.column("max(sa)").to_numpy().astype(np.float64)
+        sb = batch.column("max(sb)").to_numpy().astype(np.float64)
+        j = inter / (sa + sb - inter)
+        keep = j >= thr
+        return pa.Table.from_arrays(
+            [
+                pa.array(a[keep]),
+                pa.array(b[keep]),
+                pa.array(np.floor(j[keep] * 10000).astype(np.int64)),
+            ],
+            names=["left_id", "right_id", "jaccard_e4"],
+        )
+
+    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

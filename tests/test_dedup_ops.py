@@ -241,3 +241,49 @@ def test_dedup_clusters_matches_recursive_sql(ray_session):
     ).df()
     assert list(out["doc_id"]) == list(exp["doc_id"])
     assert list(out["cluster_id"]) == list(exp["cluster_id"])
+
+
+def test_jaccard_join_cross_side_only(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import jaccard_join
+
+    # left 0 == left 1 (within-side dup: must NOT pair);
+    # left 0 ~ right 10 (cross-side near-dup: must pair);
+    # right 11 unrelated
+    left = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": BASE},
+            {"doc_id": 1, "text": BASE},
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": BASE.replace("lazy", "sleepy")},
+            {"doc_id": 11, "text": "nothing shared with anything else at all ever"},
+        ]
+    )
+    df = jaccard_join(left, right, n=3, threshold=0.3).to_pandas()
+    got = set(zip(df["left_id"].tolist(), df["right_id"].tolist()))
+    assert got == {(0, 10), (1, 10)}
+    # identical texts across sides score exactly 10000
+    full = jaccard_join(
+        ray.data.from_items([{"doc_id": 0, "text": BASE}]),
+        ray.data.from_items([{"doc_id": 5, "text": BASE}]),
+        threshold=0.99,
+    ).to_pandas()
+    assert full.iloc[0]["jaccard_e4"] == 10000
+
+
+def test_jaccard_join_hot_cap_drops_group(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import jaccard_join
+
+    left = ray.data.from_items([{"doc_id": i, "text": BASE} for i in range(4)])
+    right = ray.data.from_items(
+        [{"doc_id": 100 + i, "text": BASE} for i in range(4)]
+    )
+    # every shingle has df=8 > cap=4 -> all groups dropped -> no pairs
+    df = jaccard_join(left, right, threshold=0.1, max_shingle_df=4).to_pandas()
+    assert len(df) == 0
