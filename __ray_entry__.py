@@ -513,6 +513,12 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_weighted_sample(sf_dir: str):
+    from retriv_ray.ops.prep import weighted_sample
+
+    return weighted_sample(_docs(sf_dir), k=50, weight_col="n_chars")
+
+
 def _q_jaccard_join(sf_dir: str):
     import pyarrow.compute as _pc
 
@@ -708,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "rolling_events": _q_rolling_events,
         "jaccard_join": _q_jaccard_join,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1348,5 +1355,18 @@ def oracle_sql() -> dict[str, str]:
                floor(10000 * i / (sa.sz + sb.sz - i))::BIGINT AS jaccard_e4
         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """
+    # Efraimidis-Spirakis weighted sample (ops/prep.py weighted_sample)
+    # — key = ln(u)/w with the repo-wide md5_number_lower uniform;
+    # only (id, integer weight) are output, float key never hashed
+    out["weighted_sample"] = """
+        SELECT doc_id, w FROM (
+          SELECT doc_id, n_chars AS w,
+                 row_number() OVER (ORDER BY
+                   ln((md5_number_lower('0:' || doc_id::VARCHAR)::DOUBLE + 1)
+                      / 18446744073709551616.0) / n_chars DESC,
+                   doc_id) AS rn
+          FROM documents WHERE n_chars > 0)
+        WHERE rn <= 50 ORDER BY doc_id
     """
     return out

@@ -404,3 +404,73 @@ def stratified_sample(
         .groupby(key_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def weighted_sample(
+    ds,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Deterministic weighted sampling WITHOUT replacement of ``k``
+    rows, inclusion probability proportional to ``weight_col``
+    (Efraimidis-Spirakis A-ES): key = ln(u) / w with u the md5-derived
+    uniform of ``"{seed}:{id}"`` (the repo-wide ``md5_number_lower``
+    convention), take the k largest keys. Reproducible, seedable,
+    partition-independent, and SQL-checkable — the oracle computes the
+    identical key with DuckDB's ln/md5. Rows with w <= 0 are excluded
+    (zero weight = never sampled). Ties broken by id ascending; exact
+    real-value key ties are measure-zero with hash uniforms (same
+    float-ordering stance as the ANN oracles — only ids are output,
+    no floats).
+
+    Scale plan: a per-batch partial top-k bounds the exchange at
+    k rows per block, then the tiny survivor set (<= blocks * k rows)
+    sorts and limits — no global sort of the input, no driver
+    materialization. Returns (id, w) sorted by id.
+    """
+
+    def key_of(batch: pa.Table) -> np.ndarray:
+        ids = batch.column(id_col).to_pylist()
+        u = (
+            _md5_low64([f"{seed}:{v}" for v in ids]).astype(np.float64) + 1.0
+        ) / 18446744073709551616.0
+        w = batch.column(weight_col).to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.log(u) / w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy()
+        keep = pa.array(np.flatnonzero(w > 0), type=pa.int64())
+        batch = batch.take(keep)
+        key = key_of(batch)
+        ids = batch.column(id_col).to_numpy()
+        order = np.sort(np.lexsort((ids, -key))[:k])
+        sel = pa.array(order, type=pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).take(sel),
+                batch.column(weight_col).take(sel),
+                pa.array(-key[order]),
+            ],
+            names=[id_col, "w", "neg_key"],
+        )
+
+    survivors = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        order = np.lexsort((ids, batch.column("neg_key").to_numpy()))[:k]
+        sel = np.sort(ids[order])
+        pos = {int(v): i for i, v in enumerate(ids)}
+        take = pa.array([pos[int(v)] for v in sel], type=pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column(id_col).take(take), batch.column("w").take(take)],
+            names=[id_col, "w"],
+        )
+
+    # survivors are <= blocks * k rows; one reduce task finishes
+    return survivors.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -258,3 +258,63 @@ def test_length_quantiles_exact(ray_session):
     )
     t2 = length_quantiles(ds2, qs=(0.5, 0.96875)).to_pandas()
     assert list(t2["value"]) == [1, 100]
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_weighted_sample_matches_sql_and_partitioning(ray_session, nparts):
+    """A-ES key parity with DuckDB + partition independence + zero
+    weights excluded."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from retriv_ray.ops.prep import weighted_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "n_chars": rng.integers(0, 500, 200).astype(np.int64),
+        }
+    )
+    df.loc[0:4, "n_chars"] = 0  # never sampled
+    got = (
+        weighted_sample(
+            ray.data.from_pandas(df).repartition(nparts), k=20
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        """
+        SELECT doc_id, w FROM (
+          SELECT doc_id, n_chars AS w,
+                 row_number() OVER (ORDER BY
+                   ln((md5_number_lower('0:' || doc_id::VARCHAR)::DOUBLE + 1)
+                      / 18446744073709551616.0) / n_chars DESC,
+                   doc_id) AS rn
+          FROM documents WHERE n_chars > 0)
+        WHERE rn <= 20 ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert not set(got["doc_id"]) & {0, 1, 2, 3, 4}
+
+
+def test_weighted_sample_seed_changes_sample(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from retriv_ray.ops.prep import weighted_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64),
+         "n_chars": np.full(100, 10, dtype=np.int64)}
+    )
+    ds = ray.data.from_pandas(df)
+    a = set(weighted_sample(ds, k=10, seed=0).to_pandas()["doc_id"])
+    b = set(weighted_sample(ds, k=10, seed=1).to_pandas()["doc_id"])
+    assert a != b and len(a) == len(b) == 10
