@@ -513,6 +513,12 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_gopher_filter(sf_dir: str):
+    from retriv_ray.ops.textstats import gopher_filter
+
+    return gopher_filter(_docs(sf_dir))
+
+
 def _q_weighted_sample(sf_dir: str):
     from retriv_ray.ops.prep import weighted_sample
 
@@ -715,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_events": _q_rolling_events,
         "jaccard_join": _q_jaccard_join,
         "weighted_sample": _q_weighted_sample,
+        "gopher_filter": _q_gopher_filter,
     }
 
 
@@ -1368,5 +1375,33 @@ def oracle_sql() -> dict[str, str]:
                    doc_id) AS rn
           FROM documents WHERE n_chars > 0)
         WHERE rn <= 50 ORDER BY doc_id
+    """
+    # Gopher/C4 composite quality filter (ops/textstats.py
+    # gopher_filter) — integer cross-multiplied rules, no float math
+    out["gopher_filter"] = f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter({_TOKS}, x -> x <> '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, len(toks)::BIGINT AS n,
+                     list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_len,
+                     len(list_filter(toks, x -> x IN
+                       ('the','a','an','and','or','of','to','in','is','it',
+                        'that','this','for','on','with','as','at','by','be',
+                        'are')))::BIGINT AS stop_hits,
+                     CASE WHEN len(toks) >= 3 THEN (len(toks)-2)::BIGINT
+                          ELSE 0 END AS n3,
+                     CASE WHEN len(toks) >= 3 THEN
+                       ((len(toks)-2) - len(list_distinct(list_transform(
+                          generate_series(1, len(toks)-2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        ))))::BIGINT
+                          ELSE 0 END AS d3
+              FROM t)
+        SELECT doc_id, n AS n_tokens FROM s
+        WHERE n BETWEEN 20 AND 10000
+          AND sum_len >= 3 * n AND sum_len <= 10 * n
+          AND stop_hits >= 2
+          AND 20 * d3 <= n3
+        ORDER BY doc_id
     """
     return out

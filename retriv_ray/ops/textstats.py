@@ -575,3 +575,68 @@ def tfidf_keywords(
         .groupby(id_col)
         .map_groups(local_topk, batch_format="pyarrow")
     )
+
+
+def gopher_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 10_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stop_hits: int = 2,
+    max_dup_3gram_x20: int = 1,
+):
+    """Gopher/C4-style composite quality filter: keep a document iff
+    ALL rules hold —
+
+    - ``min_tokens <= n_tokens <= max_tokens``
+    - mean word length in [min, max], tested as the integer
+      cross-multiplication ``min*n <= sum_len`` and
+      ``sum_len <= max*n`` (no float division anywhere)
+    - at least ``min_stop_hits`` common-stopword occurrences
+      (the C4 "real prose" rule)
+    - duplicate-3-gram fraction <= max_dup_3gram_x20/20
+      (default 1/20 = 5%), tested as ``20*dup3 <= x20*n3``
+
+    Returns kept (doc_id, n_tokens). All rules are integer-exact, so
+    the SQL oracle reproduces the kept set verbatim. ONE per-batch
+    map, zero shuffle — the filter is embarrassingly parallel at any
+    corpus size; feed its output to ``dedup_filter``-style anti-joins
+    to materialize the cleaned corpus.
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ok = np.zeros(len(texts), dtype=bool)
+        n_tok = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            n = len(toks)
+            n_tok[i] = n
+            if n < min_tokens or n > max_tokens:
+                continue
+            sum_len = sum(len(w) for w in toks)
+            if sum_len < min_mean_word_len * n or sum_len > max_mean_word_len * n:
+                continue
+            stop_hits = sum(1 for w in toks if w in _STOP)
+            if stop_hits < min_stop_hits:
+                continue
+            if n >= 3:
+                g3 = [" ".join(toks[j : j + 3]) for j in range(n - 2)]
+                n3 = len(g3)
+                d3 = n3 - len(set(g3))
+                if 20 * d3 > max_dup_3gram_x20 * n3:
+                    continue
+            ok[i] = True
+        sel = pa.array(np.flatnonzero(ok), type=pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).take(sel),
+                pa.array(n_tok[np.flatnonzero(ok)]),
+            ],
+            names=[id_col, "n_tokens"],
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -130,3 +130,26 @@ def test_token_rarity(ray_session):
     assert out.loc[0, "n_tokens"] == 3 and out.loc[0, "sum_cnt"] == 2 * 3 + 1
     assert out.loc[0, "min_cnt"] == 1
     assert out.loc[1, "n_tokens"] == 2 and out.loc[1, "sum_cnt"] == 4
+
+
+def test_gopher_filter_each_rule(ray_session):
+    """One doc violating each rule, one passing all."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import gopher_filter
+
+    good = "the quick brown fox jumps over the lazy dog and runs to " \
+           "the river bank with great speed while birds watch from " \
+           "tall trees near the water line today"  # 30 toks, stops, no dups
+    docs = [
+        {"doc_id": 0, "text": good},
+        {"doc_id": 1, "text": "too short for the rule"},  # < 20 tokens
+        {"doc_id": 2, "text": " ".join(["ab"] * 30)},  # mean len 2 < 3 (and dups)
+        {"doc_id": 3, "text": " ".join(
+            f"w{i}xxxx" for i in range(30))},  # zero stop hits
+        {"doc_id": 4, "text": "the and " + " ".join(
+            ["one two three"] * 10)},  # dup 3-grams >> 5%
+    ]
+    got = gopher_filter(ray.data.from_items(docs)).to_pandas()
+    assert list(got["doc_id"]) == [0]
+    assert got.iloc[0]["n_tokens"] == len(good.split())
