@@ -513,6 +513,12 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    from retriv_ray.ops.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir), k=20, min_count=5)
+
+
 def _q_gopher_filter(sf_dir: str):
     from retriv_ray.ops.textstats import gopher_filter
 
@@ -722,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": _q_jaccard_join,
         "weighted_sample": _q_weighted_sample,
         "gopher_filter": _q_gopher_filter,
+        "pmi_collocations": _q_pmi_collocations,
     }
 
 
@@ -1403,5 +1410,32 @@ def oracle_sql() -> dict[str, str]:
           AND stop_hits >= 2
           AND 20 * d3 <= n3
         ORDER BY doc_id
+    """
+    # top-k bigram collocations by quantized PMI (ops/textstats.py
+    # pmi_collocations; position counts N1/N2, left-assoc double math
+    # mirrored exactly, floor(1e4*ln) kills last-ulp libm differences)
+    out["pmi_collocations"] = f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter({_TOKS}, x -> x <> '') AS toks
+                   FROM documents),
+        uni AS (SELECT unnest(toks) AS w FROM t),
+        c1 AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+        big AS (SELECT toks[i] AS x, toks[i+1] AS y
+                FROM t, unnest(generate_series(1, len(toks)-1)) AS u(i)
+                WHERE len(toks) >= 2),
+        c2 AS (SELECT x, y, count(*)::BIGINT AS cxy FROM big
+               GROUP BY x, y HAVING count(*) >= 5),
+        n1 AS (SELECT sum(c)::DOUBLE AS v FROM c1),
+        n2 AS (SELECT count(*)::DOUBLE AS v FROM big),
+        scored AS (
+          SELECT c2.x || ' ' || c2.y AS gram, c2.cxy AS cnt,
+                 floor(10000 * ln((c2.cxy::DOUBLE * n1.v * n1.v)
+                                  / (n2.v * cx.c * cy.c)))::BIGINT AS pmi_e4
+          FROM c2 JOIN c1 cx ON c2.x = cx.w JOIN c1 cy ON c2.y = cy.w
+          CROSS JOIN n1 CROSS JOIN n2)
+        SELECT gram, cnt, pmi_e4 FROM (
+          SELECT *, row_number() OVER (ORDER BY pmi_e4 DESC, gram) AS rn
+          FROM scored)
+        WHERE rn <= 20 ORDER BY rn
     """
     return out

@@ -640,3 +640,209 @@ def gopher_filter(
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+):
+    """Corpus-wide top-``k`` bigram collocations by pointwise mutual
+    information: ``pmi = ln((cxy/N2) / ((cx/N1)*(cy/N1)))`` with
+    position counts (N1 = total tokens, N2 = total bigrams), quantized
+    to ``pmi_e4 = floor(10000 * pmi)`` — equal count-tuples give
+    bit-identical doubles on both engines, so ordering
+    (pmi_e4 DESC, gram ASC) is deterministic against the SQL oracle.
+    Returns (gram, cnt, pmi_e4), cnt >= min_count.
+
+    Scale plan: unigram and bigram Counter-combiner counts (the
+    word-count shape — shuffles move one row per distinct gram per
+    batch); ``cx``/``cy`` attach via two count-keyed co-group joins
+    (union + groupby, as in ``token_rarity`` — no vocabulary
+    broadcast); the ``min_count`` filter runs BEFORE the joins so rare
+    bigrams (the Zipf tail, most of the volume) never shuffle twice;
+    the final top-k is a per-block partial followed by one tiny
+    reduce. Driver holds scalars (N1, N2) and k rows.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update((t or "").split())
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(c.keys()), type=pa.string()),
+                pa.array(list(c.values()), type=pa.int64()),
+            ],
+            names=["w", "c"],
+        )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            for j in range(len(toks) - 1):
+                c[(toks[j], toks[j + 1])] += 1
+        xs = [x for x, _ in c.keys()]
+        ys = [y for _, y in c.keys()]
+        return pa.Table.from_arrays(
+            [
+                pa.array(xs, type=pa.string()),
+                pa.array(ys, type=pa.string()),
+                pa.array(list(c.values()), type=pa.int64()),
+            ],
+            names=["x", "y", "cxy"],
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("cxy", alias_name="cxy"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("cxy"), min_count)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n1 = float(uni.sum("c") or 0)
+    n2_ds = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                pa.array(
+                    [
+                        sum(
+                            max(len((t or "").split()) - 1, 0)
+                            for t in b.column(text_col).to_pylist()
+                        )
+                    ],
+                    type=pa.int64(),
+                )
+            ],
+            names=["n2"],
+        ),
+        batch_format="pyarrow",
+    )
+    n2 = float(n2_ds.sum("n2") or 0)
+
+    # attach cx then cy: two co-group joins over a UNIFORM row shape
+    # (key, other, cxy, cuni, carried) — cxy == -1 tags unigram-count
+    # rows, carried ferries cx through the second join
+    def tag_uni(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column("w"),
+                pa.array([""] * n, type=pa.string()),
+                pa.array(np.full(n, -1, dtype=np.int64)),
+                t.column("c"),
+                pa.array(np.zeros(n, dtype=np.int64)),
+            ],
+            names=["key", "other", "cxy", "cuni", "carried"],
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        cxy = group.column("cxy").to_numpy()
+        is_uni = cxy == -1
+        cside = int(group.column("cuni").to_numpy()[is_uni].sum())
+        keep = pa.array(np.flatnonzero(~is_uni), type=pa.int64())
+        g = group.take(keep)
+        # re-key by "other" for the next stage and move the attached
+        # count into carried2; carried keeps the previous attachment
+        return pa.Table.from_arrays(
+            [
+                g.column("other"),
+                g.column("key"),
+                g.column("cxy"),
+                pa.array(np.zeros(g.num_rows, dtype=np.int64)),
+                pa.array(np.full(g.num_rows, cside, dtype=np.int64)),
+                g.column("carried"),
+            ],
+            names=["key", "other", "cxy", "cuni", "carried", "prev"],
+        )
+
+    def drop_prev(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["prev"]) if "prev" in t.column_names else t
+
+    bi_rows = bi.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("x"),
+                t.column("y"),
+                t.column("cxy"),
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ],
+            names=["key", "other", "cxy", "cuni", "carried"],
+        ),
+        batch_format="pyarrow",
+    )
+    uni_rows = uni.map_batches(tag_uni, batch_format="pyarrow")
+    # stage 1: key = x -> attach cx (lands in carried), re-keyed by y
+    staged = (
+        bi_rows.union(uni_rows)
+        .groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+        .map_batches(drop_prev, batch_format="pyarrow")
+    )
+    # stage 2: key = y -> attach cy (carried2), cx rides in carried...
+    # after attach: key=x again, carried=cy, prev=cx
+    with_both = (
+        staged.union(uni_rows)
+        .groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        # rows: key=x, other=y, cxy, carried=cy, prev=cx
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], type=pa.string()),
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.int64()),
+            ],
+            names=["gram", "cnt", "pmi_e4"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        x = batch.column("key").to_pylist()
+        y = batch.column("other").to_pylist()
+        cxy = batch.column("cxy").to_numpy().astype(np.float64)
+        cy = batch.column("carried").to_numpy().astype(np.float64)
+        cx = batch.column("prev").to_numpy().astype(np.float64)
+        pmi = np.floor(
+            10000.0 * np.log((cxy * n1 * n1) / (n2 * cx * cy))
+        ).astype(np.int64)
+        grams = np.asarray([f"{a} {b}" for a, b in zip(x, y)], dtype=object)
+        order = np.sort(np.lexsort((grams, -pmi))[:k])
+        return pa.Table.from_arrays(
+            [
+                pa.array(grams[order], type=pa.string()),
+                pa.array(cxy[order].astype(np.int64)),
+                pa.array(pmi[order]),
+            ],
+            names=["gram", "cnt", "pmi_e4"],
+        )
+
+    parts = with_both.map_batches(score, batch_format="pyarrow").take_all()
+    grams = np.asarray([r["gram"] for r in parts], dtype=object)
+    cnts = np.asarray([r["cnt"] for r in parts], dtype=np.int64)
+    pmis = np.asarray([r["pmi_e4"] for r in parts], dtype=np.int64)
+    order = np.lexsort((grams, -pmis))[:k]
+    return pa.Table.from_arrays(
+        [
+            pa.array(grams[order], type=pa.string()),
+            pa.array(cnts[order]),
+            pa.array(pmis[order]),
+        ],
+        names=["gram", "cnt", "pmi_e4"],
+    )

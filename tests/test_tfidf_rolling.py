@@ -178,3 +178,39 @@ def test_rolling_single_event_key(ray_session):
     assert got.iloc[0]["n_window"] == 1
     assert got.iloc[0]["sum_cents"] == 1234  # floor(1234.5)
     assert got.iloc[0]["max_cents"] == 1234
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_pmi_collocations_hand_case(ray_session, nparts):
+    """'hong kong' always co-occurs (high PMI); 'the cat' shares 'the'
+    with many contexts (low PMI). Values checked against the closed
+    form pmi = ln((cxy/N2) / ((cx/N1)*(cy/N1)))."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import pmi_collocations
+
+    docs = (
+        [{"doc_id": i, "text": "hong kong is big"} for i in range(5)]
+        + [{"doc_id": 10 + i, "text": "the cat sat"} for i in range(5)]
+        + [{"doc_id": 20 + i, "text": "the dog ran"} for i in range(5)]
+    )
+    t = pmi_collocations(
+        ray.data.from_items(docs).repartition(nparts), k=10, min_count=5
+    )
+    df = t.to_pandas()
+    n1 = 5 * 4 + 5 * 3 + 5 * 3  # unigram positions (docs of 4/3/3 toks)
+    n2 = 5 * 3 + 5 * 2 + 5 * 2  # bigram positions
+    pmi_hk = np.floor(10000 * np.log((5.0 * n1 * n1) / (n2 * 5.0 * 5.0)))
+    pmi_thecat = np.floor(10000 * np.log((5.0 * n1 * n1) / (n2 * 10.0 * 5.0)))
+    by = dict(zip(df["gram"], df["pmi_e4"]))
+    assert by["hong kong"] == int(pmi_hk)
+    assert by["the cat"] == int(pmi_thecat)
+    assert by["hong kong"] > by["the cat"]
+    # ranking: pmi desc
+    assert list(df["pmi_e4"]) == sorted(df["pmi_e4"], reverse=True)
+    assert (df["cnt"] >= 5).all()
