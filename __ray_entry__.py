@@ -513,6 +513,14 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_profile_columns(sf_dir: str):
+    from retriv_ray.ops.textstats import profile_columns
+
+    return profile_columns(
+        _docs(sf_dir), cols=["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def _q_pmi_collocations(sf_dir: str):
     from retriv_ray.ops.textstats import pmi_collocations
 
@@ -729,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "gopher_filter": _q_gopher_filter,
         "pmi_collocations": _q_pmi_collocations,
+        "profile_columns": _q_profile_columns,
     }
 
 
@@ -1438,4 +1447,15 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         WHERE rn <= 20 ORDER BY rn
     """
+    # per-column validation profile (ops/textstats.py profile_columns)
+    # — int/string columns only (float stringification differs)
+    out["profile_columns"] = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col, count(*)::BIGINT AS n,
+               (count(*) - count({c}))::BIGINT AS n_null,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_v,
+               CAST(max({c}) AS VARCHAR) AS max_v
+            FROM documents"""
+        for c in ("doc_id", "lang", "source", "n_chars")
+    )
     return out

@@ -846,3 +846,81 @@ def pmi_collocations(
         ],
         names=["gram", "cnt", "pmi_e4"],
     )
+
+
+def profile_columns(ds, cols: List[str]):
+    """Data-validation profile: one row per column with
+    (col, n, n_null, n_distinct, min_v, max_v) — min/max rendered as
+    strings so the output schema is type-uniform. n_distinct counts
+    non-null values (SQL ``count(DISTINCT c)`` semantics). Intended
+    for int/string columns: float stringification is
+    engine-dependent, so keep floats out of oracle-checked profiles.
+
+    Scale plan: row/null totals for ALL columns come from ONE
+    per-batch counting pass (two tiny rows per batch); per column, the
+    distinct/min/max stats reduce over a combiner-friendly
+    ``groupby(col).count()`` histogram whose input is pre-filtered to
+    non-null (Ray groupby keys must be comparable; SQL DISTINCT
+    ignores nulls anyway) — the histogram is never gathered.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    def counts(batch: pa.Table) -> pa.Table:
+        arrs = [pa.array([batch.num_rows] * len(cols), type=pa.int64())]
+        nulls = [batch.column(c).null_count for c in cols]
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(cols), type=pa.string()),
+                arrs[0],
+                pa.array(nulls, type=pa.int64()),
+            ],
+            names=["col", "n", "n_null"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = {
+        r["col"]: (int(r["sum(n)"] or 0), int(r["sum(n_null)"] or 0))
+        for r in (
+            ds.map_batches(counts, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Sum("n"), Sum("n_null"))
+            .take_all()  # bounded: one row per profiled column
+        )
+    }
+
+    out_rows = []
+    for c in cols:
+        hist = (
+            ds.map_batches(
+                lambda t, _c=c: t.filter(pc.is_valid(t.column(_c))),
+                batch_format="pyarrow",
+            )
+            .groupby(c)
+            .count()
+        )
+        agg = hist.aggregate(Count(), Min(c), Max(c))
+        n, n_null = totals[c]
+        out_rows.append(
+            {
+                "col": c,
+                "n": n,
+                "n_null": n_null,
+                "n_distinct": int(agg["count()"] or 0),
+                "min_v": "" if agg[f"min({c})"] is None else str(agg[f"min({c})"]),
+                "max_v": "" if agg[f"max({c})"] is None else str(agg[f"max({c})"]),
+            }
+        )
+    return pa.Table.from_pylist(
+        out_rows,
+        schema=pa.schema(
+            [
+                ("col", pa.string()),
+                ("n", pa.int64()),
+                ("n_null", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("min_v", pa.string()),
+                ("max_v", pa.string()),
+            ]
+        ),
+    )

@@ -214,3 +214,23 @@ def test_pmi_collocations_hand_case(ray_session, nparts):
     # ranking: pmi desc
     assert list(df["pmi_e4"]) == sorted(df["pmi_e4"], reverse=True)
     assert (df["cnt"] >= 5).all()
+
+
+def test_profile_columns_nulls_and_distinct(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.textstats import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "a": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+            "b": ["x", "y", "x", "x", None],
+        }
+    )
+    t = profile_columns(ray.data.from_pandas(df), cols=["a", "b"]).to_pandas()
+    ra = t[t["col"] == "a"].iloc[0]
+    rb = t[t["col"] == "b"].iloc[0]
+    assert (ra["n"], ra["n_null"], ra["n_distinct"]) == (5, 1, 3)
+    assert (ra["min_v"], ra["max_v"]) == ("1", "5")
+    assert (rb["n"], rb["n_null"], rb["n_distinct"]) == (5, 1, 2)
+    assert (rb["min_v"], rb["max_v"]) == ("x", "y")
