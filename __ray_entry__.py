@@ -58,6 +58,12 @@ def _events(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def _index(sf_dir: str):
     from retriv_ray.pipelines.documents import ORACLE_BM25, documents_index
 
@@ -513,6 +519,12 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_group_centroids(sf_dir: str):
+    from retriv_ray.ops.ann import group_centroids
+
+    return group_centroids(_embeddings(sf_dir))
+
+
 def _q_profile_columns(sf_dir: str):
     from retriv_ray.ops.textstats import profile_columns
 
@@ -738,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "pmi_collocations": _q_pmi_collocations,
         "profile_columns": _q_profile_columns,
+        "group_centroids": _q_group_centroids,
     }
 
 
@@ -1458,4 +1471,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents"""
         for c in ("doc_id", "lang", "source", "n_chars")
     )
+    # per-label embedding centroid numerators, quantize-then-sum so
+    # the int64 sums are order-exact (ops/ann.py group_centroids)
+    out["group_centroids"] = """
+        SELECT label::BIGINT AS label, u.i::BIGINT AS dim,
+               count(*)::BIGINT AS n,
+               sum(floor(1000000 * embedding[u.i]::DOUBLE))::BIGINT AS sum_e6
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY label, u.i ORDER BY label, dim
+    """
     return out

@@ -323,3 +323,69 @@ def cosine_topk_ivf(
         .groupby("q_vec_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def group_centroids(
+    ds,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """Per-group embedding centroid numerators, integer-exact: each
+    vector component is quantized to ``floor(scale * x)`` BEFORE
+    summation, so the per-(group, dim) sums are int64 and identical
+    under ANY summation order / partitioning (float accumulation
+    order-dependence is the classic distributed-centroid
+    irreproducibility; quantize-then-sum removes it, and the true
+    centroid is ``sum_e6 / (scale * n)`` to 1/scale precision).
+    Returns one row per (group, dim): (group, dim, n, sum_e6) — dim is
+    1-based to match SQL array subscripts.
+
+    Scale plan: the k-means-update shape — a per-batch combiner sums
+    each group's floored matrix locally (shuffle moves groups×dims
+    rows per batch, never vectors), then one tiny
+    ``groupby(group, dim)`` finishes. This is exactly the reducer an
+    IVF/k-means trainer needs, factored as a reusable oracle-checked
+    op.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        q = np.floor(np.float64(scale) * m).astype(np.int64)
+        g = batch.column(group_col).to_numpy()
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        d = q.shape[1]
+        out_g, out_dim, out_n, out_s = [], [], [], []
+        bounds = np.append(starts, len(gs))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            rows = q[order[a:b]]
+            out_g.append(np.full(d, gs[a], dtype=np.int64))
+            out_dim.append(np.arange(1, d + 1, dtype=np.int64))
+            out_n.append(np.full(d, b - a, dtype=np.int64))
+            out_s.append(rows.sum(axis=0, dtype=np.int64))
+        if not out_g:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 4,
+                names=[group_col, "dim", "n", "sum_e6"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_g)),
+                pa.array(np.concatenate(out_dim)),
+                pa.array(np.concatenate(out_n)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=[group_col, "dim", "n", "sum_e6"],
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "dim"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_e6", alias_name="sum_e6"))
+    )
+    return out

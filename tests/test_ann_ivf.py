@@ -83,3 +83,33 @@ def test_kmeans_deterministic():
     assert np.array_equal(a, b)
     # unit centroids
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_group_centroids_partition_exact(ray_session, nparts):
+    """Quantize-then-sum centroids are bit-identical across
+    partitionings (float-order independence) and match numpy."""
+    import ray.data
+
+    from retriv_ray.ops.ann import group_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 8
+    emb = rng.normal(0, 1, (n, d)).astype(np.float32)
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    rows = [
+        {"vec_id": i, "embedding": emb[i].tolist(), "label": int(labels[i])}
+        for i in range(n)
+    ]
+    got = (
+        group_centroids(ray.data.from_items(rows).repartition(nparts))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    q = np.floor(1_000_000 * emb.astype(np.float64)).astype(np.int64)
+    for lbl in range(3):
+        sub = got[got["label"] == lbl]
+        want = q[labels == lbl].sum(axis=0)
+        assert (sub["sum_e6"].to_numpy() == want).all()
+        assert (sub["n"] == (labels == lbl).sum()).all()
