@@ -519,6 +519,18 @@ def _q_rolling_events(sf_dir: str):
     return rolling_event_stats(_events(sf_dir), window_rows=5)
 
 
+def _q_funnel(sf_dir: str):
+    from retriv_ray.ops.windows import funnel_stages
+
+    return funnel_stages(_events(sf_dir))
+
+
+def _q_rollup_counts(sf_dir: str):
+    from retriv_ray.ops.windows import rollup_counts
+
+    return rollup_counts(_docs(sf_dir), keys=("lang", "source"))
+
+
 def _q_group_centroids(sf_dir: str):
     from retriv_ray.ops.ann import group_centroids
 
@@ -751,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "profile_columns": _q_profile_columns,
         "group_centroids": _q_group_centroids,
+        "rollup_counts": _q_rollup_counts,
+        "funnel_stages": _q_funnel,
     }
 
 
@@ -1480,5 +1494,36 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS u(i)
         GROUP BY label, u.i ORDER BY label, dim
+    """
+    # GROUP BY ROLLUP parity with '<all>' sentinels for rolled-up
+    # positions (ops/windows.py rollup_counts)
+    out["rollup_counts"] = """
+        SELECT coalesce(lang, '<all>') AS lang,
+               coalesce(source, '<all>') AS source,
+               count(*)::BIGINT AS n,
+               sum(n_chars)::BIGINT AS value_sum
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+        ORDER BY lang, source
+    """
+    # greedy-min funnel (ops/windows.py funnel_stages): stage k
+    # anchors at its earliest event strictly after stage k-1's anchor
+    out["funnel_stages"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               ((s1.t IS NOT NULL)::INT + (s2.t IS NOT NULL)::INT
+                + (s3.t IS NOT NULL)::INT)::BIGINT AS stages_completed
+        FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+               LEFT JOIN s2 ON u.user_id = s2.user_id
+               LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id
     """
     return out

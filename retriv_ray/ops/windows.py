@@ -274,3 +274,123 @@ def rolling_event_stats(
         )
 
     return ds.groupby(key_col).map_groups(roll, batch_format="pyarrow")
+
+
+def rollup_counts(
+    ds,
+    keys=("lang", "source"),
+    value_col: str = "n_chars",
+):
+    """SQL ``GROUP BY ROLLUP(k1, k2, ...)`` parity: counts and integer
+    value sums at every rollup level — (k1, k2, ...), (k1, NULL, ...),
+    ..., grand total — with NULL (empty-string sentinel ``'<all>'``)
+    marking rolled-up positions so the output stays string-typed and
+    hashable. Returns one row per rollup group:
+    (k1, ..., kn, n, value_sum).
+
+    Scale plan: each batch emits its local counts for ALL levels in
+    one pass (a batch with g distinct full-key groups emits at most
+    g * (levels+1) partial rows — the combiner), then ONE
+    groupby(all keys) finishes. No level needs its own shuffle; the
+    rolled-up levels are tiny and ride along.
+    """
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    ALL = "<all>"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        vals = batch.column(value_col).to_numpy()
+        cols = [
+            [("" if v is None else str(v)) for v in batch.column(k).to_pylist()]
+            for k in keys
+        ]
+        agg: collections.defaultdict = collections.defaultdict(
+            lambda: [0, 0]
+        )
+        n = batch.num_rows
+        for i in range(n):
+            full = tuple(c[i] for c in cols)
+            v = int(vals[i])
+            for lvl in range(len(keys) + 1):
+                key = full[: len(keys) - lvl] + (ALL,) * lvl
+                a = agg[key]
+                a[0] += 1
+                a[1] += v
+        ks = list(agg.keys())
+        arrays = [
+            pa.array([k[j] for k in ks], type=pa.string())
+            for j in range(len(keys))
+        ]
+        arrays.append(pa.array([agg[k][0] for k in ks], type=pa.int64()))
+        arrays.append(pa.array([agg[k][1] for k in ks], type=pa.int64()))
+        return pa.Table.from_arrays(arrays, names=keys + ["n", "value_sum"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+    )
+    return out
+
+
+def funnel_stages(
+    ds,
+    stages=("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Classic funnel analysis: per key, how many of the ordered
+    ``stages`` completed under greedy-min semantics — stage 1 anchors
+    at its earliest event; stage k at its earliest event STRICTLY
+    after stage k-1's anchor. Returns (key, stages_completed) for
+    every key that has any event (0 = has events, none of stage 1).
+    Timestamps compare in microseconds; strict inequality makes the
+    result deterministic under equal timestamps on both engines.
+
+    Scale plan: rows project to (key, ts_us, stage_idx) at the read
+    (non-stage events drop to a sentinel and still count the key);
+    ONE key-hash shuffle, then a vectorized per-group pass (one
+    masked argmin per stage). Hot keys: bounded by events-per-key,
+    same stance as sessionize.
+    """
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        si = np.asarray(
+            [stage_idx.get(v, -1) for v in batch.column(type_col).to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.Table.from_arrays(
+            [batch.column(key_col), pa.array(ts), pa.array(si)],
+            names=[key_col, "ts_us", "si"],
+        )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group.column("ts_us").to_numpy()
+        si = group.column("si").to_numpy()
+        done = 0
+        prev = None
+        for k in range(len(stages)):
+            mask = si == k if prev is None else (si == k) & (ts > prev)
+            if not mask.any():
+                break
+            prev = ts[mask].min()
+            done += 1
+        return pa.Table.from_arrays(
+            [
+                group.column(key_col).slice(0, 1),
+                pa.array([done], type=pa.int64()),
+            ],
+            names=[key_col, "stages_completed"],
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    )

@@ -140,3 +140,77 @@ def test_hopping_window_covers_and_sums(ray_session):
         columns=["event_type", "window_start_s", "n_events", "value_cents"],
     )
     pd.testing.assert_frame_equal(df, expect, check_dtype=False)
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_rollup_counts_matches_sql_rollup(ray_session, nparts):
+    import duckdb
+    import ray.data
+
+    from retriv_ray.ops.windows import rollup_counts
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["en", "de", "fr"], 100),
+            "source": rng.choice(["web", "pdf"], 100),
+            "n_chars": rng.integers(1, 1000, 100).astype(np.int64),
+        }
+    )
+    got = (
+        rollup_counts(ray.data.from_pandas(df).repartition(nparts))
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        """
+        SELECT coalesce(lang, '<all>') AS lang,
+               coalesce(source, '<all>') AS source,
+               count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS value_sum
+        FROM documents GROUP BY ROLLUP(lang, source)
+        ORDER BY lang, source
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # grand total present exactly once
+    assert (
+        (got["lang"] == "<all>") & (got["source"] == "<all>")
+    ).sum() == 1
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_funnel_stages_greedy_min(ray_session, nparts):
+    """Hand funnel: user 1 completes all 3 in order; user 2 clicks
+    BEFORE viewing (click must not count); user 3 views only; user 4
+    has only unrelated events (0 stages but present)."""
+    import ray.data
+
+    from retriv_ray.ops.windows import funnel_stages
+
+    T = pd.Timestamp
+    rows = [
+        (1, "view", T("2025-01-01 00:00")),
+        (1, "click", T("2025-01-01 01:00")),
+        (1, "purchase", T("2025-01-01 02:00")),
+        (2, "click", T("2025-01-01 00:00")),
+        (2, "view", T("2025-01-01 01:00")),
+        (3, "view", T("2025-01-01 00:00")),
+        (4, "error", T("2025-01-01 00:00")),
+        # user 5: click at the SAME instant as view -> strict > fails
+        (5, "view", T("2025-01-01 00:00")),
+        (5, "click", T("2025-01-01 00:00")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (
+        funnel_stages(ray.data.from_pandas(df).repartition(nparts))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got["user_id"], got["stages_completed"])) == {
+        1: 3, 2: 1, 3: 1, 4: 0, 5: 1,
+    }
