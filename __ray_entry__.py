@@ -537,6 +537,35 @@ def _q_group_centroids(sf_dir: str):
     return group_centroids(_embeddings(sf_dir))
 
 
+def _q_star_revenue(sf_dir: str):
+    import ray.data
+
+    from retriv_ray.ops.relational import star_revenue_topk
+
+    return star_revenue_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet")),
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet")),
+        segment="BUILDING",
+        order_before="1998-01-01",
+        ship_after="1998-01-01",
+        k=10,
+    )
+
+
+def _q_orders_by_nation(sf_dir: str):
+    import ray.data
+
+    from retriv_ray.ops.relational import orders_by_nation
+
+    return orders_by_nation(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet")),
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet")),
+        ray.data.read_parquet(os.path.join(sf_dir, "nation.parquet")),
+        ray.data.read_parquet(os.path.join(sf_dir, "region.parquet")),
+    )
+
+
 def _q_profile_columns(sf_dir: str):
     from retriv_ray.ops.textstats import profile_columns
 
@@ -763,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "profile_columns": _q_profile_columns,
         "group_centroids": _q_group_centroids,
+        "star_revenue_topk": _q_star_revenue,
+        "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
         "funnel_stages": _q_funnel,
     }
@@ -1505,6 +1536,38 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY ROLLUP(lang, source)
         ORDER BY lang, source
+    """
+    # TPC-H-Q3-shaped star join (ops/relational.py star_revenue_topk):
+    # integer-cents revenue so the sum is order-exact under any
+    # partitioning; params mirror _q_star_revenue
+    out["star_revenue_topk"] = """
+        WITH rev AS (
+          SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                 sum(round(l.l_extendedprice * 100)::BIGINT
+                     * (100 - round(l.l_discount * 100)::BIGINT))::BIGINT
+                   AS revenue_cents
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+        SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents
+        FROM rev ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+    """
+    # snowflake rollup (ops/relational.py orders_by_nation): the
+    # region<-nation<-customer chain collapses into one broadcast
+    out["orders_by_nation"] = """
+        SELECT r.r_name AS r_name, n.n_name AS n_name,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r_name, n_name
     """
     # greedy-min funnel (ops/windows.py funnel_stages): stage k
     # anchors at its earliest event strictly after stage k-1's anchor

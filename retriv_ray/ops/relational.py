@@ -1,0 +1,331 @@
+"""Relational join primitives for the analytics side of the engine.
+
+Ray Data 2.49 ships a shuffle hash join (``Dataset.join``) — correct
+for fact-x-fact joins, but an all-to-all exchange of BOTH sides. The
+classic warehouse pattern for star/snowflake schemas is different:
+dimension tables are orders of magnitude smaller than fact tables, so
+the dimension side should be built ONCE, broadcast via the object
+store, and probed map-side inside every fact batch — zero shuffle,
+zero fact-row movement.
+
+- :func:`broadcast_join` — map-side hash join of a Dataset against a
+  small build side (``ray.put`` once, zero-copy ``ray.get`` per task,
+  Acero ``pa.Table.join`` per batch — vectorized C++, no Python row
+  loop). Supports inner / left outer / left semi / left anti. A loud
+  row-count guard refuses build sides past ``broadcast_limit`` and
+  points at the shuffle join instead of silently OOM-ing workers.
+- :func:`star_revenue_topk` — the composed TPC-H-Q3-shaped pipeline:
+  broadcast semi-join of the mid fact against a filtered dimension,
+  shuffle join of the big fact against the reduced mid fact, exact
+  integer-cents revenue aggregation, tiny top-k. The shape a 100-TB
+  star query should compile to: the only all-to-all is the
+  fact-x-fact join, and it runs AFTER both sides were pruned.
+
+Money math: TPC-H prices/discounts have exactly 2 decimals, so
+``revenue = extendedprice * (1 - discount)`` is computed as
+``round(price*100) * (100 - round(discount*100))`` in int64 —
+order-independent under any partitioning, and the DuckDB oracle can
+pin bit-equal sums with the same expression.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _as_small_table(small, columns: Optional[Sequence[str]], limit: int) -> pa.Table:
+    """Normalize the build side to one combined Arrow table, enforcing
+    the broadcast size guard BEFORE gathering blocks to the driver."""
+    import ray
+
+    if isinstance(small, pa.Table):
+        t = small
+    elif hasattr(small, "to_arrow_refs"):  # ray.data.Dataset
+        if columns is not None:
+            small = small.select_columns(list(columns))
+        small = small.materialize()  # one execution: count + gather
+        n = small.count()
+        if n > limit:
+            raise ValueError(
+                f"broadcast_join build side has {n} rows > broadcast_limit="
+                f"{limit}; a side this large must go through the shuffle "
+                "hash join (Dataset.join) instead of a driver broadcast"
+            )
+        parts = ray.get(list(small.to_arrow_refs()))
+        live = [p for p in parts if p.num_rows]
+        if live:
+            t = pa.concat_tables(live, promote_options="default")
+        elif parts:
+            t = parts[0]
+        else:
+            raise ValueError("broadcast_join build side is empty (no blocks)")
+    else:  # pandas
+        t = pa.Table.from_pandas(small, preserve_index=False)
+    if columns is not None:
+        t = t.select([c for c in columns if c in t.column_names])
+    if t.num_rows > limit:
+        raise ValueError(
+            f"broadcast_join build side has {t.num_rows} rows > "
+            f"broadcast_limit={limit}; use the shuffle hash join"
+        )
+    return t.combine_chunks()
+
+
+def broadcast_join(
+    ds,
+    small,
+    on: Union[str, Sequence[str]],
+    right_on: Union[str, Sequence[str], None] = None,
+    how: str = "inner",
+    right_columns: Optional[Sequence[str]] = None,
+    broadcast_limit: int = 5_000_000,
+):
+    """Map-side hash join of ``ds`` (the probe / fact side, streamed)
+    against ``small`` (the build / dimension side, broadcast whole).
+
+    ``small`` may be a Ray Dataset, a pyarrow Table, or a pandas
+    DataFrame; it is projected to ``right_columns`` (always including
+    the key), shipped to the object store ONCE via ``ray.put``, and
+    probed zero-copy inside every batch with Acero's hash join
+    (``pa.Table.join``) — the fact side never shuffles and never
+    leaves its blocks. ``how`` is one of inner / left / semi / anti
+    (semi and anti return probe-side columns only).
+
+    Scale contract: build side must fit in one object-store object on
+    every node (the ``broadcast_limit`` guard, default 5M rows). Rows
+    within an output block may be reordered relative to the input
+    block (hash-join output order); downstream sorts/aggregations in
+    this engine never rely on block-internal order.
+    """
+    import ray
+
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    join_type = _JOIN_TYPES[how]
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    if right_columns is not None:
+        right_columns = list(dict.fromkeys(list(rkeys) + list(right_columns)))
+    small_t = _as_small_table(small, right_columns, broadcast_limit)
+    overlap = (set(small_t.column_names) - set(rkeys)) & set(ds.schema().names)
+    if overlap and how in ("inner", "left"):
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; "
+            "project one side (right_columns=...) or rename first"
+        )
+    small_ref = ray.put(small_t)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        build = ray.get(small_ref)
+        return batch.join(
+            build,
+            keys=keys,
+            right_keys=rkeys,
+            join_type=join_type,
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """2-decimal currency column -> exact int64 cents (round-half-away
+    matches DuckDB's ``round()``)."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def star_revenue_topk(
+    lineitem,
+    orders,
+    customer,
+    segment: str = "BUILDING",
+    order_before: str = "1995-03-15",
+    ship_after: str = "1995-03-15",
+    k: int = 10,
+):
+    """TPC-H Q3 shape over the test star schema: top-``k`` open orders
+    of one market segment by exact integer revenue.
+
+    Pipeline (the 100-TB plan, stage by stage):
+    1. ``customer`` filtered to ``segment`` and projected to its key —
+       a dimension: broadcast.
+    2. ``orders`` filtered by date map-side, then broadcast SEMI join
+       against the customer keys — no orders row moves, losers drop
+       before the expensive join.
+    3. ``lineitem`` filtered by ship date and projected to
+       (l_orderkey, revenue_cents) — 16 bytes/row into the join.
+    4. the one all-to-all: shuffle hash join of the pruned lineitem
+       against the pruned orders on orderkey (both sides are now the
+       small fraction that survives their filters).
+    5. exact int64 groupby-sum, then a k-row sort on the aggregate
+       (group count is bounded by surviving orders).
+
+    Returns (l_orderkey, o_orderdate, o_orderpriority,
+    revenue_cents) sorted by (-revenue_cents, l_orderkey), k rows.
+    """
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    cutoff_order = np.datetime64(order_before, "us").astype("int64")
+    cutoff_ship = np.datetime64(ship_after, "us").astype("int64")
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_mktsegment"), pa.scalar(segment))
+        return batch.filter(keep).select(["c_custkey"])
+
+    cust_keys = customer.select_columns(
+        ["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_filter, batch_format="pyarrow")
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        # carry the date as int64 epoch-micros through join/sort: Ray's
+        # join/aggregate round-trips timestamps through numpy and
+        # degrades timestamp[us] -> [s]; int64 survives bit-exact
+        ts = pc.cast(batch.column("o_orderdate"), pa.int64())
+        batch = batch.set_column(
+            batch.schema.get_field_index("o_orderdate"), "o_orderdate", ts
+        )
+        return batch.filter(pc.less(ts, pa.scalar(cutoff_order)))
+
+    orders_pruned = broadcast_join(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(order_filter, batch_format="pyarrow"),
+        cust_keys,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="semi",
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def line_project(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("l_shipdate"), pa.int64())
+        keep = batch.filter(pc.greater(ts, pa.scalar(cutoff_ship)))
+        price_c = _cents(keep.column("l_extendedprice"))
+        disc_c = _cents(keep.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [keep.column("l_orderkey"), rev],
+            names=["l_orderkey", "revenue_cents"],
+        )
+
+    line_pruned = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(line_project, batch_format="pyarrow")
+
+    joined = line_pruned.join(
+        orders_pruned.repartition(max(4, n_cpus)),
+        join_type="inner",
+        num_partitions=max(4, n_cpus),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def to_sortable(batch: pa.Table) -> pa.Table:
+        # sort key as a column: Ray's sort takes columns, not exprs
+        return batch.append_column(
+            "neg_rev", pc.negate(batch.column("revenue_cents"))
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns(["neg_rev"])
+        i = batch.schema.get_field_index("o_orderdate")
+        return batch.set_column(
+            i,
+            "o_orderdate",
+            pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+        )
+
+    top = (
+        agg.map_batches(to_sortable, batch_format="pyarrow")
+        .sort(["neg_rev", "l_orderkey"])
+        .limit(k)
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+    return top
+
+
+def orders_by_nation(orders, customer, nation, region):
+    """Snowflake rollup: order count + exact total cents per
+    (region name, nation name). The dimension chain
+    region <- nation <- customer collapses into ONE broadcast lookup
+    (customer is the largest dimension; nation/region join into it on
+    the driver side of the broadcast, at dimension size), then the
+    fact table aggregates map-side combiner-first — the only shuffle
+    is the final tiny groupby over (r_name, n_name) partials.
+    """
+    import ray
+
+    dim = broadcast_join(
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        broadcast_join(
+            nation,
+            region,
+            on="n_regionkey",
+            right_on="r_regionkey",
+            how="inner",
+            right_columns=["r_name"],
+        ),
+        on="c_nationkey",
+        right_on="n_nationkey",
+        right_columns=["n_name", "r_name"],
+        how="inner",
+    ).select_columns(["c_custkey", "n_name", "r_name"])
+
+    fact = broadcast_join(
+        orders.select_columns(["o_custkey", "o_totalprice"]),
+        dim,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="inner",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice"))
+        t = pa.Table.from_arrays(
+            [batch.column("r_name"), batch.column("n_name"), cents],
+            names=["r_name", "n_name", "cents"],
+        )
+        g = pa.TableGroupBy(t, ["r_name", "n_name"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("r_name"),
+                g.column("n_name"),
+                pc.cast(g.column("cents_count"), pa.int64()),
+                g.column("cents_sum"),
+            ],
+            names=["r_name", "n_name", "n_orders", "total_cents"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        fact.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )

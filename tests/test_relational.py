@@ -1,0 +1,249 @@
+"""Relational broadcast-join tests: broadcast_join semantics (inner /
+left / semi / anti, key renames, guards) against a DuckDB oracle, plus
+the composed star pipelines over synthetic star-schema tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from retriv_ray.ops.relational import (
+    broadcast_join,
+    orders_by_nation,
+    star_revenue_topk,
+)
+
+
+def _fact():
+    rng = np.random.default_rng(7)
+    n = 2000
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, size=n),  # some keys miss the dim
+            "v": rng.integers(0, 1000, size=n),
+        }
+    )
+
+
+def _dim():
+    return pd.DataFrame(
+        {
+            "dk": np.arange(0, 50),
+            "name": [f"d{i}" for i in range(50)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("fact", _fact())
+    c.register("dim", _dim())
+    return c
+
+
+def _sorted(df):
+    cols = sorted(df.columns)
+    return (
+        df[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in cols if df[c].dtype.kind == "i"})
+    )
+
+
+@pytest.mark.parametrize(
+    "how,sql",
+    [
+        ("inner", "SELECT f.k, f.v, d.name FROM fact f JOIN dim d ON f.k = d.dk"),
+        (
+            "left",
+            "SELECT f.k, f.v, d.name FROM fact f LEFT JOIN dim d ON f.k = d.dk",
+        ),
+        (
+            "semi",
+            "SELECT f.k, f.v FROM fact f WHERE EXISTS "
+            "(SELECT 1 FROM dim d WHERE d.dk = f.k)",
+        ),
+        (
+            "anti",
+            "SELECT f.k, f.v FROM fact f WHERE NOT EXISTS "
+            "(SELECT 1 FROM dim d WHERE d.dk = f.k)",
+        ),
+    ],
+)
+def test_broadcast_join_modes(ray_session, con, how, sql):
+    import ray.data
+
+    ds = ray.data.from_pandas(_fact()).repartition(5)
+    out = broadcast_join(
+        ds, _dim(), on="k", right_on="dk", how=how, right_columns=["name"]
+    ).to_pandas()
+    want = con.execute(sql).df()
+    got, want = _sorted(out), _sorted(want)
+    if "name" in want.columns:
+        want["name"] = want["name"].astype(object).where(want["name"].notna(), None)
+        got["name"] = got["name"].astype(object).where(got["name"].notna(), None)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_broadcast_join_accepts_dataset_and_table(ray_session):
+    import ray.data
+
+    dim_ds = ray.data.from_pandas(_dim()).repartition(3)
+    ds = ray.data.from_pandas(_fact()).repartition(4)
+    a = broadcast_join(
+        ds, dim_ds, on="k", right_on="dk", how="inner", right_columns=["name"]
+    ).to_pandas()
+    b = broadcast_join(
+        ds,
+        pa.Table.from_pandas(_dim()),
+        on="k",
+        right_on="dk",
+        how="inner",
+        right_columns=["name"],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
+
+
+def test_broadcast_limit_guard(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(_fact())
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        broadcast_join(ds, _dim(), on="k", right_on="dk", broadcast_limit=10)
+    dim_ds = ray.data.from_pandas(_dim())
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        broadcast_join(ds, dim_ds, on="k", right_on="dk", broadcast_limit=10)
+
+
+def test_overlapping_nonkey_columns_rejected(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(_fact())
+    clash = _dim().rename(columns={"name": "v"})  # v exists on both sides
+    with pytest.raises(ValueError, match="both sides"):
+        broadcast_join(ds, clash, on="k", right_on="dk", how="inner")
+    # semi/anti drop right columns, so the clash is fine there
+    out = broadcast_join(ds, clash, on="k", right_on="dk", how="semi").to_pandas()
+    assert set(out.columns) == {"k", "v"}
+
+
+def _star_tables():
+    rng = np.random.default_rng(13)
+    n_cust, n_ord, n_line = 200, 1200, 5000
+    base = np.datetime64("1995-01-01", "us")
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_nationkey": (np.arange(n_cust) % 10).astype(np.int32),
+            "c_mktsegment": rng.choice(
+                ["BUILDING", "MACHINERY", "AUTOMOBILE"], size=n_cust
+            ),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, size=n_ord),
+            "o_totalprice": np.round(rng.uniform(10, 5000, size=n_ord), 2),
+            "o_orderdate": base
+            + rng.integers(0, 4 * 365, size=n_ord).astype("timedelta64[D]").astype(
+                "timedelta64[us]"
+            ),
+            "o_orderpriority": rng.choice(["1-URGENT", "5-LOW"], size=n_ord),
+        }
+    )
+    line = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_ord, size=n_line),
+            "l_extendedprice": np.round(rng.uniform(100, 90000, size=n_line), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, size=n_line), 2),
+            "l_shipdate": base
+            + rng.integers(0, 4 * 365, size=n_line).astype("timedelta64[D]").astype(
+                "timedelta64[us]"
+            ),
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(10, dtype=np.int32),
+            "n_name": [f"N{i}" for i in range(10)],
+            "n_regionkey": (np.arange(10) % 3).astype(np.int32),
+        }
+    )
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(3, dtype=np.int32), "r_name": ["A", "B", "C"]}
+    )
+    return cust, orders, line, nation, region
+
+
+def test_star_revenue_topk_matches_duckdb(ray_session):
+    import ray.data
+
+    cust, orders, line, nation, region = _star_tables()
+    got = star_revenue_topk(
+        ray.data.from_pandas(line).repartition(6),
+        ray.data.from_pandas(orders).repartition(4),
+        ray.data.from_pandas(cust).repartition(2),
+        segment="BUILDING",
+        order_before="1997-01-01",
+        ship_after="1996-06-15",
+        k=10,
+    ).to_pandas()
+    c = duckdb.connect()
+    c.register("lineitem", line)
+    c.register("orders", orders)
+    c.register("customer", cust)
+    want = c.execute(
+        """
+        WITH rev AS (
+          SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                 sum(round(l.l_extendedprice*100)::BIGINT
+                     * (100 - round(l.l_discount*100)::BIGINT))::BIGINT AS revenue_cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            AND l.l_shipdate > TIMESTAMP '1996-06-15'
+          GROUP BY ALL)
+        SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents
+        FROM rev ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """
+    ).df()
+    assert str(got["o_orderdate"].dtype) == "datetime64[us]"
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_orders_by_nation_matches_duckdb(ray_session):
+    import ray.data
+
+    cust, orders, _line, nation, region = _star_tables()
+    got = orders_by_nation(
+        ray.data.from_pandas(orders).repartition(5),
+        ray.data.from_pandas(cust).repartition(2),
+        ray.data.from_pandas(nation),
+        ray.data.from_pandas(region),
+    ).to_pandas()
+    c = duckdb.connect()
+    c.register("orders", orders)
+    c.register("customer", cust)
+    c.register("nation", nation)
+    c.register("region", region)
+    want = c.execute(
+        """
+        SELECT r.r_name AS r_name, n.n_name AS n_name,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o.o_totalprice*100)::BIGINT)::BIGINT AS total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name ORDER BY r_name, n_name
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(want), check_dtype=False
+    )
