@@ -531,6 +531,24 @@ def _q_rollup_counts(sf_dir: str):
     return rollup_counts(_docs(sf_dir), keys=("lang", "source"))
 
 
+def _q_retention_cohorts(sf_dir: str):
+    from retriv_ray.ops.windows import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir))
+
+
+def _q_rolling_time_events(sf_dir: str):
+    from retriv_ray.ops.windows import rolling_time_stats
+
+    return rolling_time_stats(_events(sf_dir), window_seconds=3600)
+
+
+def _q_distinct_users_daily(sf_dir: str):
+    from retriv_ray.ops.windows import distinct_users_daily
+
+    return distinct_users_daily(_events(sf_dir))
+
+
 def _q_group_centroids(sf_dir: str):
     from retriv_ray.ops.ann import group_centroids
 
@@ -796,6 +814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
         "funnel_stages": _q_funnel,
+        "retention_cohorts": _q_retention_cohorts,
+        "rolling_time_events": _q_rolling_time_events,
+        "distinct_users_daily": _q_distinct_users_daily,
     }
 
 
@@ -1588,5 +1609,39 @@ def oracle_sql() -> dict[str, str]:
                LEFT JOIN s2 ON u.user_id = s2.user_id
                LEFT JOIN s3 ON u.user_id = s3.user_id
         ORDER BY u.user_id
+    """
+    # cohort retention matrix (ops/windows.py retention_cohorts):
+    # all-integer (epoch-day seconds, day offsets, user counts)
+    out["retention_cohorts"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch(date_trunc('day', ts))::BIGINT AS day_s
+                   FROM events),
+        f AS (SELECT user_id, min(day_s) AS first_s FROM d GROUP BY user_id)
+        SELECT f.first_s AS cohort_day_s,
+               (d.day_s - f.first_s) // 86400 AS offset_days,
+               count(*)::BIGINT AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # trailing-1h time window (ops/windows.py rolling_time_stats):
+    # RANGE peer-group semantics, floor-cents integers
+    out["rolling_time_events"] = """
+        WITH e AS (SELECT event_id, user_id, ts,
+                          floor(value * 100)::BIGINT AS cents FROM events)
+        SELECT event_id, user_id,
+               count(*) OVER w::BIGINT AS n_window,
+               sum(cents) OVER w::BIGINT AS sum_cents
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
+    """
+    # exact grouped COUNT(DISTINCT) (ops/windows.py
+    # distinct_users_daily): combiner-deduped triples, one shuffle
+    out["distinct_users_daily"] = """
+        SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
     return out

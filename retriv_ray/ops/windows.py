@@ -394,3 +394,164 @@ def funnel_stages(
         .groupby(key_col)
         .map_groups(per_key, batch_format="pyarrow")
     )
+
+
+def retention_cohorts(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Cohort retention matrix: cohort = a user's first active DAY;
+    for every (cohort_day, day offset since cohort) count the users
+    active on that offset day. Day boundaries are UTC midnight;
+    output is (cohort_day_s: int64 epoch seconds, offset_days: int64,
+    n_users: int64) — all-integer, so the SQL-oracle hash covers
+    values.
+
+    Scale plan: a per-batch combiner dedupes to distinct
+    (user, day) pairs BEFORE the shuffle (an active user emits one
+    row per day per batch, not one per event); ONE user-hash shuffle
+    computes each user's first day and their distinct offset rows
+    group-locally; the final groupby moves one row per (user,
+    active-day) — bounded by user-days, orders of magnitude below
+    event count at any scale. Nothing is gathered on the driver.
+    """
+
+    def distinct_days(batch: pa.Table) -> pa.Table:
+        day_s = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column(ts_col), unit="day"), pa.int64()),
+            pa.scalar(1_000_000, type=pa.int64()),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column(key_col), day_s], names=[key_col, "day_s"]
+        )
+        return pa.TableGroupBy(t, [key_col, "day_s"]).aggregate([])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        days = np.unique(group.column("day_s").to_numpy())
+        first = days[0]
+        n = len(days)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(n, first, dtype=np.int64)),
+                pa.array((days - first) // 86400),
+            ],
+            names=["cohort_day_s", "offset_days"],
+        )
+
+    out = (
+        ds.map_batches(distinct_days, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day_s", "offset_days"])
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("cohort_day_s"),
+                batch.column("offset_days"),
+                pc.cast(batch.column("count()"), pa.int64()),
+            ],
+            names=["cohort_day_s", "offset_days", "n_users"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_time_stats(
+    ds,
+    window_seconds: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+):
+    """Per-key TIME-window rolling aggregates — SQL's ``... OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL w PRECEDING
+    AND CURRENT ROW)``. For each event: count and integer-cents sum
+    (``floor(value * 100)``) over the key's events with
+    ``ts in [cur - w, cur]`` inclusive — including ts-peers, exactly
+    the SQL RANGE peer-group rule. Returns (event_id, key, n_window,
+    sum_cents).
+
+    Scale plan: one key-hash shuffle; inside each group the variable
+    window bounds are two vectorized ``searchsorted`` calls over the
+    sorted timestamp array and the sum is a prefix-sum difference —
+    O(rows log rows) per group, no per-row Python. Hot keys: the
+    sessionize-style time-bucket split with a ``window_seconds``
+    overlap carried between buckets reproduces the result exactly
+    (a time window only looks ``window_seconds`` back).
+    """
+    w_us = int(window_seconds) * 1_000_000
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        cents = np.floor(
+            group.column(value_col).to_numpy().astype(np.float64) * 100.0
+        ).astype(np.int64)[order]
+        lo = np.searchsorted(ts, ts - w_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pa.Table.from_arrays(
+            [
+                group.column(id_col).take(order),
+                group.column(key_col).take(order),
+                pa.array((hi - lo).astype(np.int64)),
+                pa.array(csum[hi] - csum[lo]),
+            ],
+            names=[id_col, key_col, "n_window", "sum_cents"],
+        )
+
+    return ds.groupby(key_col).map_groups(roll, batch_format="pyarrow")
+
+
+def distinct_users_daily(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Exact grouped COUNT(DISTINCT): distinct users per (key, day).
+    Returns (key, day_s: int64 epoch seconds, n_users: int64).
+
+    Scale plan: the per-batch combiner dedupes (key, day, user)
+    triples before the shuffle, so repeat activity inside a batch
+    never ships; ONE (key, day)-hash shuffle, then ``np.unique``
+    inside the group. Exact at any scale without a distinct-count
+    sketch; group size is bounded by daily active users per key —
+    for a key×day hot enough to overflow a worker, pre-bucket users
+    into ``hash(user) % B`` sub-groups and sum the per-bucket
+    distinct counts (disjoint buckets make the sum exact).
+    """
+
+    def distinct_triples(batch: pa.Table) -> pa.Table:
+        day_s = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column(ts_col), unit="day"), pa.int64()),
+            pa.scalar(1_000_000, type=pa.int64()),
+        )
+        t = pa.Table.from_arrays(
+            [batch.column(key_col), day_s, batch.column(user_col)],
+            names=[key_col, "day_s", user_col],
+        )
+        return pa.TableGroupBy(t, [key_col, "day_s", user_col]).aggregate([])
+
+    def per_group(group: pa.Table) -> pa.Table:
+        n = len(np.unique(group.column(user_col).to_numpy()))
+        return pa.Table.from_arrays(
+            [
+                group.column(key_col).slice(0, 1),
+                group.column("day_s").slice(0, 1),
+                pa.array([n], type=pa.int64()),
+            ],
+            names=[key_col, "day_s", "n_users"],
+        )
+
+    return (
+        ds.map_batches(distinct_triples, batch_format="pyarrow")
+        .groupby([key_col, "day_s"])
+        .map_groups(per_group, batch_format="pyarrow")
+    )

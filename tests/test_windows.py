@@ -214,3 +214,122 @@ def test_funnel_stages_greedy_min(ray_session, nparts):
     assert dict(zip(got["user_id"], got["stages_completed"])) == {
         1: 3, 2: 1, 3: 1, 4: 0, 5: 1,
     }
+
+
+def _mk_value_events(n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2025-03-01T00:00:00", "us")
+    ts = base + np.cumsum(rng.integers(1, 7200, n)).astype("timedelta64[s]")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(1, 12, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "purchase"], n),
+            "ts": ts.astype("datetime64[us]"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    # ts-peer pairs inside one user exercise the RANGE peer-group rule
+    df.loc[1, ["user_id", "ts"]] = [df.loc[0, "user_id"], df.loc[0, "ts"]]
+    return df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_retention_cohorts_matches_sql(ray_session, nparts):
+    import ray.data
+
+    from retriv_ray.ops.windows import retention_cohorts
+
+    df = _mk_value_events()
+    got = (
+        retention_cohorts(ray.data.from_pandas(df).repartition(nparts))
+        .to_pandas()
+        .sort_values(["cohort_day_s", "offset_days"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch(date_trunc('day', ts))::BIGINT AS day_s
+                   FROM events),
+        f AS (SELECT user_id, min(day_s) AS first_s FROM d GROUP BY user_id)
+        SELECT f.first_s AS cohort_day_s,
+               (d.day_s - f.first_s) // 86400 AS offset_days,
+               count(*)::BIGINT AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_rolling_time_stats_matches_sql_range_window(ray_session, nparts):
+    import ray.data
+
+    from retriv_ray.ops.windows import rolling_time_stats
+
+    df = _mk_value_events()
+    got = (
+        rolling_time_stats(
+            ray.data.from_pandas(df).repartition(nparts), window_seconds=3600
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """
+        WITH e AS (SELECT event_id, user_id, ts,
+                          floor(value * 100)::BIGINT AS cents FROM events)
+        SELECT event_id, user_id,
+               count(*) OVER w::BIGINT AS n_window,
+               sum(cents) OVER w::BIGINT AS sum_cents
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "n_window", "sum_cents"]].astype("int64"),
+        want.astype("int64"),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_distinct_users_daily_matches_sql(ray_session, nparts):
+    import ray.data
+
+    from retriv_ray.ops.windows import distinct_users_daily
+
+    df = _mk_value_events()
+    got = (
+        distinct_users_daily(ray.data.from_pandas(df).repartition(nparts))
+        .to_pandas()
+        .sort_values(["event_type", "day_s"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """
+        SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    pd.testing.assert_frame_equal(
+        got[["day_s", "n_users"]].astype("int64"),
+        want[["day_s", "n_users"]].astype("int64"),
+        check_dtype=False,
+    )
