@@ -531,6 +531,36 @@ def _q_rollup_counts(sf_dir: str):
     return rollup_counts(_docs(sf_dir), keys=("lang", "source"))
 
 
+def _q_quantile_filter(sf_dir: str):
+    from retriv_ray.ops.textstats import quantile_filter
+
+    return quantile_filter(_docs(sf_dir), q_lo=0.125, q_hi=0.875).select_columns(
+        ["doc_id", "n_chars", "lang"]
+    )
+
+
+def _q_customers_without_orders(sf_dir: str):
+    # anti join restricted to URGENT orders so the result is non-empty
+    # on the synthetic tables (every customer has SOME order)
+    import ray.data
+
+    from retriv_ray.ops.relational import shuffle_anti_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return shuffle_anti_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        ),
+        orders,
+        on="c_custkey",
+        right_on="o_custkey",
+    )
+
+
 def _q_retention_cohorts(sf_dir: str):
     from retriv_ray.ops.windows import retention_cohorts
 
@@ -817,6 +847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "rolling_time_events": _q_rolling_time_events,
         "distinct_users_daily": _q_distinct_users_daily,
+        "quantile_filter": _q_quantile_filter,
+        "customers_without_orders": _q_customers_without_orders,
     }
 
 
@@ -1643,5 +1675,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s,
                count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # quantile outlier trim (ops/textstats.py quantile_filter):
+    # cutoffs via the exact histogram rank-select, binary-fraction q
+    out["quantile_filter"] = """
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.125) FROM documents)
+          AND n_chars <= (SELECT quantile_disc(n_chars, 0.875) FROM documents)
+        ORDER BY doc_id
+    """
+    # distributed anti join (ops/relational.py shuffle_anti_join):
+    # right side combiner-deduped to distinct keys before the shuffle
+    out["customers_without_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
     """
     return out

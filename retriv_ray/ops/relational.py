@@ -329,3 +329,62 @@ def orders_by_nation(orders, customer, nation, region):
             Sum("total_cents", alias_name="total_cents"),
         )
     )
+
+
+def shuffle_anti_join(
+    left,
+    right,
+    on: Union[str, Sequence[str]],
+    right_on: Union[str, Sequence[str], None] = None,
+    num_partitions: Optional[int] = None,
+):
+    """Distributed LEFT ANTI join for two LARGE sides: rows of
+    ``left`` whose key appears nowhere in ``right`` (the "customers
+    with no orders" / "docs with no label" shape). When the right side
+    fits in one broadcast object, use ``broadcast_join(how='anti')``
+    instead — this is the shuffle path for when it doesn't.
+
+    Scale shape: the right side is reduced to per-batch DISTINCT keys
+    + a marker column BEFORE the exchange (a combiner: a key occurring
+    k times in a batch ships once), then ONE shuffle hash join
+    (left outer) + a null-marker filter. Cross-batch duplicate keys
+    are harmless: they only multiply MATCHED left rows, all of which
+    are dropped; unmatched rows join to null exactly once.
+    """
+    import ray
+
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = num_partitions or max(4, n_cpus)
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays([batch.column(c) for c in rkeys], names=rkeys)
+        g = pa.TableGroupBy(t, rkeys).aggregate([])
+        return g.append_column(
+            "_matched", pa.array(np.ones(g.num_rows, dtype=np.int8))
+        )
+
+    marked = right.map_batches(distinct_keys, batch_format="pyarrow").repartition(
+        nparts
+    )
+    joined = left.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=tuple(keys),
+        right_on=tuple(rkeys),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_null(batch.column("_matched")))
+        drop = ["_matched"] + [
+            c for c in rkeys if c not in keys and c in out.column_names
+        ]
+        return out.drop_columns([c for c in drop if c in out.column_names])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")

@@ -924,3 +924,38 @@ def profile_columns(ds, cols: List[str]):
             ]
         ),
     )
+
+
+def quantile_filter(
+    ds,
+    col: str = "n_chars",
+    q_lo: float = 0.125,
+    q_hi: float = 0.875,
+):
+    """Outlier trim: keep rows whose ``col`` lies between the corpus's
+    EXACT ``q_lo`` and ``q_hi`` quantiles (inclusive) — the standard
+    "drop the freakishly short/long documents" curation step, with the
+    cutoffs computed from the data instead of hand-tuned constants.
+
+    Scale shape: pass 1 is :func:`length_quantiles`'s value-histogram
+    rank-select (the shuffle moves (distinct_value, count) pairs, never
+    rows; the driver holds only the histogram, bounded by the column's
+    distinct cardinality); the two integer thresholds then ride into a
+    zero-shuffle ``map_batches`` filter closure. The corpus streams
+    through both passes — nothing row-scale is ever materialized.
+    Quantile rule matches DuckDB ``quantile_disc`` exactly (use
+    binary-fraction q so ``q*n`` is float-exact, see length_quantiles).
+    """
+    t = length_quantiles(ds, col=col, qs=(q_lo, q_hi))
+    lo, hi = t.column("value").to_pylist()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        return batch.filter(
+            pc.and_(
+                pc.greater_equal(c, pa.scalar(lo, type=pa.int64())),
+                pc.less_equal(c, pa.scalar(hi, type=pa.int64())),
+            )
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -318,3 +318,40 @@ def test_weighted_sample_seed_changes_sample(ray_session):
     a = set(weighted_sample(ds, k=10, seed=0).to_pandas()["doc_id"])
     b = set(weighted_sample(ds, k=10, seed=1).to_pandas()["doc_id"])
     assert a != b and len(a) == len(b) == 10
+
+
+def test_quantile_filter_matches_quantile_disc(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from retriv_ray.ops.textstats import quantile_filter
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "n_chars": rng.integers(5, 3000, 1000).astype(np.int64),
+        }
+    )
+    got = (
+        quantile_filter(
+            ray.data.from_pandas(df).repartition(7), q_lo=0.125, q_hi=0.875
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.125) FROM documents)
+          AND n_chars <= (SELECT quantile_disc(n_chars, 0.875) FROM documents)
+        ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )

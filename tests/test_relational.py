@@ -247,3 +247,44 @@ def test_orders_by_nation_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         _sorted(got), _sorted(want), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_shuffle_anti_join_matches_not_exists(ray_session, nparts):
+    import ray.data
+
+    from retriv_ray.ops.relational import shuffle_anti_join
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(300, dtype=np.int64),
+            "name": [f"c{i}" for i in range(300)],
+        }
+    )
+    # right references ~60% of left ids, with heavy duplication
+    right = pd.DataFrame(
+        {"ref": rng.choice(np.arange(0, 300, dtype=np.int64), size=5000)}
+    )
+    right = right[right["ref"] % 5 != 0]  # every 5th id is unmatched for sure
+    got = (
+        shuffle_anti_join(
+            ray.data.from_pandas(left).repartition(nparts),
+            ray.data.from_pandas(right).repartition(nparts),
+            on="id",
+            right_on="ref",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    c = duckdb.connect()
+    c.register("l", left)
+    c.register("r", right)
+    want = c.execute(
+        "SELECT id, name FROM l WHERE NOT EXISTS "
+        "(SELECT 1 FROM r WHERE r.ref = l.id) ORDER BY id"
+    ).df()
+    assert list(got["id"]) == list(want["id"])
+    assert list(got["name"]) == list(want["name"])
+    assert set(got.columns) == {"id", "name"}
