@@ -38,6 +38,11 @@ TOPK_QUERIES = {
     "q5": "spark big data",
 }
 POSTING_TERMS = ["table", "scan", "window", "dup", "customer"]
+BOOLEAN_QUERIES = {
+    "b1": {"must": ["table scan"], "must_not": ["spark"]},
+    "b2": {"should": ["window stream"], "must_not": ["customer"]},
+    "b3": {"must": ["hash"], "should": ["merge filter join"]},
+}
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -147,6 +152,22 @@ def _q_bm25_topk(sf_dir: str):
     from retriv_ray.pipelines.documents import topk_table
 
     return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
+
+
+def _q_boolean_search(sf_dir: str):
+    """must/should/must_not boolean retrieval over the real posting
+    lists (part-routed segment reads + sorted-set merges)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.boolean import boolean_search_table
+
+    t = boolean_search_table(_index(sf_dir), BOOLEAN_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_should")],
+        names=["q_id", "doc_id", "n_should"],
+    )
 
 
 def _q_bm25_topk_sharded(sf_dir: str):
@@ -793,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
+        "boolean_search": _q_boolean_search,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
         "filtered_bm25_topk_sharded": _q_filtered_bm25_sharded,
@@ -1005,6 +1027,32 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
               FROM fused)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "boolean_search": f"""
+            WITH {_BASE_CTES},
+            b1 AS (
+              SELECT 'b1' AS q_id, d.doc_id, 0::BIGINT AS n_should
+              FROM documents d
+              WHERE EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'table')
+                AND EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'scan')
+                AND NOT EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'spark')),
+            b2 AS (
+              SELECT 'b2' AS q_id, d.doc_id,
+                (SELECT count(DISTINCT term) FROM tf
+                 WHERE doc_id = d.doc_id AND term IN ('window','stream'))::BIGINT AS n_should
+              FROM documents d
+              WHERE EXISTS (SELECT 1 FROM tf
+                            WHERE doc_id = d.doc_id AND term IN ('window','stream'))
+                AND NOT EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'customer')),
+            b3 AS (
+              SELECT 'b3' AS q_id, d.doc_id,
+                (SELECT count(DISTINCT term) FROM tf
+                 WHERE doc_id = d.doc_id AND term IN ('merge','filter','join'))::BIGINT AS n_should
+              FROM documents d
+              WHERE EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'hash'))
+            SELECT q_id, doc_id, n_should
+            FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+            ORDER BY q_id, doc_id
         """,
         "vocabulary": f"""
             WITH {_BASE_CTES}
