@@ -43,6 +43,17 @@ BOOLEAN_QUERIES = {
     "b2": {"should": ["window stream"], "must_not": ["customer"]},
     "b3": {"must": ["hash"], "should": ["merge filter join"]},
 }
+PHRASE_QUERIES = {
+    "p1": "table scan",
+    "p2": "batch batch",  # overlapping-occurrence stress
+    "p3": "big data",
+    "p4": "key order sort",
+}
+PROXIMITY_QUERIES = {
+    "x1": ("hash", "join", 3),
+    "x2": ("window", "stream", 2),
+    "x3": ("data", "data", 4),  # same-term: self-pairs excluded
+}
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -167,6 +178,46 @@ def _q_boolean_search(sf_dir: str):
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_should")],
         names=["q_id", "doc_id", "n_should"],
+    )
+
+
+def _q_phrase_search(sf_dir: str):
+    """Exact consecutive-phrase retrieval over the positional index
+    (per-doc position postings, delta-varint encoded; overlapping
+    occurrences counted)."""
+    import pyarrow as pa
+
+    from retriv_ray.index.positional import phrase_table
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        documents_positional_index,
+    )
+
+    t = phrase_table(documents_positional_index(sf_dir), PHRASE_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_occ")],
+        names=["q_id", "doc_id", "n_occ"],
+    )
+
+
+def _q_proximity_search(sf_dir: str):
+    """Within-window co-occurrence retrieval over the positional
+    index (|pos_a - pos_b| <= w pair counts; self-pairs excluded when
+    the terms coincide)."""
+    import pyarrow as pa
+
+    from retriv_ray.index.positional import proximity_table
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        documents_positional_index,
+    )
+
+    t = proximity_table(documents_positional_index(sf_dir), PROXIMITY_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_pairs")],
+        names=["q_id", "doc_id", "n_pairs"],
     )
 
 
@@ -815,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
+        "phrase_search": _q_phrase_search,
+        "proximity_search": _q_proximity_search,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
         "filtered_bm25_topk_sharded": _q_filtered_bm25_sharded,
@@ -1027,6 +1080,62 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
               FROM fused)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "phrase_search": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            p1 AS (
+              SELECT 'p1' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'scan'
+              WHERE a.term = 'table' GROUP BY a.doc_id),
+            p2 AS (
+              SELECT 'p2' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'batch'
+              WHERE a.term = 'batch' GROUP BY a.doc_id),
+            p3 AS (
+              SELECT 'p3' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'data'
+              WHERE a.term = 'big' GROUP BY a.doc_id),
+            p4 AS (
+              SELECT 'p4' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a
+              JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'order'
+              JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'sort'
+              WHERE a.term = 'key' GROUP BY a.doc_id)
+            SELECT q_id, doc_id, n_occ FROM (
+              SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+            ORDER BY q_id, doc_id
+        """,
+        "proximity_search": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            x1 AS (
+              SELECT 'x1' AS q_id, a.doc_id, count(*)::BIGINT AS n_pairs
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.term = 'join'
+               AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+              WHERE a.term = 'hash' GROUP BY a.doc_id),
+            x2 AS (
+              SELECT 'x2' AS q_id, a.doc_id, count(*)::BIGINT AS n_pairs
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.term = 'stream'
+               AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+              WHERE a.term = 'window' GROUP BY a.doc_id),
+            x3 AS (
+              SELECT 'x3' AS q_id, a.doc_id, count(*)::BIGINT AS n_pairs
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.term = 'data'
+               AND b.pos BETWEEN a.pos - 4 AND a.pos + 4 AND b.pos <> a.pos
+              WHERE a.term = 'data' GROUP BY a.doc_id)
+            SELECT q_id, doc_id, n_pairs FROM (
+              SELECT * FROM x1 UNION ALL SELECT * FROM x2 UNION ALL SELECT * FROM x3)
+            ORDER BY q_id, doc_id
         """,
         "boolean_search": f"""
             WITH {_BASE_CTES},

@@ -1,0 +1,661 @@
+"""Positional inverted index: phrase and proximity search.
+
+The reference engine stores only (doc_id, tf) postings
+(reference retriv/sparse_retriever/build_inverted_index.py:9-26) and
+therefore cannot answer phrase ("terms adjacent, in order") or
+proximity ("terms within a window") queries. This module adds the
+classic positional-postings layout as a sibling index product, built
+with the SAME distributed shape as the main build
+(:mod:`retriv_ray.index.build`): fused read+tokenize+hash-partition
+map tasks (``num_returns`` = reduce buckets, worker-to-worker fetch,
+no comparison sort) feeding per-bucket reduce tasks that each encode
+and write their (doc-shard, term-part) segment files.
+
+Layout per (shard, part) segment row (one row per term):
+
+    term      : string
+    df        : int64   — docs containing the term in this shard
+    doc_bytes : binary  — ascending SHARD-LOCAL doc ids, first
+                absolute + varint deltas (codec.varint_*)
+    npos      : list<int32> — positions per doc (aligned with docs)
+    pos_bytes : binary  — per-doc position streams, concatenated;
+                within each doc: first absolute + varint deltas
+
+Positions index into the POST-pipeline token stream (after stopword
+removal / stemming the surviving tokens are renumbered 0..n-1 —
+the Lucene default analyzer behavior with positionIncrement folded
+to 1). With the SQL-comparable config (whitespace tokenizer, no
+stemmer/stopwords) positions equal raw whitespace-token offsets,
+which is what the DuckDB oracle computes.
+
+Scale notes (10^12 turns):
+- The exchange volume is one (term, doc, positions) row group per
+  (term, doc) — proportional to corpus tokens, the floor for any
+  positional index. Doc-range sharding (``shard_docs``) bounds every
+  reduce group exactly like the main build: a hot term's postings
+  split across shards, so no reduce task ever holds a full hot-term
+  posting list.
+- conv-id -> doc-id assignment reuses the main build's machinery
+  (:func:`compute_conv_offsets` broadcast; at 10^11+ conversations
+  swap in ``compute_conv_offsets_sharded`` exactly as build_index
+  does — same ``_doc_bases`` contract).
+- Query cost: a phrase/proximity query decodes only its terms' rows
+  from the parts they hash to (part routing identical to the BM25
+  searcher) and intersects ascending doc arrays; the positional
+  verify is vectorized over (doc, position) int64 keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from retriv_ray.config import SparseConfig
+from retriv_ray.index import codec
+from retriv_ray.index.build import (
+    _list_parquet_files,
+    _plan_map_units,
+    _term_parts_np,
+    compute_conv_offsets,
+)
+from retriv_ray.search.kernel import intersect_sorted_multi
+from retriv_ray.text.pipeline import TextPreprocessor
+
+POS_PAIR_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("term", pa.string()),
+        ("doc_ids", pa.list_(pa.int32())),
+        ("npos", pa.list_(pa.int32())),
+        ("positions", pa.list_(pa.int32())),
+    ]
+)
+
+_WORKER_STATE: dict = {}
+
+
+def pos_segment_file(index_dir: str, shard: int, part: int) -> str:
+    return os.path.join(
+        index_dir, "segments", f"pos-{shard:05d}-{part:04d}.parquet"
+    )
+
+
+class _PosTokenize:
+    """Map-side body: tokenize + per-(term, doc) position lists,
+    hash-partitioned by gkey = shard * P + part. Vectorized after
+    tokenization (dictionary-encode + one lexsort)."""
+
+    def __init__(self, cfg: SparseConfig, conv_map_ref, num_parts: int, shard_docs: int):
+        self.pre = TextPreprocessor(cfg)
+        self._conv_ref = conv_map_ref
+        self._conv = None
+        self.P = num_parts
+        self.shard_docs = shard_docs
+
+    def _doc_bases(self, conv: np.ndarray) -> np.ndarray:
+        if self._conv is None:
+            import ray
+
+            self._conv = ray.get(self._conv_ref)
+        convs, bases = self._conv
+        return bases[np.searchsorted(convs, conv)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        P, shard_docs = self.P, self.shard_docs
+        texts = batch.column("text").to_pylist()
+        tokens = self.pre.tokens_many("" if t is None else t for t in texts)
+        from itertools import chain
+
+        flat_tokens = list(chain.from_iterable(tokens))
+        reps = np.fromiter(
+            (len(t) for t in tokens), dtype=np.int64, count=len(texts)
+        )
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        doc_ids = self._doc_bases(conv) + turn
+        if not flat_tokens:
+            return POS_PAIR_SCHEMA.empty_table()
+        denc = pa.array(flat_tokens, type=pa.string()).dictionary_encode()
+        code = denc.indices.to_numpy().astype(np.int64)
+        inv_vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        doc_rep = np.repeat(doc_ids, reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos = (np.arange(len(code)) - np.repeat(starts, reps)).astype(np.int32)
+
+        # sort by (code, doc, pos); lexsort is stable, pos already
+        # ascending inside each (code, doc) run after the sort
+        order = np.lexsort((pos, doc_rep, code))
+        c_s, d_s, p_s = code[order], doc_rep[order], pos[order]
+
+        # (term, doc) run boundaries -> per-doc position counts
+        new_doc = np.empty(len(c_s), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+        dstart = np.flatnonzero(new_doc)
+        npos = np.diff(np.append(dstart, len(c_s))).astype(np.int32)
+        u_code, u_doc = c_s[dstart], d_s[dstart]
+
+        # (term, shard) row boundaries
+        shard = u_doc // shard_docs
+        brk = np.empty(len(u_code), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u_code[1:] != u_code[:-1]) | (shard[1:] != shard[:-1])
+        r_start = np.flatnonzero(brk)
+        r_end = np.append(r_start[1:], len(u_code))
+        r_terms = inv_vocab[u_code[r_start]]
+        r_parts = _term_parts_np(r_terms, P)
+        r_gkey = shard[r_start] * P + r_parts
+
+        doc_off = np.concatenate(([0], np.cumsum(npos.astype(np.int64))))
+        row_doc_off = np.concatenate(([0], r_end)).astype(np.int32)
+        row_pos_off = doc_off[np.concatenate(([0], r_end))].astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(r_gkey, type=pa.int64()),
+                pa.array(r_terms, type=pa.string()),
+                pa.ListArray.from_arrays(
+                    pa.array(row_doc_off),
+                    pa.array((u_doc % shard_docs).astype(np.int32)),
+                ),
+                pa.ListArray.from_arrays(pa.array(row_doc_off), pa.array(npos)),
+                pa.ListArray.from_arrays(pa.array(row_pos_off), pa.array(p_s)),
+            ],
+            schema=POS_PAIR_SCHEMA,
+        )
+
+
+def _pos_map_task(
+    units: List[Tuple[str, int]],
+    cfg_json,
+    conv_map_ref_boxed,
+    num_parts: int,
+    shard_docs: int,
+    batch_size: int,
+    n_buckets: int,
+):
+    key = "pos:" + json.dumps(cfg_json, sort_keys=True) + str(conv_map_ref_boxed[0])
+    st = _WORKER_STATE.get(key)
+    if st is None:
+        st = _PosTokenize(
+            SparseConfig.from_json(cfg_json),
+            conv_map_ref_boxed[0],
+            num_parts,
+            shard_docs,
+        )
+        _WORKER_STATE.clear()
+        _WORKER_STATE[key] = st
+    parts: List[pa.Table] = []
+    for f, rg in units:
+        tbl = pq.ParquetFile(f).read_row_group(
+            rg, columns=["conv_id", "turn_idx", "text"]
+        )
+        for i in range(0, tbl.num_rows, batch_size):
+            parts.append(st(tbl.slice(i, batch_size)))
+    out = (
+        pa.concat_tables(parts) if parts else POS_PAIR_SCHEMA.empty_table()
+    )
+    gk = out.column("gkey").to_numpy()
+    bk = gk % n_buckets
+    order = np.lexsort((gk, bk))
+    srt = out.take(order)
+    if n_buckets == 1:
+        return srt
+    bk_s = bk[order]
+    bounds = np.searchsorted(bk_s, np.arange(n_buckets + 1))
+    return tuple(
+        srt.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(n_buckets)
+    )
+
+
+def _encode_pos_group(group: pa.Table, index_dir: str, num_parts: int) -> dict:
+    """One (shard, part) group -> one positional segment file.
+    Canonical per-term encode: rows may arrive from many map tasks in
+    any order; (term, doc) pairs are globally unique, so sorting docs
+    within each term makes segment bytes batching-independent."""
+    gkey = int(group.column("gkey")[0].as_py())
+    shard, part = gkey // num_parts, gkey % num_parts
+    terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+    docs_col = group.column("doc_ids")
+    npos_col = group.column("npos")
+    pos_col = group.column("positions")
+    dlist = docs_col.combine_chunks()
+    docs_flat = dlist.flatten().to_numpy().astype(np.int64)
+    npos_flat = npos_col.combine_chunks().flatten().to_numpy().astype(np.int64)
+    pos_flat = pos_col.combine_chunks().flatten().to_numpy().astype(np.int64)
+    row_ndocs = np.diff(dlist.offsets.to_numpy().astype(np.int64))
+
+    # order rows by term (stable), then docs within each term
+    row_order = np.argsort(terms, kind="stable")
+    # gather doc-level entries row by row (vectorized: repeat + arange)
+    row_doc_off = np.concatenate(([0], np.cumsum(row_ndocs)))
+    sel_lens = row_ndocs[row_order]
+    total_sel = int(sel_lens.sum())
+    excl = np.concatenate(([0], np.cumsum(sel_lens)[:-1]))
+    gather_docs = (
+        np.repeat(row_doc_off[row_order], sel_lens)
+        + (np.arange(total_sel) - np.repeat(excl, sel_lens))
+        if total_sel
+        else np.empty(0, dtype=np.int64)
+    )
+    docs_o = docs_flat[gather_docs]
+    npos_o = npos_flat[gather_docs]
+    # position stream offsets per doc-entry (in original layout)
+    pos_off = np.concatenate(([0], np.cumsum(npos_flat)))
+    t_rep = np.repeat(np.arange(len(terms))[row_order], row_ndocs[row_order])
+    terms_sorted = terms[row_order]
+    t_ndocs = row_ndocs[row_order]
+
+    # term run boundaries over the doc-entry axis
+    t_codes = np.repeat(np.arange(len(row_order)), t_ndocs)
+    term_brk = np.empty(len(t_codes), dtype=bool)
+    if len(t_codes):
+        term_brk[0] = True
+        term_brk[1:] = terms_sorted[t_codes[1:]] != terms_sorted[t_codes[:-1]]
+    t_starts = np.flatnonzero(term_brk)
+    t_ends = np.append(t_starts[1:], len(t_codes))
+
+    out_terms: List[str] = []
+    out_df: List[int] = []
+    out_docb: List[bytes] = []
+    out_npos_off = [0]
+    out_npos_vals: List[np.ndarray] = []
+    out_posb: List[bytes] = []
+    n_positions = 0
+    for s, e in zip(t_starts, t_ends):
+        d = docs_o[s:e]
+        nps = npos_o[s:e]
+        o = np.argsort(d, kind="stable")
+        d, nps = d[o], nps[o]
+        # doc deltas: first absolute
+        dd = np.empty(len(d), dtype=np.uint64)
+        dd[0] = d[0]
+        dd[1:] = np.diff(d).astype(np.uint64)
+        # gather this term's positions doc-by-doc in sorted-doc order
+        # (vectorized repeat/arange gather over the flat pos stream)
+        entry_idx = gather_docs[s:e][o]
+        g_lens = npos_flat[entry_idx]
+        g_total = int(g_lens.sum())
+        g_excl = np.concatenate(([0], np.cumsum(g_lens)[:-1]))
+        pg = (
+            pos_flat[
+                np.repeat(pos_off[entry_idx], g_lens)
+                + (np.arange(g_total) - np.repeat(g_excl, g_lens))
+            ]
+            if g_total
+            else np.empty(0, dtype=np.int64)
+        )
+        # per-doc delta encode positions (first absolute per doc)
+        pd = np.diff(pg, prepend=0)
+        starts = np.concatenate(([0], np.cumsum(nps)[:-1])).astype(np.int64)
+        pd[starts] = pg[starts]
+        out_terms.append(str(terms_sorted[t_codes[s]]))
+        out_df.append(len(d))
+        out_docb.append(codec.varint_encode(dd))
+        out_npos_vals.append(nps.astype(np.int32))
+        out_npos_off.append(out_npos_off[-1] + len(nps))
+        out_posb.append(codec.varint_encode(pd.astype(np.uint64)))
+        n_positions += len(pg)
+
+    seg = pa.Table.from_arrays(
+        [
+            pa.array(out_terms, type=pa.string()),
+            pa.array(out_df, type=pa.int64()),
+            pa.array(out_docb, type=pa.binary()),
+            pa.ListArray.from_arrays(
+                pa.array(out_npos_off, type=pa.int32()),
+                pa.array(
+                    np.concatenate(out_npos_vals)
+                    if out_npos_vals
+                    else np.empty(0, np.int32),
+                    type=pa.int32(),
+                ),
+            ),
+            pa.array(out_posb, type=pa.binary()),
+        ],
+        names=["term", "df", "doc_bytes", "npos", "pos_bytes"],
+    )
+    path = pos_segment_file(index_dir, shard, part)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(seg, tmp)
+    os.replace(tmp, path)
+    return {
+        "shard": shard,
+        "part": part,
+        "n_terms": len(out_terms),
+        "n_postings": int(sum(out_df)),
+        "n_positions": int(n_positions),
+    }
+
+
+def _pos_reduce_bucket(index_dir: str, num_parts: int, *tables: pa.Table):
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return []
+    gks = [t.column("gkey").to_numpy() for t in live]
+    uniq = np.unique(np.concatenate(gks))
+    stats = []
+    for g in uniq:
+        parts = []
+        for t, gk in zip(live, gks):
+            lo = np.searchsorted(gk, g, side="left")
+            hi = np.searchsorted(gk, g, side="right")
+            if hi > lo:
+                parts.append(t.slice(lo, hi - lo))
+        stats.append(
+            _encode_pos_group(pa.concat_tables(parts), index_dir, num_parts)
+        )
+    return stats
+
+
+def build_positional_index(
+    source,
+    index_dir: str,
+    cfg: Optional[SparseConfig] = None,
+    num_parts: int = 8,
+    shard_docs: int = 1 << 22,
+    batch_size: int = 4096,
+) -> dict:
+    """Build positional segments under ``index_dir`` from a parquet
+    path/list source of (conv_id, turn_idx, text). Returns the
+    manifest dict (also written to ``pos_manifest.json``)."""
+    import ray
+
+    cfg = cfg or SparseConfig()
+    files = _list_parquet_files(source)
+    if files is None:
+        raise ValueError(
+            "build_positional_index needs a parquet path source "
+            "(Dataset inputs: write_parquet first)"
+        )
+    t0 = time.monotonic()
+    conv_offsets, doc_count = compute_conv_offsets(source)
+    os.makedirs(os.path.join(index_dir, "id_map"), exist_ok=True)
+    pq.write_table(
+        conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
+    )
+    conv_map_ref = ray.put(
+        (
+            np.asarray(conv_offsets.column("conv_id").to_pylist(), dtype=object),
+            conv_offsets.column("base").to_numpy(),
+        )
+    )
+    n_shards = (doc_count + shard_docs - 1) // shard_docs if doc_count else 1
+    n_groups = n_shards * num_parts
+    n_buckets = min(n_groups, 64)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    plans = _plan_map_units(files, target_tasks=2 * ncpu) or [
+        [(f, rg) for f in files for rg in range(pq.ParquetFile(f).metadata.num_row_groups)]
+    ]
+    map_task = ray.remote(num_cpus=1, num_returns=n_buckets)(_pos_map_task)
+    cfg_json = cfg.to_json()
+    map_refs = [
+        map_task.remote(
+            u, cfg_json, [conv_map_ref], num_parts, shard_docs,
+            batch_size, n_buckets,
+        )
+        for u in plans
+    ]
+    if n_buckets == 1:
+        map_refs = [[r] for r in map_refs]
+    reduce_task = ray.remote(num_cpus=1)(_pos_reduce_bucket)
+    stat_refs = [
+        reduce_task.remote(
+            index_dir, num_parts, *[map_refs[m][b] for m in range(len(map_refs))]
+        )
+        for b in range(n_buckets)
+    ]
+    stats = [s for chunk in ray.get(stat_refs) for s in chunk]
+    manifest = {
+        "kind": "positional",
+        "num_parts": num_parts,
+        "shard_docs": shard_docs,
+        "doc_count": int(doc_count),
+        "n_shards": int(n_shards),
+        "config": cfg.to_json(),
+        "n_terms": int(sum(s["n_terms"] for s in stats)),
+        "n_postings": int(sum(s["n_postings"] for s in stats)),
+        "n_positions": int(sum(s["n_positions"] for s in stats)),
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+    with open(os.path.join(index_dir, "pos_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# query side
+# ---------------------------------------------------------------------------
+
+
+class PositionalIndex:
+    """Lazy reader over positional segments: per-(shard, part) rows
+    load on first touch; term rows decode to (global doc_ids asc,
+    per-doc position arrays) and are LRU-capped."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "pos_manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.num_parts = self.manifest["num_parts"]
+        self.shard_docs = self.manifest["shard_docs"]
+        self.n_shards = self.manifest["n_shards"]
+        self.cfg = SparseConfig.from_json(self.manifest["config"])
+        self.pre = TextPreprocessor(self.cfg)
+        self._segs: Dict[tuple, dict] = {}
+        self._terms: Dict[str, tuple] = {}
+        self._cache_terms = cache_terms
+        self._conv = None
+
+    def _segment(self, shard: int, part: int) -> dict:
+        key = (shard, part)
+        seg = self._segs.get(key)
+        if seg is None:
+            path = pos_segment_file(self.index_dir, shard, part)
+            seg = {}
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                terms = t.column("term").to_pylist()
+                db = t.column("doc_bytes").to_pylist()
+                npos = t.column("npos").to_pylist()
+                pb = t.column("pos_bytes").to_pylist()
+                for i, term in enumerate(terms):
+                    seg[term] = (db[i], npos[i], pb[i])
+            self._segs[key] = seg
+        return seg
+
+    def get(self, term: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids int64 asc, pos_offsets int64 [len+1], positions
+        int64) — positions[pos_offsets[i]:pos_offsets[i+1]] belong to
+        doc_ids[i], ascending."""
+        hit = self._terms.get(term)
+        if hit is not None:
+            return hit
+        from retriv_ray.index.build import term_part
+
+        part = term_part(term, self.num_parts)
+        docs_all: List[np.ndarray] = []
+        npos_all: List[np.ndarray] = []
+        pos_all: List[np.ndarray] = []
+        for shard in range(self.n_shards):
+            row = self._segment(shard, part).get(term)
+            if row is None:
+                continue
+            db, npos, pb = row
+            dd = codec.varint_decode(db).astype(np.int64)
+            docs = np.cumsum(dd) + shard * self.shard_docs
+            nps = np.asarray(npos, dtype=np.int64)
+            pd = codec.varint_decode(pb).astype(np.int64)
+            # segmented cumsum: absolute positions per doc
+            if len(pd):
+                starts = np.concatenate(([0], np.cumsum(nps)[:-1]))
+                c = np.cumsum(pd)
+                base = np.zeros(len(nps), dtype=np.int64)
+                base[1:] = c[starts[1:] - 1]
+                pos = c - np.repeat(base, nps)
+            else:
+                pos = pd
+            docs_all.append(docs)
+            npos_all.append(nps)
+            pos_all.append(pos)
+        if not docs_all:
+            out = (
+                np.empty(0, dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        else:
+            docs = np.concatenate(docs_all)
+            nps = np.concatenate(npos_all)
+            pos = np.concatenate(pos_all)
+            offs = np.concatenate(([0], np.cumsum(nps)))
+            out = (docs, offs, pos)
+        if len(self._terms) >= self._cache_terms:
+            self._terms.pop(next(iter(self._terms)))
+        self._terms[term] = out
+        return out
+
+    # -- conv mapping ---------------------------------------------------
+    def to_original_ids(self, doc_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        if self._conv is None:
+            t = pq.read_table(
+                os.path.join(self.index_dir, "id_map", "conv_offsets.parquet")
+            )
+            self._conv = (
+                np.asarray(t.column("conv_id").to_pylist(), dtype=object),
+                t.column("base").to_numpy(),
+            )
+        convs, bases = self._conv
+        pos = np.searchsorted(bases, doc_ids, side="right") - 1
+        return convs[pos], (doc_ids - bases[pos]).astype(np.int32)
+
+    # -- queries --------------------------------------------------------
+    def _restricted_keys(
+        self, term: str, cand: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(keys, doc_labels): int64 keys cand_idx * 2^32 + position
+        for the term's positions within candidate docs, ascending."""
+        docs, offs, pos = self.get(term)
+        idx = np.searchsorted(docs, cand)
+        lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+        starts = offs[idx]
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        excl = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gather = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(excl, lens)
+        )
+        lab = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        return (lab << np.int64(32)) | pos[gather], lab
+
+    def phrase(self, terms: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Docs containing the exact consecutive term sequence.
+        Returns (doc_ids asc, n_occurrences>0); overlapping
+        occurrences count."""
+        terms = list(terms)
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        posts = [self.get(t) for t in terms]
+        cand = intersect_sorted_multi([p[0] for p in posts])
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        keys0, lab0 = self._restricted_keys(terms[0], cand)
+        alive = keys0
+        for i, t in enumerate(terms[1:], start=1):
+            if len(alive) == 0:
+                break
+            ki, _ = self._restricted_keys(t, cand)
+            want = alive + np.int64(i)
+            p = np.searchsorted(ki, want)
+            p[p >= len(ki)] = max(len(ki) - 1, 0)
+            hit = (ki[p] == want) if len(ki) else np.zeros(len(want), bool)
+            alive = alive[hit]
+        if len(alive) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        lab = (alive >> np.int64(32)).astype(np.int64)
+        n_occ = np.bincount(lab, minlength=len(cand)).astype(np.int64)
+        m = n_occ > 0
+        return cand[m], n_occ[m]
+
+    def proximity(
+        self, term_a: str, term_b: str, window: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Docs where term_a and term_b co-occur within ``window``
+        token positions (|pos_a - pos_b| <= window, distinct positions
+        when the terms are equal). Returns (doc_ids asc, n_pairs)."""
+        da, _, _ = self.get(term_a)
+        db, _, _ = self.get(term_b)
+        cand = intersect_sorted_multi([da, db])
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        ka, laba = self._restricted_keys(term_a, cand)
+        kb, _ = self._restricted_keys(term_b, cand)
+        pos_a = ka & np.int64((1 << 32) - 1)
+        lo_pos = np.maximum(pos_a - window, 0)
+        lo = (ka & ~np.int64((1 << 32) - 1)) | lo_pos
+        hi = ka + np.int64(window)
+        cnt = np.searchsorted(kb, hi, side="right") - np.searchsorted(
+            kb, lo, side="left"
+        )
+        if term_a == term_b:
+            cnt = cnt - 1  # remove the self pair
+        n = np.bincount(laba, weights=cnt, minlength=len(cand)).astype(np.int64)
+        m = n > 0
+        return cand[m], n[m]
+
+
+def phrase_table(index: PositionalIndex, queries: Dict[str, str]) -> pa.Table:
+    """{q_id: phrase text} -> (q_id, conv_id, turn_idx, n_occ) ordered
+    by (q_id, doc_id). Phrase text runs through the index's own
+    preprocessing pipeline (order-preserving)."""
+    q_col: List[str] = []
+    c_parts, t_parts, n_parts = [], [], []
+    for q_id in sorted(queries):
+        terms = index.pre.tokens(queries[q_id])
+        docs, n_occ = index.phrase(terms)
+        convs, turns = index.to_original_ids(docs)
+        q_col.extend([q_id] * len(docs))
+        c_parts.append(np.asarray(convs, dtype=object))
+        t_parts.append(turns)
+        n_parts.append(n_occ)
+    return _qct_table(q_col, c_parts, t_parts, n_parts, "n_occ")
+
+
+def proximity_table(
+    index: PositionalIndex, queries: Dict[str, tuple]
+) -> pa.Table:
+    """{q_id: (term_a, term_b, window)} -> (q_id, conv_id, turn_idx,
+    n_pairs) ordered by (q_id, doc_id)."""
+    q_col: List[str] = []
+    c_parts, t_parts, n_parts = [], [], []
+    for q_id in sorted(queries):
+        ta, tb, w = queries[q_id]
+        docs, n = index.proximity(ta, tb, w)
+        convs, turns = index.to_original_ids(docs)
+        q_col.extend([q_id] * len(docs))
+        c_parts.append(np.asarray(convs, dtype=object))
+        t_parts.append(turns)
+        n_parts.append(n)
+    return _qct_table(q_col, c_parts, t_parts, n_parts, "n_pairs")
+
+
+def _qct_table(q_col, c_parts, t_parts, n_parts, n_name: str) -> pa.Table:
+    convs = np.concatenate(c_parts) if c_parts else np.empty(0, dtype=object)
+    turns = np.concatenate(t_parts) if t_parts else np.empty(0, dtype=np.int32)
+    ns = np.concatenate(n_parts) if n_parts else np.empty(0, dtype=np.int64)
+    return pa.Table.from_arrays(
+        [
+            pa.array(q_col, type=pa.string()),
+            pa.array(convs, type=pa.string()),
+            pa.array(turns.astype(np.int32), type=pa.int32()),
+            pa.array(ns.astype(np.int64), type=pa.int64()),
+        ],
+        names=["q_id", "conv_id", "turn_idx", n_name],
+    )

@@ -87,6 +87,42 @@ def documents_index(sf_dir: str, cfg: SparseConfig) -> RaySparseRetriever:
     return r
 
 
+def documents_transcript_parquet(sf_dir: str) -> str:
+    """Write-once transcript-shaped parquet copy of documents.parquet
+    (the positional build reads parquet path sources directly)."""
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(CACHE_ROOT, f"transcripts_{key}")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        documents_as_transcripts(sf_dir).write_parquet(path)
+        open(os.path.join(path, "_DONE"), "w").close()
+    return path
+
+
+_POS_INDEXES: Dict[str, "object"] = {}
+
+
+def documents_positional_index(sf_dir: str, cfg: Optional[SparseConfig] = None):
+    """Build-or-load the cached positional index for sf_dir (oracle
+    config: whitespace / no stemmer / no stopwords, so positions equal
+    raw whitespace token offsets — SQL-comparable)."""
+    from retriv_ray.index.positional import PositionalIndex, build_positional_index
+
+    cfg = cfg or ORACLE_BM25
+    key_src = f"pos|{os.path.abspath(sf_dir)}|{sorted(cfg.to_json().items())}"
+    key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+    hit = _POS_INDEXES.get(key)
+    if hit is not None:
+        return hit
+    index_dir = os.path.join(CACHE_ROOT, f"pos_{key}")
+    if not os.path.exists(os.path.join(index_dir, "pos_manifest.json")):
+        build_positional_index(
+            documents_transcript_parquet(sf_dir), index_dir, cfg, num_parts=4
+        )
+    px = PositionalIndex(index_dir)
+    _POS_INDEXES[key] = px
+    return px
+
+
 def ensure_documents_metadata(sf_dir: str, r: RaySparseRetriever) -> None:
     """Build the metadata sidecar (lang/source keyword, n_chars
     number) for a documents index if absent — enables the
