@@ -54,6 +54,7 @@ PROXIMITY_QUERIES = {
     "x2": ("window", "stream", 2),
     "x3": ("data", "data", 4),  # same-term: self-pairs excluded
 }
+PREFIX_QUERIES = {"w1": "s", "w2": "c", "w3": "qu"}
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -218,6 +219,54 @@ def _q_proximity_search(sf_dir: str):
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_pairs")],
         names=["q_id", "doc_id", "n_pairs"],
+    )
+
+
+def _q_prefix_search(sf_dir: str):
+    """Wildcard ``pre*`` retrieval: term-dictionary range scan (two
+    searchsorted probes per sorted part file) -> part-routed postings
+    fetch -> per-doc distinct-term counts."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.prefix import prefix_search_table
+
+    t = prefix_search_table(_index(sf_dir), PREFIX_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_terms")],
+        names=["q_id", "doc_id", "n_terms"],
+    )
+
+
+def _q_snippets(sf_dir: str):
+    """KWIC highlight snippets for each query's top-k BM25 hits: one
+    streaming pass over the corpus (broadcast semi-join on the tiny
+    top-k set), fixed token window around the first query-term
+    occurrence."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        documents_as_transcripts,
+    )
+    from retriv_ray.search.snippets import kwic_snippets
+
+    t = kwic_snippets(
+        _index(sf_dir),
+        documents_as_transcripts(sf_dir),
+        TOPK_QUERIES,
+        cutoff=CUTOFF,
+    )
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            pa.array(docs, type=pa.int64()),
+            t.column("snippet"),
+        ],
+        names=["q_id", "rank", "doc_id", "snippet"],
     )
 
 
@@ -868,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         "phrase_search": _q_phrase_search,
         "proximity_search": _q_proximity_search,
+        "prefix_search": _q_prefix_search,
+        "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
         "filtered_bm25_topk_sharded": _q_filtered_bm25_sharded,
@@ -1080,6 +1131,47 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
               FROM fused)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "prefix_search": f"""
+            WITH {_BASE_CTES},
+            w1 AS (SELECT 'w1' AS q_id, doc_id, count(DISTINCT term)::BIGINT AS n_terms
+                   FROM tf WHERE term LIKE 's%' GROUP BY doc_id),
+            w2 AS (SELECT 'w2' AS q_id, doc_id, count(DISTINCT term)::BIGINT AS n_terms
+                   FROM tf WHERE term LIKE 'c%' GROUP BY doc_id),
+            w3 AS (SELECT 'w3' AS q_id, doc_id, count(DISTINCT term)::BIGINT AS n_terms
+                   FROM tf WHERE term LIKE 'qu%' GROUP BY doc_id)
+            SELECT q_id, doc_id, n_terms FROM (
+              SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+            ORDER BY q_id, doc_id
+        """,
+        "snippets": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id),
+            ranked AS (
+              SELECT q_id, doc_id, rank FROM (
+                SELECT q_id, doc_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+                FROM scores)
+              WHERE rank <= {CUTOFF}),
+            firstpos AS (
+              SELECT r.q_id, r.rank, r.doc_id,
+                (SELECT min(list_position(d.toks, q.term)) FROM qterms q
+                 WHERE q.q_id = r.q_id) AS p
+              FROM ranked r JOIN docs d ON d.doc_id = r.doc_id)
+            SELECT f.q_id, f.rank, f.doc_id,
+              array_to_string(array_slice(d.toks, greatest(f.p - 2, 1), f.p + 2), ' ') AS snippet
+            FROM firstpos f JOIN docs d ON d.doc_id = f.doc_id
+            ORDER BY q_id, rank
         """,
         "phrase_search": f"""
             WITH {_BASE_CTES},
