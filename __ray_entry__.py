@@ -55,6 +55,8 @@ PROXIMITY_QUERIES = {
     "x3": ("data", "data", 4),  # same-term: self-pairs excluded
 }
 PREFIX_QUERIES = {"w1": "s", "w2": "c", "w3": "qu"}
+MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
+MIXTURE_BUDGET = 3000
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -586,6 +588,17 @@ def _q_multimodal(sf_dir: str):
     return image_features(attach_payload(_docs(sf_dir)), concurrency=2)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Token-budget mixture sampling: per-source md5-ordered running
+    token sums cut at floor(weight x budget); bucketed distributed
+    prefix sum (driver holds sources x buckets rows only)."""
+    from retriv_ray.ops.mixing import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir), MIXTURE_WEIGHTS, MIXTURE_BUDGET, n_buckets=8
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     from retriv_ray.ops.prep import stratified_sample
 
@@ -953,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "top_ngrams": _q_top_ngrams,
         "stratified_sample": _q_stratified_sample,
+        "mixture_sample": _q_mixture_sample,
         "contamination_check": _q_contamination_check,
         "token_rarity": _q_token_rarity,
         "duplicate_windows": _q_duplicate_windows,
@@ -1599,6 +1613,26 @@ def oracle_sql() -> dict[str, str]:
     """
     # rank key = md5 low-64 of "{seed}:{id}" (the repo-wide DuckDB
     # md5_number_lower convention), ties by id — ops/prep.py
+    _mix_budgets = " , ".join(
+        f"('{s}', {int(w * MIXTURE_BUDGET)})" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    _mix_srcs = ", ".join(f"'{s}'" for s in MIXTURE_WEIGHTS)
+    out["mixture_sample"] = f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+            len(list_filter({_TOKS}, x -> x <> ''))::BIGINT AS n,
+            md5_number_lower('0:' || doc_id::VARCHAR) AS rank
+          FROM documents WHERE source IN ({_mix_srcs})),
+        cum AS (
+          SELECT doc_id, source, n,
+            sum(n) OVER (PARTITION BY source ORDER BY rank, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS running
+          FROM tok),
+        budgets(source, budget) AS (VALUES {_mix_budgets})
+        SELECT c.doc_id, c.source, c.n AS n_tokens
+        FROM cum c JOIN budgets b ON b.source = c.source
+        WHERE c.running <= b.budget ORDER BY doc_id
+    """
     out["stratified_sample"] = """
         SELECT source, doc_id FROM (
           SELECT source, doc_id,
