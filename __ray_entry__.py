@@ -168,6 +168,72 @@ def _q_bm25_topk(sf_dir: str):
     return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
 
 
+def _q_merged_postings(sf_dir: str):
+    """Incremental-ingest path: index the first and second halves of
+    the corpus separately, merge_indexes them (Lucene-style segment
+    append — A-only shards copied verbatim, the boundary shard + all
+    B shards decoded/rebased/re-encoded by the build's canonical
+    reduce), and read the POSTING_TERMS postings from the merged
+    index. Oracle: the same SQL as ``postings`` over the whole corpus
+    — the merge must be indistinguishable from a full build."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.index.build import build_index
+    from retriv_ray.index.merge import merge_indexes
+    from retriv_ray.pipelines.documents import (
+        CACHE_ROOT,
+        ORACLE_BM25,
+        conv_to_doc_id,
+        documents_as_transcripts,
+    )
+    from retriv_ray.search.searcher import RaySparseRetriever
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchone()[0]
+    half = n_docs // 2
+    key = hashlib.sha1(
+        f"merged|{os.path.abspath(sf_dir)}|{half}|{sorted(ORACLE_BM25.to_json().items())}".encode()
+    ).hexdigest()[:16]
+    merged_dir = os.path.join(CACHE_ROOT, f"merged_{key}")
+    if not os.path.exists(os.path.join(merged_dir, "manifest.json")):
+        def _half(keep_lo: bool):
+            def fn(batch: "pa.Table") -> "pa.Table":
+                ids = conv_to_doc_id(batch.column("conv_id").to_pylist())
+                m = ids < half if keep_lo else ids >= half
+                return batch.take(pa.array(np.flatnonzero(m), type=pa.int64()))
+
+            return fn
+
+        ds = documents_as_transcripts(sf_dir)
+        lo = ds.map_batches(_half(True), batch_format="pyarrow")
+        hi = ds.map_batches(_half(False), batch_format="pyarrow")
+        dir_a = os.path.join(CACHE_ROOT, f"merged_{key}_a")
+        dir_b = os.path.join(CACHE_ROOT, f"merged_{key}_b")
+        build_index(lo, dir_a, ORACLE_BM25, num_parts=4)
+        build_index(hi, dir_b, ORACLE_BM25, num_parts=4)
+        merge_indexes(dir_a, dir_b, merged_dir)
+    r = RaySparseRetriever(merged_dir, ORACLE_BM25)
+    t_out, d_out, f_out = [], [], []
+    for term in POSTING_TERMS:
+        d, f = r.index.get_postings(term)
+        convs, _ = r.index.to_original_ids(d)
+        orig = conv_to_doc_id(convs)
+        t_out.extend([term] * len(d))
+        d_out.extend(orig.tolist())
+        f_out.extend(f.astype(np.int64).tolist())
+    return pa.Table.from_arrays(
+        [
+            pa.array(t_out, type=pa.string()),
+            pa.array(d_out, type=pa.int64()),
+            pa.array(f_out, type=pa.int64()),
+        ],
+        names=["term", "doc_id", "tf"],
+    )
+
+
 def _q_boolean_search(sf_dir: str):
     """must/should/must_not boolean retrieval over the real posting
     lists (part-routed segment reads + sorted-set merges)."""
@@ -925,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": _q_vocabulary,
         "doc_lens": _q_doc_lens,
         "postings": _q_postings,
+        "merged_postings": _q_merged_postings,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
@@ -1462,6 +1529,8 @@ def oracle_sql() -> dict[str, str]:
     # sharded serving must reproduce the monolithic result exactly —
     # same oracle as bm25_topk
     out["bm25_topk_sharded"] = out["bm25_topk"]
+    # merged half+half index must reproduce the whole-corpus postings
+    out["merged_postings"] = out["postings"]
     out["filtered_bm25_topk_sharded"] = out["filtered_bm25_topk"]
     # prep ops (ops/prep.py): the Python side uses pyarrow RE2 regex
     # kernels / md5 low-8-bytes — the same RE2 dialect and

@@ -1,0 +1,148 @@
+"""merge_indexes differential: byte-identical to a full rebuild over
+the concatenated input, across aligned and straddling shard
+boundaries."""
+
+import filecmp
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from retriv_ray.config import SparseConfig
+from retriv_ray.index.build import build_index
+from retriv_ray.index.merge import merge_indexes
+from retriv_ray.search.searcher import RaySparseRetriever
+
+WORDS = ["red", "green", "blue", "yellow", "purple", "cyan", "olive", "teal"]
+
+
+def _docs(lo, hi, seed=3):
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(lo, hi):
+        n = int(rng.randint(3, 12))
+        out.append(
+            {
+                "conv_id": f"c{i:05d}",
+                "turn_idx": 0,
+                "text": " ".join(WORDS[int(rng.randint(len(WORDS)))] for _ in range(n)),
+            }
+        )
+    return out
+
+
+def _write(tmp, rows, name):
+    import ray.data
+
+    src = str(tmp / name)
+    ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": [r["conv_id"] for r in rows],
+                "turn_idx": pa.array([r["turn_idx"] for r in rows], type=pa.int32()),
+                "text": [r["text"] for r in rows],
+            }
+        )
+    ).write_parquet(src)
+    return src
+
+
+def _tree_files(d):
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, d)] = p
+    return out
+
+
+CFG = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+
+
+@pytest.mark.parametrize("shard_docs,n_a,n_b", [
+    (16, 32, 24),   # aligned boundary: offset % shard_docs == 0
+    (16, 27, 29),   # straddling boundary shard
+    (1 << 22, 30, 30),  # single shard end to end
+])
+def test_merge_byte_identical_to_rebuild(ray_session, tmp_path, shard_docs, n_a, n_b):
+    rows = _docs(0, n_a + n_b)
+    src_all = _write(tmp_path, rows, "all")
+    src_a = _write(tmp_path, rows[:n_a], "a")
+    src_b = _write(tmp_path, rows[n_a:], "b")
+    full = str(tmp_path / "full")
+    ia, ib, merged = str(tmp_path / "ia"), str(tmp_path / "ib"), str(tmp_path / "m")
+    build_index(src_all, full, CFG, num_parts=3, shard_docs=shard_docs, resume=False)
+    build_index(src_a, ia, CFG, num_parts=3, shard_docs=shard_docs, resume=False)
+    build_index(src_b, ib, CFG, num_parts=3, shard_docs=shard_docs, resume=False)
+    man = merge_indexes(ia, ib, merged)
+    assert man["doc_count"] == n_a + n_b
+
+    f_full, f_m = _tree_files(full), _tree_files(merged)
+    for sub in ("segments", "doc_lens", "terms", "id_map"):
+        keys_full = sorted(k for k in f_full if k.startswith(sub))
+        keys_m = sorted(k for k in f_m if k.startswith(sub))
+        assert keys_full == keys_m, (sub, keys_full, keys_m)
+        for k in keys_full:
+            assert filecmp.cmp(f_full[k], f_m[k], shallow=False), k
+
+    # manifest-level stats equality (fingerprints differ by design)
+    rf = RaySparseRetriever(full, CFG)
+    rm = RaySparseRetriever(merged, CFG)
+    assert rf.index.manifest.avg_doc_len == rm.index.manifest.avg_doc_len
+    assert rf.index.manifest.n_postings == rm.index.manifest.n_postings
+    assert rf.index.manifest.n_terms == rm.index.manifest.n_terms
+    for q in ["red green", "blue", "teal purple olive"]:
+        assert rf.search(q, cutoff=10) == rm.search(q, cutoff=10)
+
+
+def test_merge_validations(ray_session, tmp_path):
+    rows = _docs(0, 20)
+    src_a = _write(tmp_path, rows[:10], "a")
+    src_b = _write(tmp_path, rows[10:], "b")
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(src_a, ia, CFG, num_parts=2, resume=False)
+    build_index(src_b, ib, CFG, num_parts=2, resume=False)
+
+    # order violation: B before A
+    with pytest.raises(ValueError, match="sort strictly after"):
+        merge_indexes(ib, ia, str(tmp_path / "m1"))
+
+    # config mismatch
+    other = str(tmp_path / "other")
+    build_index(
+        src_b, other,
+        SparseConfig(tokenizer="whitespace", stemmer="english", stopwords=None),
+        num_parts=2, resume=False,
+    )
+    with pytest.raises(ValueError, match="configs differ"):
+        merge_indexes(ia, other, str(tmp_path / "m2"))
+
+    # min_df > 1 unsupported
+    mdf = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None, min_df=2)
+    ia2, ib2 = str(tmp_path / "ia2"), str(tmp_path / "ib2")
+    build_index(src_a, ia2, mdf, num_parts=2, resume=False)
+    build_index(src_b, ib2, mdf, num_parts=2, resume=False)
+    with pytest.raises(NotImplementedError, match="min_df"):
+        merge_indexes(ia2, ib2, str(tmp_path / "m3"))
+
+
+def test_merge_chain_three_ways(ray_session, tmp_path):
+    # (A + B) + C == full rebuild — the compaction chain
+    rows = _docs(0, 48, seed=9)
+    srcs = [_write(tmp_path, rows[i * 16 : (i + 1) * 16], f"s{i}") for i in range(3)]
+    idxs = []
+    for i, s in enumerate(srcs):
+        d = str(tmp_path / f"i{i}")
+        build_index(s, d, CFG, num_parts=2, shard_docs=16, resume=False)
+        idxs.append(d)
+    ab = str(tmp_path / "ab")
+    merge_indexes(idxs[0], idxs[1], ab)
+    abc = str(tmp_path / "abc")
+    merge_indexes(ab, idxs[2], abc)
+    full = str(tmp_path / "full3")
+    build_index(_write(tmp_path, rows, "all3"), full, CFG, num_parts=2, shard_docs=16, resume=False)
+    f_full, f_m = _tree_files(full), _tree_files(abc)
+    for sub in ("segments", "doc_lens", "terms", "id_map"):
+        for k in sorted(k for k in f_full if k.startswith(sub)):
+            assert filecmp.cmp(f_full[k], f_m[k], shallow=False), k
