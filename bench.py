@@ -236,6 +236,36 @@ def main() -> None:
     t_msearch = time.monotonic() - t2
     n_rows = res.num_rows
 
+    # round-4 query-language legs: positional build throughput on the
+    # same input + phrase/boolean serving (200 queries each; phrase
+    # terms from the same Zipf mix, so hot posting lists are hit)
+    from retriv_ray.index.positional import PositionalIndex, build_positional_index
+    from retriv_ray.search.boolean import boolean_candidates
+
+    pos_dir = os.path.join(BENCH_ROOT, f"pos_index_{n_convs}_cpus{NUM_CPUS}")
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t3 = time.monotonic()
+    build_positional_index(src, pos_dir, SparseConfig())
+    t_pos_build = time.monotonic() - t3
+    px = PositionalIndex(pos_dir)
+    pqs = [q["text"].split()[:2] for q in qs[:200]]
+    for p_ in pqs[:20]:
+        px.phrase(p_)  # warm segment caches
+    t4 = time.monotonic()
+    for p_ in pqs:
+        px.phrase(p_)
+    t_phrase = time.monotonic() - t4
+    bqs = [
+        {"must": q["text"].split()[:2], "must_not": q["text"].split()[2:3]}
+        for q in qs[:200]
+    ]
+    for s_ in bqs[:20]:
+        boolean_candidates(r.index, **s_)
+    t5 = time.monotonic()
+    for s_ in bqs:
+        boolean_candidates(r.index, **s_)
+    t_bool = time.monotonic() - t5
+
     out = {
         "metric": "index-build+query (turns/sec build, p50 ms, msearch q/s)",
         "value": round(t_build, 3),
@@ -244,6 +274,9 @@ def main() -> None:
             "index_build": round(t_build, 3),
             "query_p50_ms": round(p50_ms, 3),
             "msearch_1000q": round(t_msearch, 3),
+            "pos_build": round(t_pos_build, 3),
+            "phrase_200q": round(t_phrase, 3),
+            "boolean_200q": round(t_bool, 3),
         },
         "sf": sf,
         "num_cpus": NUM_CPUS,
@@ -254,6 +287,9 @@ def main() -> None:
         "build_turns_per_sec": round(n_turns / t_build, 1),
         "msearch_qps": round(N_QUERIES / t_msearch, 1),
         "msearch_rows": int(n_rows),
+        "pos_build_turns_per_sec": round(n_turns / t_pos_build, 1),
+        "phrase_qps": round(200 / t_phrase, 1),
+        "boolean_qps": round(200 / t_bool, 1),
     }
     ray.shutdown()
     print(json.dumps(out))
