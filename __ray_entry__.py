@@ -801,6 +801,22 @@ def _q_star_revenue(sf_dir: str):
     )
 
 
+def _q_order_priority_join(sf_dir: str):
+    """Large-large shuffle hash join probe (orders x lineitem on
+    orderkey, both sides pruned to key + one column pre-shuffle),
+    TPC-H Q4-shaped priority rollup; integer-cents exact."""
+    import ray.data
+
+    from retriv_ray.ops.relational import order_priority_stats
+
+    return order_priority_stats(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet")),
+        ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        "1995-01-01",
+        "1996-07-01",
+    )
+
+
 def _q_orders_by_nation(sf_dir: str):
     import ray.data
 
@@ -1056,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
+        "order_priority_join": _q_order_priority_join,
     }
 
 
@@ -2038,6 +2055,15 @@ def oracle_sql() -> dict[str, str]:
     """
     # distributed anti join (ops/relational.py shuffle_anti_join):
     # right side combiner-deduped to distinct keys before the shuffle
+    out["order_priority_join"] = """
+        SELECT o.o_orderpriority,
+               count(*)::BIGINT AS n_lines,
+               sum(round(l.l_extendedprice * 100))::BIGINT AS sum_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(o.o_orderdate AS VARCHAR) >= '1995-01-01'
+          AND CAST(o.o_orderdate AS VARCHAR) < '1996-07-01'
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """
     out["customers_without_orders"] = """
         SELECT c_custkey, c_name, c_mktsegment FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o

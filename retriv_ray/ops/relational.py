@@ -388,3 +388,99 @@ def shuffle_anti_join(
         return out.drop_columns([c for c in drop if c in out.column_names])
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def hash_join(
+    left,
+    right,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+    left_cols: Optional[Sequence[str]] = None,
+    right_cols: Optional[Sequence[str]] = None,
+):
+    """Large-large distributed equi-join: both sides hash-partition on
+    the key (Ray Data's native shuffle hash join — the idiomatic path
+    when neither side fits a broadcast). The win over calling
+    ``Dataset.join`` directly is the PRUNE-FIRST contract: both sides
+    project to key + needed columns BEFORE the shuffle, so the
+    all-to-all moves only what the probe consumes (the same rule the
+    temporal joins in ops/joins.py apply — 33-byte rows, not whole
+    tables). Hot keys: output rows per key are |L_k| x |R_k|; for
+    skewed many-to-many keys prefer a pre-aggregation or the salted
+    patterns in ops/joins.py — this wrapper is the general-purpose
+    path, and the aggregator layout is Ray's own."""
+    keys = list(on)
+    rkeys = list(right_on) if right_on is not None else keys
+    if left_cols is not None:
+        left = left.select_columns(list(dict.fromkeys(keys + list(left_cols))))
+    if right_cols is not None:
+        right = right.select_columns(
+            list(dict.fromkeys(rkeys + list(right_cols)))
+        )
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(keys),
+        right_on=tuple(rkeys),
+    )
+
+
+def order_priority_stats(orders, lineitem, date_lo: str, date_hi: str):
+    """TPC-H Q4-shaped probe of the large-large hash join: orders in a
+    date window join their lineitems on orderkey; per order priority,
+    count joined rows and sum integer-cents extendedprice. The join's
+    shuffle moves only (key, priority) x (key, price) projections."""
+    import pyarrow.compute as _pc
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        d = _pc.cast(batch.column("o_orderdate"), pa.string())
+        m = _pc.and_(
+            _pc.greater_equal(d, date_lo), _pc.less(d, date_hi)
+        )
+        return batch.filter(m)
+
+    left = orders.map_batches(order_filter, batch_format="pyarrow")
+    joined = hash_join(
+        left,
+        lineitem,
+        on=["o_orderkey"],
+        right_on=["l_orderkey"],
+        num_partitions=16,
+        left_cols=["o_orderpriority"],
+        right_cols=["l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                batch.column("o_orderpriority"),
+                _cents(batch.column("l_extendedprice")),
+            ],
+            names=["o_orderpriority", "cents"],
+        )
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "cents", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("cents"), Sum("n"))
+        .map_batches(
+            lambda b: pa.Table.from_arrays(
+                [
+                    b.column("o_orderpriority"),
+                    pc.cast(b.column("sum(n)"), pa.int64()),
+                    pc.cast(b.column("sum(cents)"), pa.int64()),
+                ],
+                names=["o_orderpriority", "n_lines", "sum_cents"],
+            ),
+            batch_format="pyarrow",
+        )
+    )
