@@ -57,6 +57,7 @@ PROXIMITY_QUERIES = {
 PREFIX_QUERIES = {"w1": "s", "w2": "c", "w3": "qu"}
 MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 MIXTURE_BUDGET = 3000
+DELETED_DOC_IDS = [3, 7, 23, 99, 154, 200, 201, 202]
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -166,6 +167,36 @@ def _q_bm25_topk(sf_dir: str):
     from retriv_ray.pipelines.documents import topk_table
 
     return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
+
+
+def _q_deleted_bm25_topk(sf_dir: str):
+    """Tombstone-masked serving: delete a handful of conversations,
+    search with the ORIGINAL corpus statistics (Lucene deleted-docs
+    semantics — df/avgdl unchanged until compaction), ranks recompute
+    among survivors. Oracle: full-stats BM25 with the deleted doc_ids
+    filtered from the ranked output."""
+    import shutil as _sh
+
+    from retriv_ray.index.tombstones import delete_conversations
+    from retriv_ray.pipelines.documents import (
+        CACHE_ROOT,
+        ORACLE_BM25,
+        topk_table,
+    )
+    from retriv_ray.search.searcher import RaySparseRetriever
+
+    base = _index(sf_dir)
+    key = hashlib.sha1(
+        f"tomb|{os.path.abspath(sf_dir)}|{DELETED_DOC_IDS}".encode()
+    ).hexdigest()[:16]
+    tomb_dir = os.path.join(CACHE_ROOT, f"tomb_{key}")
+    if not os.path.exists(os.path.join(tomb_dir, "manifest.json")):
+        _sh.copytree(base.index_dir, tomb_dir, dirs_exist_ok=True)
+        delete_conversations(
+            tomb_dir, [f"d{i:012d}" for i in DELETED_DOC_IDS]
+        )
+    r = RaySparseRetriever(tomb_dir, ORACLE_BM25)
+    return topk_table(r, TOPK_QUERIES, CUTOFF)
 
 
 def _q_merged_postings(sf_dir: str):
@@ -1008,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lens": _q_doc_lens,
         "postings": _q_postings,
         "merged_postings": _q_merged_postings,
+        "deleted_bm25_topk": _q_deleted_bm25_topk,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
@@ -1548,6 +1580,28 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_sharded"] = out["bm25_topk"]
     # merged half+half index must reproduce the whole-corpus postings
     out["merged_postings"] = out["postings"]
+    # tombstone-masked top-k: FULL-corpus stats, deleted ids filtered
+    # from the ranked output (Lucene deleted-docs semantics)
+    _del_ids = ", ".join(str(i) for i in DELETED_DOC_IDS)
+    out["deleted_bm25_topk"] = f"""
+        WITH {_BASE_CTES}, {_QTERMS},
+        scores AS (
+          SELECT q.q_id, tf.doc_id,
+            sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1)
+                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, tf.doc_id)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+          FROM scores WHERE doc_id NOT IN ({_del_ids}))
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
     out["filtered_bm25_topk_sharded"] = out["filtered_bm25_topk"]
     # prep ops (ops/prep.py): the Python side uses pyarrow RE2 regex
     # kernels / md5 low-8-bytes — the same RE2 dialect and

@@ -327,20 +327,9 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str) -> dict:
             if os.path.exists(segment_file(out_dir, shard, part))
         ]
         out_path = os.path.join(out_dir, "terms", f"part-{part:04d}.parquet")
-        if files:
+        if files:  # partless parts write no file, like the build
             n, _pruned = _merge_part_terms(files, out_path, min_df=1)
             n_terms += n
-        else:
-            mf.atomic_write_parquet(
-                pa.table(
-                    {
-                        "term": pa.array([], type=pa.string()),
-                        "df": pa.array([], type=pa.int64()),
-                        "cf": pa.array([], type=pa.int64()),
-                    }
-                ),
-                out_path,
-            )
 
     len_sum = int(ma["stats"]["len_sum"]) + int(mb["stats"]["len_sum"])
     man = mf.IndexManifest(

@@ -132,6 +132,18 @@ def _candidates(
     return unique
 
 
+def _drop_ranges(
+    unique: np.ndarray, exclude_ranges: Tuple[np.ndarray, np.ndarray]
+) -> np.ndarray:
+    """Remove ids falling in sorted [start, end) ranges (tombstones)."""
+    starts, ends = exclude_ranges
+    if not len(starts) or not len(unique):
+        return unique
+    idx = np.searchsorted(starts, unique, side="right") - 1
+    dele = (idx >= 0) & (unique < ends[np.maximum(idx, 0)])
+    return unique[~dele]
+
+
 def _scratch_get(scratch: Optional[dict], key: str, n: int, dtype) -> np.ndarray:
     """Fetch-or-create a reusable zeroed buffer. Per-query
     ``np.zeros`` page-faulting dominates under concurrency on
@@ -203,13 +215,19 @@ def bm25(
     dtype=np.float32,
     contribs: Optional[Sequence[np.ndarray]] = None,
     scratch: Optional[dict] = None,
+    exclude_ranges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """reference bm25.py:16-59. ``relative_doc_lens`` must be the
     float32 full-corpus array (doc_lens / float32-mean).
     ``contribs``: optional pre-computed per-term contribution vectors
     (see :func:`bm25_term_contrib`) — score-identical fast path.
-    ``scratch``: optional reusable-buffer dict (see _scratch_get)."""
+    ``scratch``: optional reusable-buffer dict (see _scratch_get).
+    ``exclude_ranges``: optional (starts, ends) sorted doc-id ranges
+    (tombstoned deletions) — dropped from the candidate set, and their
+    score entries zeroed for scratch-buffer hygiene."""
     unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count, scratch)
+    if exclude_ranges is not None:
+        unique = _drop_ranges(unique, exclude_ranges)
     scores = _scratch_get(scratch, "scores_" + np.dtype(dtype).name, doc_count, dtype)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
@@ -222,6 +240,9 @@ def bm25(
             )
         )
         scores[indices] += contrib
+    if exclude_ranges is not None:
+        for s, e in zip(*exclude_ranges):
+            scores[s:e] = 0
     out = _finalize(unique, scores, cutoff)
     if scratch is not None:
         _reset_scores(scores, unique, doc_ids, operator, subset_doc_ids)
@@ -276,12 +297,15 @@ def tf_idf(
     dtype=np.float32,
     contribs: Optional[Sequence[np.ndarray]] = None,
     scratch: Optional[dict] = None,
+    exclude_ranges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """reference tf_idf.py:16-57. ``doc_lens`` is the float32
     full-corpus array; doc_count = len(doc_lens) exactly as the
-    reference does (tf_idf.py:33)."""
+    reference does (tf_idf.py:33). ``exclude_ranges`` as in bm25."""
     doc_count = len(doc_lens)
     unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count, scratch)
+    if exclude_ranges is not None:
+        unique = _drop_ranges(unique, exclude_ranges)
     scores = _scratch_get(scratch, "scores_" + np.dtype(dtype).name, doc_count, dtype)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
@@ -293,6 +317,9 @@ def tf_idf(
             )
         )
         scores[indices] += contrib
+    if exclude_ranges is not None:
+        for s, e in zip(*exclude_ranges):
+            scores[s:e] = 0
     out = _finalize(unique, scores, cutoff)
     if scratch is not None:
         _reset_scores(scores, unique, doc_ids, operator, subset_doc_ids)

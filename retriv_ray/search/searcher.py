@@ -271,6 +271,32 @@ class LoadedIndex:
         self._contrib_cache: Dict[tuple, np.ndarray] = {}
         self._contrib_bytes = 0
         self.contrib_cache_cap = 256 << 20
+        self._tombstone_ranges: Optional[tuple] = False  # False = unloaded
+
+    @property
+    def exclude_ranges(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Tombstoned doc-id ranges as LOCAL [start, end) arrays, or
+        None. Loaded once; call :meth:`reload_tombstones` after a
+        :func:`retriv_ray.index.tombstones.delete_conversations` on a
+        live index."""
+        if self._tombstone_ranges is False:
+            from retriv_ray.index.tombstones import deleted_doc_ranges
+
+            r = deleted_doc_ranges(self.index_dir)
+            if r is not None:
+                starts = np.clip(r[0] - self.doc_base, 0, self.local_count)
+                ends = np.clip(r[1] - self.doc_base, 0, self.local_count)
+                keep = ends > starts
+                r = (
+                    (starts[keep], ends[keep])
+                    if keep.any()
+                    else None
+                )
+            self._tombstone_ranges = r
+        return self._tombstone_ranges
+
+    def reload_tombstones(self) -> None:
+        self._tombstone_ranges = False
 
     def term_contrib(self, term: str, model: str, b, k1, dtype) -> np.ndarray:
         """Cached per-term score-contribution vector (kernel
@@ -445,10 +471,12 @@ class RaySparseRetriever:
         dtype = np.float32 if self.cfg.score_dtype == "float32" else np.float64
         b, k1 = self.cfg.hyperparams["b"], self.cfg.hyperparams["k1"]
         model = "bm25" if self.cfg.model == "bm25" else "tf-idf"
+        exclude = idx.exclude_ranges
         if (
             model == "bm25"
             and operator == "OR"
             and subset is None
+            and exclude is None  # pruned bounds ignore tombstones
             and self.cfg.use_block_max
             and idx.shard_range is None  # block metadata is global-id
         ):
@@ -482,6 +510,7 @@ class RaySparseRetriever:
                 dtype=dtype,
                 contribs=contribs,
                 scratch=self._scratch,
+                exclude_ranges=exclude,
             )
         return kernel.tf_idf(
             term_doc_freqs=tfs,
@@ -493,6 +522,7 @@ class RaySparseRetriever:
             dtype=dtype,
             contribs=contribs,
             scratch=self._scratch,
+            exclude_ranges=exclude,
         )
 
     # -- public API ----------------------------------------------------
