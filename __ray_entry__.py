@@ -287,13 +287,21 @@ def _q_phrase_search(sf_dir: str):
     occurrences counted)."""
     import pyarrow as pa
 
-    from retriv_ray.index.positional import phrase_table
+    from retriv_ray.index.positional import phrase_msearch_ds
     from retriv_ray.pipelines.documents import (
         conv_to_doc_id,
         documents_positional_index,
     )
 
-    t = phrase_table(documents_positional_index(sf_dir), PHRASE_QUERIES)
+    px = documents_positional_index(sf_dir)  # build-or-load cache
+    ds = phrase_msearch_ds(
+        px.index_dir,
+        [{"id": q, "text": t} for q, t in PHRASE_QUERIES.items()],
+        concurrency=2,
+    )
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
     docs = conv_to_doc_id(t.column("conv_id").to_pylist())
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_occ")],

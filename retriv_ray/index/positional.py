@@ -659,3 +659,62 @@ def _qct_table(q_col, c_parts, t_parts, n_parts, n_name: str) -> pa.Table:
         ],
         names=["q_id", "conv_id", "turn_idx", n_name],
     )
+
+
+# ---------------------------------------------------------------------------
+# batch serving (Dataset of phrase queries -> Dataset of matches)
+# ---------------------------------------------------------------------------
+
+_SERVE_STATE: dict = {}
+
+
+def _phrase_scorer_fn(index_dir: str):
+    """Per-worker-cached PositionalIndex (segments load once per
+    worker process and are reused across tasks — the ST3 stateful-
+    serving pattern, task-pool form like searcher._query_scorer_fn)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _SERVE_STATE.get(index_dir)
+        if px is None:
+            px = PositionalIndex(index_dir)
+            _SERVE_STATE.clear()
+            _SERVE_STATE[index_dir] = px
+        q_ids = batch.column("id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return phrase_table(
+            px, {str(q): t or "" for q, t in zip(q_ids, texts)}
+        )
+
+    return fn
+
+
+def phrase_msearch_ds(
+    index_dir: str,
+    queries,
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,
+):
+    """Batch phrase serving: a Dataset / list of {id, text} phrase
+    queries streams through worker-cached PositionalIndex readers.
+    Returns a Dataset (q_id, conv_id, turn_idx, n_occ); each worker
+    holds only the segments its queries' terms hash to (lazy per-part
+    loads), so the reader fleet memory profile matches the sharded
+    BM25 scorers."""
+    import ray
+    import ray.data
+
+    if concurrency is None:
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    if isinstance(queries, (list, tuple)):
+        n = len(queries)
+        queries = ray.data.from_items(
+            [{"id": q["id"], "text": q["text"]} for q in queries]
+        )
+        target_blocks = max(1, min(n // 8, 4 * concurrency))
+        if queries.num_blocks() < target_blocks:
+            queries = queries.repartition(target_blocks)
+    return queries.map_batches(
+        _phrase_scorer_fn(index_dir),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

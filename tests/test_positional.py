@@ -171,3 +171,27 @@ def test_multiturn_doc_ids(ray_session, tmp_path):
     assert docs.tolist() == [0, 5] and n.tolist() == [1, 1]
     convs, turns = px.to_original_ids(docs)
     assert convs.tolist() == ["a", "b"] and turns.tolist() == [0, 2]
+
+
+def test_phrase_msearch_ds_matches_direct(pindex):
+    from retriv_ray.index.positional import phrase_msearch_ds
+
+    queries = [
+        {"id": "qa", "text": "a b"},
+        {"id": "qb", "text": "c c"},
+        {"id": "qc", "text": "y z a"},
+    ]
+    ds = phrase_msearch_ds(pindex.index_dir, queries, concurrency=2)
+    got = ds.to_pandas().sort_values(["q_id", "conv_id"]).reset_index(drop=True)
+    import pandas as pd
+
+    exp_frames = []
+    for q in queries:
+        t = phrase_table(pindex, {q["id"]: q["text"]})
+        exp_frames.append(t.to_pandas())
+    exp = (
+        pd.concat(exp_frames)
+        .sort_values(["q_id", "conv_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
