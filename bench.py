@@ -245,7 +245,9 @@ def main() -> None:
     pos_dir = os.path.join(BENCH_ROOT, f"pos_index_{n_convs}_cpus{NUM_CPUS}")
     shutil.rmtree(pos_dir, ignore_errors=True)
     t3 = time.monotonic()
-    build_positional_index(src, pos_dir, SparseConfig())
+    build_positional_index(
+        src, pos_dir, SparseConfig(), conv_offsets_source=index_dir
+    )
     t_pos_build = time.monotonic() - t3
     px = PositionalIndex(pos_dir)
     pqs = [q["text"].split()[:2] for q in qs[:200]]

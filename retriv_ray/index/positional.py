@@ -260,63 +260,72 @@ def _encode_pos_group(group: pa.Table, index_dir: str, num_parts: int) -> dict:
     t_starts = np.flatnonzero(term_brk)
     t_ends = np.append(t_starts[1:], len(t_codes))
 
-    out_terms: List[str] = []
-    out_df: List[int] = []
-    out_docb: List[bytes] = []
-    out_npos_off = [0]
-    out_npos_vals: List[np.ndarray] = []
-    out_posb: List[bytes] = []
-    n_positions = 0
-    for s, e in zip(t_starts, t_ends):
-        d = docs_o[s:e]
-        nps = npos_o[s:e]
-        o = np.argsort(d, kind="stable")
-        d, nps = d[o], nps[o]
-        # doc deltas: first absolute
-        dd = np.empty(len(d), dtype=np.uint64)
-        dd[0] = d[0]
-        dd[1:] = np.diff(d).astype(np.uint64)
-        # gather this term's positions doc-by-doc in sorted-doc order
-        # (vectorized repeat/arange gather over the flat pos stream)
-        entry_idx = gather_docs[s:e][o]
-        g_lens = npos_flat[entry_idx]
-        g_total = int(g_lens.sum())
-        g_excl = np.concatenate(([0], np.cumsum(g_lens)[:-1]))
-        pg = (
-            pos_flat[
-                np.repeat(pos_off[entry_idx], g_lens)
-                + (np.arange(g_total) - np.repeat(g_excl, g_lens))
-            ]
-            if g_total
-            else np.empty(0, dtype=np.int64)
+    # ---- fully vectorized encode (the per-term Python loop measured
+    # 6x the map cost; LEB128 is per-value, so one varint_encode over
+    # the whole concatenated delta stream == the concatenation of
+    # per-term encodes, and per-term byte spans come from reduceat)
+    term_gid = np.cumsum(term_brk) - 1 if len(t_codes) else np.empty(0, np.int64)
+    order2 = np.lexsort((docs_o, term_gid))
+    d_all = docs_o[order2]
+    nps_all = npos_o[order2]
+    entry_idx_all = gather_docs[order2]
+
+    # doc deltas, first-of-term absolute
+    dd = np.diff(d_all, prepend=0)
+    dd[t_starts] = d_all[t_starts]
+    nbd = codec.varint_nbytes(dd.astype(np.uint64))
+    doc_stream = codec.varint_encode(dd.astype(np.uint64), nbd)
+    doc_blen = np.add.reduceat(nbd.astype(np.int64), t_starts)
+
+    # global positions gather in (term, doc) order
+    g_lens = npos_flat[entry_idx_all]
+    g_total = int(g_lens.sum())
+    g_excl = np.concatenate(([0], np.cumsum(g_lens)[:-1]))
+    pg_all = (
+        pos_flat[
+            np.repeat(pos_off[entry_idx_all], g_lens)
+            + (np.arange(g_total) - np.repeat(g_excl, g_lens))
+        ]
+        if g_total
+        else np.empty(0, dtype=np.int64)
+    )
+    # per-doc delta encode: first-of-doc absolute
+    pd = np.diff(pg_all, prepend=0)
+    doc_pos_starts = g_excl  # exclusive cumsum of per-doc counts
+    pd[doc_pos_starts] = pg_all[doc_pos_starts]
+    nbp = codec.varint_nbytes(pd.astype(np.uint64))
+    pos_stream = codec.varint_encode(pd.astype(np.uint64), nbp)
+    # per-term spans over the position-value axis
+    t_pos_starts = g_excl[t_starts] if len(t_starts) else np.empty(0, np.int64)
+    pos_blen = (
+        np.add.reduceat(nbp.astype(np.int64), t_pos_starts)
+        if g_total
+        else np.zeros(len(t_starts), dtype=np.int64)
+    )
+    n_positions = g_total
+
+    def _bin_col(stream: bytes, blens: np.ndarray) -> pa.Array:
+        offs = np.concatenate(([0], np.cumsum(blens))).astype(np.int32)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(blens),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(stream)],
         )
-        # per-doc delta encode positions (first absolute per doc)
-        pd = np.diff(pg, prepend=0)
-        starts = np.concatenate(([0], np.cumsum(nps)[:-1])).astype(np.int64)
-        pd[starts] = pg[starts]
-        out_terms.append(str(terms_sorted[t_codes[s]]))
-        out_df.append(len(d))
-        out_docb.append(codec.varint_encode(dd))
-        out_npos_vals.append(nps.astype(np.int32))
-        out_npos_off.append(out_npos_off[-1] + len(nps))
-        out_posb.append(codec.varint_encode(pd.astype(np.uint64)))
-        n_positions += len(pg)
 
     seg = pa.Table.from_arrays(
         [
-            pa.array(out_terms, type=pa.string()),
-            pa.array(out_df, type=pa.int64()),
-            pa.array(out_docb, type=pa.binary()),
+            pa.array(terms_sorted[t_codes[t_starts]], type=pa.string()),
+            pa.array((t_ends - t_starts).astype(np.int64), type=pa.int64()),
+            _bin_col(doc_stream, doc_blen),
             pa.ListArray.from_arrays(
-                pa.array(out_npos_off, type=pa.int32()),
                 pa.array(
-                    np.concatenate(out_npos_vals)
-                    if out_npos_vals
-                    else np.empty(0, np.int32),
-                    type=pa.int32(),
+                    np.concatenate(([0], np.cumsum(t_ends - t_starts))).astype(
+                        np.int32
+                    )
                 ),
+                pa.array(nps_all.astype(np.int32), type=pa.int32()),
             ),
-            pa.array(out_posb, type=pa.binary()),
+            _bin_col(pos_stream, pos_blen),
         ],
         names=["term", "df", "doc_bytes", "npos", "pos_bytes"],
     )
@@ -328,8 +337,8 @@ def _encode_pos_group(group: pa.Table, index_dir: str, num_parts: int) -> dict:
     return {
         "shard": shard,
         "part": part,
-        "n_terms": len(out_terms),
-        "n_postings": int(sum(out_df)),
+        "n_terms": int(len(t_starts)),
+        "n_postings": int(len(d_all)),
         "n_positions": int(n_positions),
     }
 
@@ -361,10 +370,17 @@ def build_positional_index(
     num_parts: int = 8,
     shard_docs: int = 1 << 22,
     batch_size: int = 4096,
+    conv_offsets_source: Optional[str] = None,
 ) -> dict:
     """Build positional segments under ``index_dir`` from a parquet
     path/list source of (conv_id, turn_idx, text). Returns the
-    manifest dict (also written to ``pos_manifest.json``)."""
+    manifest dict (also written to ``pos_manifest.json``).
+
+    ``conv_offsets_source``: an existing index dir whose
+    ``id_map/conv_offsets.parquet`` covers the SAME source — reuses
+    its doc-id assignment and skips the offsets pass (the positional
+    index is usually built beside a main index over identical input;
+    the offsets scan is the build's fixed ~1-2s overhead)."""
     import ray
 
     cfg = cfg or SparseConfig()
@@ -375,7 +391,16 @@ def build_positional_index(
             "(Dataset inputs: write_parquet first)"
         )
     t0 = time.monotonic()
-    conv_offsets, doc_count = compute_conv_offsets(source)
+    if conv_offsets_source is not None:
+        from retriv_ray.index.build import read_conv_offsets
+
+        conv_offsets = read_conv_offsets(conv_offsets_source)
+        doc_count = int(
+            conv_offsets.column("base")[-1].as_py()
+            + conv_offsets.column("n_turns")[-1].as_py()
+        )
+    else:
+        conv_offsets, doc_count = compute_conv_offsets(source)
     os.makedirs(os.path.join(index_dir, "id_map"), exist_ok=True)
     pq.write_table(
         conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")

@@ -195,3 +195,23 @@ def test_phrase_msearch_ds_matches_direct(pindex):
         .reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+def test_build_with_reused_conv_offsets(ray_session, tmp_path):
+    # offsets reuse from a main index over the same source must yield
+    # an identical positional index
+    from retriv_ray.index.build import build_index
+
+    src = _write_src(tmp_path, DOCS, "reuse")
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+    main_idx = str(tmp_path / "main_idx")
+    build_index(src, main_idx, cfg, num_parts=2, resume=False)
+    a, b = str(tmp_path / "pa"), str(tmp_path / "pb")
+    build_positional_index(src, a, cfg, num_parts=2)
+    build_positional_index(src, b, cfg, num_parts=2, conv_offsets_source=main_idx)
+    pa_, pb_ = PositionalIndex(a), PositionalIndex(b)
+    for terms in (["a", "b"], ["c", "c"]):
+        da, na = pa_.phrase(terms)
+        db, nb = pb_.phrase(terms)
+        assert da.tolist() == db.tolist() and na.tolist() == nb.tolist()
+    assert pa_.manifest["n_positions"] == pb_.manifest["n_positions"]
