@@ -743,3 +743,54 @@ def phrase_msearch_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def _prox_scorer_fn(index_dir: str):
+    """Worker-cached proximity twin of :func:`_phrase_scorer_fn`;
+    query rows carry (id, term_a, term_b, window)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        px = _SERVE_STATE.get(index_dir)
+        if px is None:
+            px = PositionalIndex(index_dir)
+            _SERVE_STATE.clear()
+            _SERVE_STATE[index_dir] = px
+        qs = {
+            str(q): (a, b, int(w))
+            for q, a, b, w in zip(
+                batch.column("id").to_pylist(),
+                batch.column("term_a").to_pylist(),
+                batch.column("term_b").to_pylist(),
+                batch.column("window").to_pylist(),
+            )
+        }
+        return proximity_table(px, qs)
+
+    return fn
+
+
+def proximity_msearch_ds(
+    index_dir: str,
+    queries,
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,
+):
+    """Batch proximity serving: Dataset / list of {id, term_a, term_b,
+    window} rows -> Dataset (q_id, conv_id, turn_idx, n_pairs); same
+    worker-cached reader fleet as :func:`phrase_msearch_ds`."""
+    import ray
+    import ray.data
+
+    if concurrency is None:
+        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    if isinstance(queries, (list, tuple)):
+        n = len(queries)
+        queries = ray.data.from_items(list(queries))
+        target_blocks = max(1, min(n // 8, 4 * concurrency))
+        if queries.num_blocks() < target_blocks:
+            queries = queries.repartition(target_blocks)
+    return queries.map_batches(
+        _prox_scorer_fn(index_dir),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

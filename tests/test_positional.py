@@ -215,3 +215,33 @@ def test_build_with_reused_conv_offsets(ray_session, tmp_path):
         db, nb = pb_.phrase(terms)
         assert da.tolist() == db.tolist() and na.tolist() == nb.tolist()
     assert pa_.manifest["n_positions"] == pb_.manifest["n_positions"]
+
+
+def test_proximity_msearch_ds_matches_direct(pindex):
+    from retriv_ray.index.positional import proximity_msearch_ds
+
+    queries = [
+        {"id": "p1", "term_a": "a", "term_b": "b", "window": 1},
+        {"id": "p2", "term_a": "c", "term_b": "c", "window": 2},
+    ]
+    got = (
+        proximity_msearch_ds(pindex.index_dir, queries, concurrency=2)
+        .to_pandas()
+        .sort_values(["q_id", "conv_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    exp = (
+        pd.concat(
+            [
+                proximity_table(
+                    pindex, {q["id"]: (q["term_a"], q["term_b"], q["window"])}
+                ).to_pandas()
+                for q in queries
+            ]
+        )
+        .sort_values(["q_id", "conv_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
