@@ -19,6 +19,11 @@ Implemented pipelines (SURVEY.md §2 + training-data operators):
   (rolling-hash SQL oracle)
 - events: tumbling-window aggregate (integer-cents exact)
 - multimodal: payload plumbing + stubbed decode features (rows-only)
+- round 4: boolean retrieval, positional phrase/proximity search,
+  wildcard prefix scans, KWIC snippets, offline index merge
+  (merged_postings shares the whole-corpus postings oracle),
+  tombstone-masked BM25 (deleted_bm25_topk), token-budget mixture
+  sampling, large-large shuffle hash join (order_priority_join)
 """
 
 from __future__ import annotations
