@@ -477,6 +477,21 @@ class PositionalIndex:
         self._terms: Dict[str, tuple] = {}
         self._cache_terms = cache_terms
         self._conv = None
+        self._tombstone_ranges: object = False  # False = unloaded
+
+    @property
+    def exclude_ranges(self):
+        """Tombstoned [start, end) doc-id ranges for this index dir
+        (same mechanism as the main index: see
+        retriv_ray.index.tombstones), or None."""
+        if self._tombstone_ranges is False:
+            from retriv_ray.index.tombstones import deleted_doc_ranges
+
+            self._tombstone_ranges = deleted_doc_ranges(self.index_dir)
+        return self._tombstone_ranges
+
+    def reload_tombstones(self) -> None:
+        self._tombstone_ranges = False
 
     def _segment(self, shard: int, part: int) -> dict:
         key = (shard, part)
@@ -589,6 +604,10 @@ class PositionalIndex:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         posts = [self.get(t) for t in terms]
         cand = intersect_sorted_multi([p[0] for p in posts])
+        if self.exclude_ranges is not None:
+            from retriv_ray.search.kernel import _drop_ranges
+
+            cand = _drop_ranges(cand, self.exclude_ranges)
         if len(cand) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         keys0, lab0 = self._restricted_keys(terms[0], cand)
@@ -618,6 +637,10 @@ class PositionalIndex:
         da, _, _ = self.get(term_a)
         db, _, _ = self.get(term_b)
         cand = intersect_sorted_multi([da, db])
+        if self.exclude_ranges is not None:
+            from retriv_ray.search.kernel import _drop_ranges
+
+            cand = _drop_ranges(cand, self.exclude_ranges)
         if len(cand) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         ka, laba = self._restricted_keys(term_a, cand)

@@ -245,3 +245,22 @@ def test_proximity_msearch_ds_matches_direct(pindex):
         .reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+def test_phrase_respects_tombstones(ray_session, tmp_path):
+    from retriv_ray.index.tombstones import delete_conversations
+
+    src = _write_src(tmp_path, DOCS, "tomb")
+    idx = str(tmp_path / "tomb_idx")
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+    build_positional_index(src, idx, cfg, num_parts=2)
+    px = PositionalIndex(idx)
+    docs0, _ = px.phrase(["a", "b"])
+    assert 0 in docs0.tolist()
+    delete_conversations(idx, ["c000"])
+    px.reload_tombstones()
+    docs1, _ = px.phrase(["a", "b"])
+    assert 0 not in docs1.tolist()
+    assert set(docs1.tolist()) == set(docs0.tolist()) - {0}
+    pdocs, _ = px.proximity("a", "b", 2)
+    assert 0 not in pdocs.tolist()
