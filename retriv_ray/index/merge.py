@@ -360,3 +360,225 @@ def dataclasses_asdict(man) -> dict:
     import dataclasses
 
     return dataclasses.asdict(man)
+
+
+# ---------------------------------------------------------------------------
+# positional index merge (same contract as merge_indexes)
+# ---------------------------------------------------------------------------
+
+
+def _decode_pos_rows(
+    path: str, shard_src: int, offset: int, shard_docs: int, part: int,
+    num_parts: int,
+):
+    """One positional segment -> POS_PAIR_SCHEMA rows rebased by
+    ``offset`` and re-bucketed into merged gkeys (= shard * P + part;
+    positional gkeys have no reserved doc-lens part)."""
+    from retriv_ray.index.positional import POS_PAIR_SCHEMA
+
+    if not os.path.exists(path):
+        return POS_PAIR_SCHEMA.empty_table()
+    t = pq.read_table(path)
+    terms = t.column("term").to_pylist()
+    g_terms, g_gkey = [], []
+    doc_offs = [0]
+    pos_offs = [0]
+    docs_parts, npos_parts, pos_parts = [], [], []
+    d_last = p_last = 0
+    for i in range(t.num_rows):
+        dd = codec.varint_decode(t.column("doc_bytes")[i].as_py()).astype(np.int64)
+        docs = np.cumsum(dd) + shard_src * shard_docs + offset
+        nps = np.asarray(t.column("npos")[i].as_py(), dtype=np.int64)
+        pd = codec.varint_decode(t.column("pos_bytes")[i].as_py()).astype(np.int64)
+        if len(pd):
+            starts = np.concatenate(([0], np.cumsum(nps)[:-1]))
+            c = np.cumsum(pd)
+            base = np.zeros(len(nps), dtype=np.int64)
+            base[1:] = c[starts[1:] - 1]
+            pos = c - np.repeat(base, nps)
+        else:
+            pos = pd
+        shard = docs // shard_docs
+        brk = np.flatnonzero(np.concatenate(([True], shard[1:] != shard[:-1])))
+        ends = np.append(brk[1:], len(docs))
+        p_off = np.concatenate(([0], np.cumsum(nps)))
+        for s, e in zip(brk, ends):
+            g_terms.append(terms[i])
+            g_gkey.append(int(shard[s]) * num_parts + part)
+            docs_parts.append((docs[s:e] - shard[s] * shard_docs).astype(np.int32))
+            npos_parts.append(nps[s:e].astype(np.int32))
+            pos_parts.append(pos[p_off[s] : p_off[e]].astype(np.int32))
+            d_last += e - s
+            p_last += int(p_off[e] - p_off[s])
+            doc_offs.append(d_last)
+            pos_offs.append(p_last)
+    from retriv_ray.index.positional import POS_PAIR_SCHEMA as _S
+
+    if not g_terms:
+        return _S.empty_table()
+    do = pa.array(np.asarray(doc_offs, dtype=np.int32))
+    po = pa.array(np.asarray(pos_offs, dtype=np.int32))
+    return pa.Table.from_arrays(
+        [
+            pa.array(g_gkey, type=pa.int64()),
+            pa.array(g_terms, type=pa.string()),
+            pa.ListArray.from_arrays(
+                do, pa.array(np.concatenate(docs_parts), type=pa.int32())
+            ),
+            pa.ListArray.from_arrays(
+                do, pa.array(np.concatenate(npos_parts), type=pa.int32())
+            ),
+            pa.ListArray.from_arrays(
+                po, pa.array(np.concatenate(pos_parts), type=pa.int32())
+            ),
+        ],
+        schema=_S,
+    )
+
+
+def _merge_pos_part_task(
+    dir_a: str,
+    dir_b: str,
+    out_dir: str,
+    num_parts: int,
+    shard_docs: int,
+    part: int,
+    boundary: int,
+    n_shards_a: int,
+    n_shards_b: int,
+    offset: int,
+) -> List[dict]:
+    from retriv_ray.index.positional import _encode_pos_group, pos_segment_file
+
+    rows = []
+    if boundary < n_shards_a:
+        t = _decode_pos_rows(
+            pos_segment_file(dir_a, boundary, part), boundary, 0,
+            shard_docs, part, num_parts,
+        )
+        if t.num_rows:
+            rows.append(t)
+    for sb in range(n_shards_b):
+        t = _decode_pos_rows(
+            pos_segment_file(dir_b, sb, part), sb, offset,
+            shard_docs, part, num_parts,
+        )
+        if t.num_rows:
+            rows.append(t)
+    if not rows:
+        return []
+    all_rows = pa.concat_tables(rows)
+    gk = all_rows.column("gkey").to_numpy()
+    order = np.argsort(gk, kind="stable")
+    srt = all_rows.take(pa.array(order, type=pa.int64()))
+    gk_s = gk[order]
+    out = []
+    for g in np.unique(gk_s):
+        lo = np.searchsorted(gk_s, g, side="left")
+        hi = np.searchsorted(gk_s, g, side="right")
+        out.append(
+            _encode_pos_group(srt.slice(lo, hi - lo), out_dir, num_parts)
+        )
+    return out
+
+
+def merge_positional_indexes(dir_a: str, dir_b: str, out_dir: str) -> dict:
+    """Segment-append merge for POSITIONAL indexes — same contract and
+    byte-identity guarantee as :func:`merge_indexes`: B's conv range
+    sorts after A's; shards untouched by new ids copy verbatim; the
+    boundary shard and all of B decode, rebase by +A.doc_count, and
+    re-encode through the canonical positional encode."""
+    import ray
+    from retriv_ray.index.positional import pos_segment_file
+
+    t0 = time.monotonic()
+    with open(os.path.join(dir_a, "pos_manifest.json")) as f:
+        ma = json.load(f)
+    with open(os.path.join(dir_b, "pos_manifest.json")) as f:
+        mb = json.load(f)
+    if ma["config"] != mb["config"]:
+        raise ValueError("merge_positional_indexes: configs differ")
+    if (ma["num_parts"], ma["shard_docs"]) != (mb["num_parts"], mb["shard_docs"]):
+        raise ValueError("merge_positional_indexes: layout differs")
+    P, S = ma["num_parts"], ma["shard_docs"]
+    offset = ma["doc_count"]
+    doc_count = offset + mb["doc_count"]
+
+    ca = pq.read_table(os.path.join(dir_a, "id_map", "conv_offsets.parquet"))
+    cb = pq.read_table(os.path.join(dir_b, "id_map", "conv_offsets.parquet"))
+    if not str(ca.column("conv_id")[-1].as_py()) < str(cb.column("conv_id")[0].as_py()):
+        raise ValueError(
+            "merge_positional_indexes: B's conv_ids must sort strictly "
+            "after A's"
+        )
+    merged_conv = pa.Table.from_arrays(
+        [
+            pa.concat_arrays(
+                [
+                    ca.column("conv_id").combine_chunks(),
+                    cb.column("conv_id").combine_chunks(),
+                ]
+            ),
+            pa.array(
+                np.concatenate(
+                    [
+                        ca.column("base").to_numpy(),
+                        cb.column("base").to_numpy() + offset,
+                    ]
+                ),
+                type=pa.int64(),
+            ),
+            pa.concat_arrays(
+                [
+                    ca.column("n_turns").combine_chunks(),
+                    cb.column("n_turns").combine_chunks(),
+                ]
+            ),
+        ],
+        names=["conv_id", "base", "n_turns"],
+    )
+    os.makedirs(os.path.join(out_dir, "id_map"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    mf.atomic_write_parquet(
+        merged_conv, os.path.join(out_dir, "id_map", "conv_offsets.parquet")
+    )
+
+    boundary = offset // S
+    n_shards_a = max(1, (offset + S - 1) // S)
+    n_shards_b = max(1, (mb["doc_count"] + S - 1) // S)
+    for shard in range(min(boundary, n_shards_a)):
+        for part in range(P):
+            src = pos_segment_file(dir_a, shard, part)
+            if os.path.exists(src):
+                shutil.copyfile(src, pos_segment_file(out_dir, shard, part))
+
+    task = ray.remote(num_cpus=1)(_merge_pos_part_task)
+    refs = [
+        task.remote(
+            dir_a, dir_b, out_dir, P, S, part, boundary,
+            n_shards_a, n_shards_b, offset,
+        )
+        for part in range(P)
+    ]
+    stats = [s for chunk in ray.get(refs) for s in chunk]
+
+    # n_terms convention matches the build: sum of per-(shard, part)
+    # term-row counts (copied files counted via parquet metadata)
+    n_terms = sum(s["n_terms"] for s in stats)
+    for shard in range(min(boundary, n_shards_a)):
+        for part in range(P):
+            p_ = pos_segment_file(out_dir, shard, part)
+            if os.path.exists(p_):
+                n_terms += pq.ParquetFile(p_).metadata.num_rows
+    manifest = dict(ma)
+    manifest.update(
+        doc_count=int(doc_count),
+        n_shards=int(max(1, (doc_count + S - 1) // S)),
+        n_terms=int(n_terms),
+        n_postings=int(ma["n_postings"]) + int(mb["n_postings"]),
+        n_positions=int(ma["n_positions"]) + int(mb["n_positions"]),
+        wall_sec=round(time.monotonic() - t0, 3),
+    )
+    with open(os.path.join(out_dir, "pos_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest

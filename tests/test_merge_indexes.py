@@ -146,3 +146,43 @@ def test_merge_chain_three_ways(ray_session, tmp_path):
     for sub in ("segments", "doc_lens", "terms", "id_map"):
         for k in sorted(k for k in f_full if k.startswith(sub)):
             assert filecmp.cmp(f_full[k], f_m[k], shallow=False), k
+
+
+@pytest.mark.parametrize("shard_docs,n_a,n_b", [
+    (16, 32, 24),
+    (16, 27, 29),
+    (1 << 22, 30, 30),
+])
+def test_positional_merge_byte_identical(ray_session, tmp_path, shard_docs, n_a, n_b):
+    from retriv_ray.index.merge import merge_positional_indexes
+    from retriv_ray.index.positional import PositionalIndex, build_positional_index
+
+    rows = _docs(0, n_a + n_b, seed=21)
+    src_all = _write(tmp_path, rows, "pall")
+    src_a = _write(tmp_path, rows[:n_a], "pa")
+    src_b = _write(tmp_path, rows[n_a:], "pb")
+    full, ia, ib, merged = (
+        str(tmp_path / d) for d in ("pfull", "pia", "pib", "pm")
+    )
+    for s_, d_ in ((src_all, full), (src_a, ia), (src_b, ib)):
+        build_positional_index(s_, d_, CFG, num_parts=3, shard_docs=shard_docs)
+    man = merge_positional_indexes(ia, ib, merged)
+    assert man["doc_count"] == n_a + n_b
+    f_full, f_m = _tree_files(full), _tree_files(merged)
+    seg_f = sorted(k for k in f_full if k.startswith("segments"))
+    seg_m = sorted(k for k in f_m if k.startswith("segments"))
+    assert seg_f == seg_m
+    for k in seg_f:
+        assert filecmp.cmp(f_full[k], f_m[k], shallow=False), k
+    assert filecmp.cmp(
+        f_full["id_map/conv_offsets.parquet"],
+        f_m["id_map/conv_offsets.parquet"],
+        shallow=False,
+    )
+    pf, pm = PositionalIndex(full), PositionalIndex(merged)
+    assert pf.manifest["n_terms"] == pm.manifest["n_terms"]
+    assert pf.manifest["n_positions"] == pm.manifest["n_positions"]
+    for phrase in (["red", "green"], ["blue"], ["teal", "purple"]):
+        df_, nf = pf.phrase(phrase)
+        dm, nm = pm.phrase(phrase)
+        assert df_.tolist() == dm.tolist() and nf.tolist() == nm.tolist()
