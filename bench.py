@@ -217,6 +217,20 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # positional-build leg FIRST (right after the timed main build, in
+    # the same machine window): measured last it inherited whatever the
+    # query legs' worker fleet left behind (6-10s vs 2.3s standalone)
+    from retriv_ray.index.positional import PositionalIndex, build_positional_index
+    from retriv_ray.search.boolean import boolean_candidates
+
+    pos_dir = os.path.join(BENCH_ROOT, f"pos_index_{n_convs}_cpus{NUM_CPUS}")
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t3 = time.monotonic()
+    build_positional_index(
+        src, pos_dir, SparseConfig(), conv_offsets_source=index_dir
+    )
+    t_pos_build = time.monotonic() - t3
+
     r = RaySparseRetriever(index_dir)
     qs = bench_queries(N_QUERIES)
 
@@ -236,19 +250,8 @@ def main() -> None:
     t_msearch = time.monotonic() - t2
     n_rows = res.num_rows
 
-    # round-4 query-language legs: positional build throughput on the
-    # same input + phrase/boolean serving (200 queries each; phrase
+    # round-4 serving legs: phrase/boolean (200 queries each; phrase
     # terms from the same Zipf mix, so hot posting lists are hit)
-    from retriv_ray.index.positional import PositionalIndex, build_positional_index
-    from retriv_ray.search.boolean import boolean_candidates
-
-    pos_dir = os.path.join(BENCH_ROOT, f"pos_index_{n_convs}_cpus{NUM_CPUS}")
-    shutil.rmtree(pos_dir, ignore_errors=True)
-    t3 = time.monotonic()
-    build_positional_index(
-        src, pos_dir, SparseConfig(), conv_offsets_source=index_dir
-    )
-    t_pos_build = time.monotonic() - t3
     px = PositionalIndex(pos_dir)
     pqs = [q["text"].split()[:2] for q in qs[:200]]
     for p_ in pqs[:20]:
