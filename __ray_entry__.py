@@ -204,6 +204,48 @@ def _q_deleted_bm25_topk(sf_dir: str):
     return topk_table(r, TOPK_QUERIES, CUTOFF)
 
 
+def _q_pruned_bm25_topk(sf_dir: str):
+    """Block-max pruned (MaxScore-style) BM25 serving: same result
+    contract as bm25_topk (shared oracle), scored through the
+    score-safe pruned path (use_block_max=True)."""
+    from retriv_ray.config import SparseConfig
+    from retriv_ray.pipelines.documents import documents_index, topk_table
+
+    cfg = SparseConfig(
+        model="bm25", tokenizer="whitespace", stemmer=None, stopwords=None,
+        score_dtype="float64", use_block_max=True,
+    )
+    return topk_table(documents_index(sf_dir, cfg), TOPK_QUERIES, CUTOFF)
+
+
+def _q_bm25_and_topk(sf_dir: str):
+    """Conjunctive (operator=AND) BM25: only docs containing EVERY
+    query term are candidates (reference sparse_retriever.py search
+    operator parameter; kernel intersect path SO-ops)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+
+    r = _index(sf_dir)
+    out_q, out_r, out_d = [], [], []
+    for q_id, text in TOPK_QUERIES.items():
+        terms = r.query_terms(text)
+        ids, _scores = r._score(terms, cutoff=CUTOFF, operator="AND")
+        convs, _ = r.index.to_original_ids(ids)
+        docs = conv_to_doc_id(convs)
+        out_q.extend([q_id] * len(docs))
+        out_r.extend(range(1, len(docs) + 1))
+        out_d.extend(docs.tolist())
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_q, type=pa.string()),
+            pa.array(out_r, type=pa.int64()),
+            pa.array(out_d, type=pa.int64()),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_merged_postings(sf_dir: str):
     """Incremental-ingest path: index the first and second halves of
     the corpus separately, merge_indexes them (Lucene-style segment
@@ -1053,6 +1095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "merged_postings": _q_merged_postings,
         "deleted_bm25_topk": _q_deleted_bm25_topk,
+        "pruned_bm25_topk": _q_pruned_bm25_topk,
+        "bm25_and_topk": _q_bm25_and_topk,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
@@ -1591,8 +1635,33 @@ def oracle_sql() -> dict[str, str]:
     # sharded serving must reproduce the monolithic result exactly —
     # same oracle as bm25_topk
     out["bm25_topk_sharded"] = out["bm25_topk"]
+    # the block-max pruned scorer must be score-safe (exact): same oracle
+    out["pruned_bm25_topk"] = out["bm25_topk"]
     # merged half+half index must reproduce the whole-corpus postings
     out["merged_postings"] = out["postings"]
+    # conjunctive (AND) BM25: only docs containing every query term
+    out["bm25_and_topk"] = f"""
+        WITH {_BASE_CTES}, {_QTERMS},
+        qn AS (SELECT q_id, count(DISTINCT term) AS n FROM qterms GROUP BY q_id),
+        scores AS (
+          SELECT q.q_id, tf.doc_id,
+            sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1)
+                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN qn ON qn.q_id = q.q_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, tf.doc_id
+          HAVING count(DISTINCT q.term) = max(qn.n))
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+          FROM scores)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
     # tombstone-masked top-k: FULL-corpus stats, deleted ids filtered
     # from the ranked output (Lucene deleted-docs semantics)
     _del_ids = ", ".join(str(i) for i in DELETED_DOC_IDS)
