@@ -324,3 +324,176 @@ def compact_index(src_dir: str, out_dir: str) -> dict:
     import dataclasses
 
     return dataclasses.asdict(out_man)
+
+
+# ---------------------------------------------------------------------------
+# positional compaction
+# ---------------------------------------------------------------------------
+
+
+def _compact_pos_part_task(
+    src_dir: str,
+    out_dir: str,
+    num_parts: int,
+    shard_docs: int,
+    part: int,
+    n_shards_src: int,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    cum: np.ndarray,
+) -> List[dict]:
+    """Positional twin of :func:`_compact_part_task`: decode one term
+    part across all source shards, drop deleted docs (their position
+    lists go with them), remap ids, re-encode canonically."""
+    from retriv_ray.index.positional import (
+        POS_PAIR_SCHEMA,
+        _encode_pos_group,
+        pos_segment_file,
+    )
+
+    rows_g, rows_t = [], []
+    doc_offs, pos_offs = [0], [0]
+    docs_parts, npos_parts, pos_parts = [], [], []
+    d_last = p_last = 0
+    for shard in range(n_shards_src):
+        path = pos_segment_file(src_dir, shard, part)
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path)
+        terms = t.column("term").to_pylist()
+        for i in range(t.num_rows):
+            dd = codec.varint_decode(
+                t.column("doc_bytes")[i].as_py()
+            ).astype(np.int64)
+            docs = np.cumsum(dd) + shard * shard_docs
+            nps = np.asarray(t.column("npos")[i].as_py(), dtype=np.int64)
+            pd = codec.varint_decode(
+                t.column("pos_bytes")[i].as_py()
+            ).astype(np.int64)
+            if len(pd):
+                st = np.concatenate(([0], np.cumsum(nps)[:-1]))
+                c = np.cumsum(pd)
+                base = np.zeros(len(nps), dtype=np.int64)
+                base[1:] = c[st[1:] - 1]
+                pos = c - np.repeat(base, nps)
+            else:
+                pos = pd
+            keep, new = _remap(docs, starts, ends, cum)
+            if not keep.any():
+                continue
+            docs_k, nps_k = new[keep], nps[keep]
+            p_off = np.concatenate(([0], np.cumsum(nps)))
+            k_idx = np.flatnonzero(keep)
+            g_excl = np.concatenate(([0], np.cumsum(nps_k)[:-1]))
+            tot = int(nps_k.sum())
+            pos_k = pos[
+                np.repeat(p_off[k_idx], nps_k)
+                + (np.arange(tot) - np.repeat(g_excl, nps_k))
+            ]
+            new_shard = docs_k // shard_docs
+            brk = np.flatnonzero(
+                np.concatenate(([True], new_shard[1:] != new_shard[:-1]))
+            )
+            bends = np.append(brk[1:], len(docs_k))
+            kp_off = np.concatenate(([0], np.cumsum(nps_k)))
+            for s, e in zip(brk, bends):
+                rows_g.append(int(new_shard[s]) * num_parts + part)
+                rows_t.append(terms[i])
+                docs_parts.append(
+                    (docs_k[s:e] - new_shard[s] * shard_docs).astype(np.int32)
+                )
+                npos_parts.append(nps_k[s:e].astype(np.int32))
+                pos_parts.append(pos_k[kp_off[s] : kp_off[e]].astype(np.int32))
+                d_last += e - s
+                p_last += int(kp_off[e] - kp_off[s])
+                doc_offs.append(d_last)
+                pos_offs.append(p_last)
+    if not rows_t:
+        return []
+    do = pa.array(np.asarray(doc_offs, dtype=np.int32))
+    po = pa.array(np.asarray(pos_offs, dtype=np.int32))
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(rows_g, type=pa.int64()),
+            pa.array(rows_t, type=pa.string()),
+            pa.ListArray.from_arrays(
+                do, pa.array(np.concatenate(docs_parts), type=pa.int32())
+            ),
+            pa.ListArray.from_arrays(
+                do, pa.array(np.concatenate(npos_parts), type=pa.int32())
+            ),
+            pa.ListArray.from_arrays(
+                po, pa.array(np.concatenate(pos_parts), type=pa.int32())
+            ),
+        ],
+        schema=POS_PAIR_SCHEMA,
+    )
+    gk = tbl.column("gkey").to_numpy()
+    order = np.argsort(gk, kind="stable")
+    srt = tbl.take(pa.array(order, type=pa.int64()))
+    gk_s = gk[order]
+    out = []
+    for g in np.unique(gk_s):
+        lo = np.searchsorted(gk_s, g, side="left")
+        hi = np.searchsorted(gk_s, g, side="right")
+        out.append(_encode_pos_group(srt.slice(lo, hi - lo), out_dir, num_parts))
+    return out
+
+
+def compact_positional_index(src_dir: str, out_dir: str) -> dict:
+    """Rewrite a positional index without its tombstoned conversations;
+    byte-identical to a from-scratch positional build over the
+    survivors (same contract as :func:`compact_index`)."""
+    import ray
+
+    t0 = time.monotonic()
+    with open(os.path.join(src_dir, "pos_manifest.json")) as f:
+        man = json.load(f)
+    P, S = man["num_parts"], man["shard_docs"]
+    ranges = deleted_doc_ranges(src_dir)
+    if ranges is None:
+        raise ValueError("compact_positional_index: no tombstones to compact")
+    starts, ends = ranges
+    cum = np.cumsum(ends - starts)
+    tomb = set(read_tombstones(src_dir))
+    conv = pq.read_table(os.path.join(src_dir, "id_map", "conv_offsets.parquet"))
+    convs = np.asarray(conv.column("conv_id").to_pylist(), dtype=object)
+    n_turns = conv.column("n_turns").to_numpy()
+    keep = np.asarray([c not in tomb for c in convs], dtype=bool)
+    s_convs, s_turns = convs[keep], n_turns[keep]
+    s_bases = np.concatenate(([0], np.cumsum(s_turns)[:-1])).astype(np.int64)
+    doc_count = int(s_turns.sum())
+    os.makedirs(os.path.join(out_dir, "id_map"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    mf.atomic_write_parquet(
+        pa.Table.from_arrays(
+            [
+                pa.array(s_convs, type=pa.string()),
+                pa.array(s_bases, type=pa.int64()),
+                pa.array(s_turns.astype(np.int64), type=pa.int64()),
+            ],
+            names=["conv_id", "base", "n_turns"],
+        ),
+        os.path.join(out_dir, "id_map", "conv_offsets.parquet"),
+    )
+    n_shards_src = man["n_shards"]
+    task = ray.remote(num_cpus=1)(_compact_pos_part_task)
+    refs = [
+        task.remote(
+            src_dir, out_dir, P, S, part, n_shards_src, starts, ends, cum
+        )
+        for part in range(P)
+    ]
+    stats = [s for chunk in ray.get(refs) for s in chunk]
+    out_man = dict(man)
+    out_man.update(
+        doc_count=doc_count,
+        n_shards=int(max(1, (doc_count + S - 1) // S)),
+        n_terms=int(sum(s["n_terms"] for s in stats)),
+        n_postings=int(sum(s["n_postings"] for s in stats)),
+        n_positions=int(sum(s["n_positions"] for s in stats)),
+        wall_sec=round(time.monotonic() - t0, 3),
+    )
+    with open(os.path.join(out_dir, "pos_manifest.json"), "w") as f:
+        json.dump(out_man, f)
+    return out_man

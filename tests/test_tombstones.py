@@ -149,3 +149,47 @@ def test_tombstones_in_sharded_view(ray_session, tmp_path):
     assert "c00001" not in got and "c00020" not in got
     full_set = {c for c, _t in full.search("red", cutoff=30).keys()}
     assert got == full_set
+
+
+def test_positional_compact_equals_rebuild(ray_session, tmp_path):
+    import filecmp as _fc
+
+    from retriv_ray.index.positional import PositionalIndex, build_positional_index
+    from retriv_ray.index.tombstones import compact_positional_index
+
+    rows = _rows(36, seed=17)
+    deleted = {"c00002", "c00003", "c00019"}
+    src = _write(tmp_path, rows, "psrc")
+    idx = str(tmp_path / "pidx")
+    build_positional_index(src, idx, CFG, num_parts=3, shard_docs=16)
+
+    delete_conversations(idx, deleted)
+    px = PositionalIndex(idx)
+    # masked serving first
+    d0, _ = px.phrase(["red"])
+    assert 2 not in d0.tolist() and 3 not in d0.tolist()
+
+    surv = [x for x in rows if x["conv_id"] not in deleted]
+    rb_src = _write(tmp_path, surv, "psurv")
+    rebuilt = str(tmp_path / "prebuilt")
+    build_positional_index(rb_src, rebuilt, CFG, num_parts=3, shard_docs=16)
+    compacted = str(tmp_path / "pcompacted")
+    man = compact_positional_index(idx, compacted)
+    assert man["doc_count"] == len(surv)
+
+    t_full, t_c = _tree(rebuilt), _tree(compacted)
+    seg_f = sorted(k for k in t_full if k.startswith("segments"))
+    seg_c = sorted(k for k in t_c if k.startswith("segments"))
+    assert seg_f == seg_c
+    for k in seg_f:
+        assert _fc.cmp(t_full[k], t_c[k], shallow=False), k
+    assert _fc.cmp(
+        t_full["id_map/conv_offsets.parquet"],
+        t_c["id_map/conv_offsets.parquet"],
+        shallow=False,
+    )
+    pr, pc_ = PositionalIndex(rebuilt), PositionalIndex(compacted)
+    for phrase in (["red", "green"], ["blue"]):
+        dr, nr = pr.phrase(phrase)
+        dc, nc = pc_.phrase(phrase)
+        assert dr.tolist() == dc.tolist() and nr.tolist() == nc.tolist()
