@@ -229,10 +229,8 @@ def _q_bm25_and_topk(sf_dir: str):
     r = _index(sf_dir)
     out_q, out_r, out_d = [], [], []
     for q_id, text in TOPK_QUERIES.items():
-        terms = r.query_terms(text)
-        ids, _scores = r._score(terms, cutoff=CUTOFF, operator="AND")
-        convs, _ = r.index.to_original_ids(ids)
-        docs = conv_to_doc_id(convs)
+        res = r.search(text, cutoff=CUTOFF, operator="AND")
+        docs = conv_to_doc_id([c for c, _t in res.keys()])
         out_q.extend([q_id] * len(docs))
         out_r.extend(range(1, len(docs) + 1))
         out_d.extend(docs.tolist())
