@@ -354,6 +354,32 @@ def _q_phrase_search(sf_dir: str):
     )
 
 
+def _q_phrase_bm25_topk(sf_dir: str):
+    """Ranked phrase retrieval: phrase-as-pseudo-term BM25 (tf =
+    positional occurrence count, df = matching docs), doc-length
+    stats from the sibling main index — the two index products
+    composing."""
+    import pyarrow as pa
+
+    from retriv_ray.index.positional import phrase_bm25_table
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        documents_positional_index,
+    )
+
+    t = phrase_bm25_table(
+        documents_positional_index(sf_dir),
+        _index(sf_dir).index,
+        PHRASE_QUERIES,
+        cutoff=CUTOFF,
+    )
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_proximity_search(sf_dir: str):
     """Within-window co-occurrence retrieval over the positional
     index (|pos_a - pos_b| <= w pair counts; self-pairs excluded when
@@ -1099,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
         "phrase_search": _q_phrase_search,
+        "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
         "prefix_search": _q_prefix_search,
         "snippets": _q_snippets,
@@ -1387,6 +1414,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM p1 UNION ALL SELECT * FROM p2
               UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
             ORDER BY q_id, doc_id
+        """,
+        "phrase_bm25_topk": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            p1 AS (
+              SELECT 'p1' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'scan'
+              WHERE a.term = 'table' GROUP BY a.doc_id),
+            p2 AS (
+              SELECT 'p2' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'batch'
+              WHERE a.term = 'batch' GROUP BY a.doc_id),
+            p3 AS (
+              SELECT 'p3' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'data'
+              WHERE a.term = 'big' GROUP BY a.doc_id),
+            p4 AS (
+              SELECT 'p4' AS q_id, a.doc_id, count(*)::BIGINT AS n_occ
+              FROM pos a
+              JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'order'
+              JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'sort'
+              WHERE a.term = 'key' GROUP BY a.doc_id),
+            matches AS (
+              SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4),
+            pdf AS (SELECT q_id, count(*)::DOUBLE AS df FROM matches GROUP BY q_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT m.q_id, m.doc_id,
+                row_number() OVER (PARTITION BY m.q_id ORDER BY
+                  ln(1 + (s.n - p.df + 0.5) / (p.df + 0.5))
+                  * m.n_occ * ({k1} + 1)
+                  / (m.n_occ + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) DESC,
+                  m.doc_id) AS rank
+              FROM matches m
+              JOIN pdf p ON p.q_id = m.q_id
+              JOIN dl ON dl.doc_id = m.doc_id
+              CROSS JOIN stats s)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "proximity_search": f"""
             WITH {_BASE_CTES},

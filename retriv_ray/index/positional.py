@@ -817,3 +817,60 @@ def proximity_msearch_ds(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def phrase_bm25_table(
+    index: PositionalIndex,
+    main_index,
+    queries: Dict[str, str],
+    b: float = 0.75,
+    k1: float = 1.2,
+    cutoff: int = 10,
+) -> pa.Table:
+    """Ranked phrase retrieval: the phrase is scored as a pseudo-term
+    (tf = occurrence count from the positional verify, df = number of
+    matching docs) through the standard BM25 formula — the classic
+    phrase-query scoring model. Doc-length statistics come from the
+    sibling main index over the same source (identical doc-id
+    assignment by construction). Returns (q_id, rank, conv_id,
+    turn_idx) ordered by (q_id, rank); ranks break ties by doc_id like
+    the scoring kernels."""
+    N = np.float64(main_index.doc_count)
+    # float64 relative doc lengths: the SQL oracle computes
+    # dl / (sum(dl)/N) in float64, so derive avg from the manifest's
+    # exact integer len_sum when present (falls back to the float32
+    # serving array otherwise)
+    stats = getattr(main_index.manifest, "stats", None) or {}
+    if "len_sum" in stats:
+        avg = np.float64(stats["len_sum"]) / N
+        rel = main_index.doc_lens.astype(np.float64) / avg
+    else:
+        rel = main_index.relative_doc_lens
+    q_col, r_col, c_parts, t_parts = [], [], [], []
+    for q_id in sorted(queries):
+        terms = index.pre.tokens(queries[q_id])
+        docs, n_occ = index.phrase(terms)
+        if len(docs) == 0:
+            continue
+        df = np.float64(len(docs))
+        idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+        tf = n_occ.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * rel[docs].astype(np.float64))
+        score = idf * tf * (k1 + 1.0) / denom
+        order = np.lexsort((docs, -score))[:cutoff]
+        convs, turns = index.to_original_ids(docs[order])
+        q_col.extend([q_id] * len(order))
+        r_col.extend(range(1, len(order) + 1))
+        c_parts.append(np.asarray(convs, dtype=object))
+        t_parts.append(turns)
+    convs = np.concatenate(c_parts) if c_parts else np.empty(0, dtype=object)
+    turns = np.concatenate(t_parts) if t_parts else np.empty(0, dtype=np.int32)
+    return pa.Table.from_arrays(
+        [
+            pa.array(q_col, type=pa.string()),
+            pa.array(r_col, type=pa.int64()),
+            pa.array(convs, type=pa.string()),
+            pa.array(turns.astype(np.int32), type=pa.int32()),
+        ],
+        names=["q_id", "rank", "conv_id", "turn_idx"],
+    )

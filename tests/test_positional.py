@@ -264,3 +264,45 @@ def test_phrase_respects_tombstones(ray_session, tmp_path):
     assert set(docs1.tolist()) == set(docs0.tolist()) - {0}
     pdocs, _ = px.proximity("a", "b", 2)
     assert 0 not in pdocs.tolist()
+
+
+def test_phrase_bm25_table(ray_session, tmp_path):
+    import math
+
+    from retriv_ray.index.build import build_index
+    from retriv_ray.index.positional import phrase_bm25_table
+    from retriv_ray.search.searcher import RaySparseRetriever
+
+    docs = ["a b a b", "a b c", "c a b a b a b x", "x y", "a b"]
+    src = _write_src(tmp_path, docs, "pb")
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+    main_idx = str(tmp_path / "pb_main")
+    build_index(src, main_idx, cfg, num_parts=2, resume=False)
+    pos_idx = str(tmp_path / "pb_pos")
+    build_positional_index(src, pos_idx, cfg, num_parts=2)
+    px = PositionalIndex(pos_idx)
+    r = RaySparseRetriever(main_idx, cfg)
+    t = phrase_bm25_table(px, r.index, {"q": "a b"}, cutoff=10)
+    got = [int(c[1:]) for c in t.column("conv_id").to_pylist()]
+
+    # brute-force: tf = occurrences, df = matching docs, BM25 formula
+    lens = [len(d.split()) for d in docs]
+    avg = sum(lens) / len(docs)
+    occ = {
+        i: sum(
+            1
+            for j in range(len(d.split()) - 1)
+            if d.split()[j : j + 2] == ["a", "b"]
+        )
+        for i, d in enumerate(docs)
+    }
+    occ = {i: n for i, n in occ.items() if n}
+    dfv = len(occ)
+    idf = math.log(1 + (len(docs) - dfv + 0.5) / (dfv + 0.5))
+    scores = {
+        i: idf * n * 2.2 / (n + 1.2 * (1 - 0.75 + 0.75 * lens[i] / avg))
+        for i, n in occ.items()
+    }
+    exp = [i for i, _s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert got == exp
+    assert t.column("rank").to_pylist() == list(range(1, len(exp) + 1))
