@@ -47,8 +47,18 @@ __all__ = [
     "HybridRetriever",
     "Merger",
     "Encoder",
+    "ANN_Searcher",
     "index_path",
+    "set_base_path",
 ]
+
+
+def set_base_path(path: str) -> None:
+    """Reference retriv/__init__.py:26-27: redirect where named
+    indexes/collections live (our equivalent of RETRIV_BASE_PATH)."""
+    global BASE_DIR
+    BASE_DIR = path
+    os.environ["RETRIV_RAY_COLLECTIONS"] = path
 
 
 def __getattr__(name):
@@ -56,7 +66,7 @@ def __getattr__(name):
     # importing the sparse compat class doesn't pull the dense stack.
     if name == "SearchEngine":  # reference alias for SparseRetriever
         return SparseRetriever
-    if name in ("DenseRetriever", "HybridRetriever"):
+    if name in ("DenseRetriever", "HybridRetriever", "ANN_Searcher"):
         import retriv_ray.dense as _d
 
         return getattr(_d, name)

@@ -487,3 +487,77 @@ class HybridRetriever:
             self.dense_retriever.msearch(queries, cutoff=1000),
         ]
         return self.merger.autotune(qrels, runs, metric=metric, step=step)
+
+
+class ANN_Searcher:
+    """Reference-shaped raw-vector ANN searcher
+    (reference dense_retriever/ann_searcher.py:20-64: faiss autofaiss
+    index over the persisted embeddings, metric inner-product; faiss
+    is not installable in this environment, so the substitute is an
+    exact inner-product scan with optional LSH bucket restriction —
+    the same ANN family the engine's ops/ann.py ships distributed).
+    Contract parity: ``build()`` after a DenseRetriever persisted its
+    embeddings; ``load(index_name)``; ``search(query_vec, cutoff) ->
+    (ids, scores)``; ``msearch(queries_matrix, cutoff) -> (ids
+    [n, cutoff], scores [n, cutoff])`` with -1 id padding."""
+
+    def __init__(self, index_name: str = "new-index", n_planes: int = 0,
+                 seed: int = 42):
+        self.index_name = index_name
+        self.n_planes = n_planes  # 0 = exact scan (recall 1.0)
+        self.seed = seed
+        self._emb: Optional[np.ndarray] = None
+        self._planes: Optional[np.ndarray] = None
+        self._sigs: Optional[np.ndarray] = None
+
+    def build(self, use_gpu: bool = False) -> "ANN_Searcher":
+        root = index_path(self.index_name)
+        t = pq.read_table(
+            os.path.join(root, "dense.parquet"), columns=["embedding"]
+        )
+        self._emb = np.asarray(
+            t.column("embedding").to_pylist(), dtype=np.float32
+        )
+        if self.n_planes:
+            rng = np.random.RandomState(self.seed)
+            self._planes = rng.normal(
+                size=(self._emb.shape[1], self.n_planes)
+            ).astype(np.float32)
+            bits = (self._emb @ self._planes) > 0
+            self._sigs = (bits @ (1 << np.arange(self.n_planes))).astype(
+                np.int64
+            )
+        return self
+
+    @staticmethod
+    def load(index_name: str = "new-index") -> "ANN_Searcher":
+        return ANN_Searcher(index_name).build()
+
+    def msearch(self, queries: np.ndarray, cutoff: int = 100):
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        n = q.shape[0]
+        ids = np.full((n, cutoff), -1, dtype=np.int64)
+        scores = np.zeros((n, cutoff), dtype=np.float32)
+        for i in range(n):
+            if self._sigs is not None:
+                sig = int(
+                    ((q[i] @ self._planes) > 0)
+                    @ (1 << np.arange(self.n_planes))
+                )
+                cand = np.flatnonzero(self._sigs == sig)
+                if len(cand) == 0:
+                    cand = np.arange(len(self._emb))
+            else:
+                cand = np.arange(len(self._emb))
+            s = self._emb[cand] @ q[i]
+            k = min(cutoff, len(cand))
+            # full deterministic order (-score, id): argpartition would
+            # pick arbitrary members of a boundary tie group
+            order = np.lexsort((cand, -s))[:k]
+            ids[i, : len(order)] = cand[order]
+            scores[i, : len(order)] = s[order]
+        return ids, scores
+
+    def search(self, query: np.ndarray, cutoff: int = 100):
+        ids, scores = self.msearch(np.asarray(query).reshape(1, -1), cutoff)
+        return ids[0], scores[0]

@@ -179,3 +179,33 @@ def test_model_interface_adapter(ray_session, tmp_path, monkeypatch):
     assert ctor_pids and os.getpid() not in ctor_pids
     # both paths produce identical embeddings for identical docs
     assert res2[0]["score"] == pytest.approx(res[0]["score"])
+
+
+def test_ann_searcher_contract(ray_session, tmp_path):
+    import numpy as np
+
+    from retriv_ray import compat
+    from retriv_ray.compat import set_base_path
+    from retriv_ray.dense import ANN_Searcher, DenseRetriever
+
+    old = compat.BASE_DIR
+    try:
+        set_base_path(str(tmp_path))
+        docs = [{"id": f"d{i}", "text": f"tok{i} tok{(i+1)%7} filler"} for i in range(30)]
+        dr = DenseRetriever(index_name="annc", dim=32).index(docs)
+        ann = ANN_Searcher.load("annc")
+        q = dr._emb[3]
+        ids, scores = ann.search(q, cutoff=5)
+        # exact inner-product scan: the query's own vector ranks first
+        assert ids[0] == 3
+        s = dr._emb @ q
+        exp = np.lexsort((np.arange(len(s)), -s))[:5]  # (-score, id) ties
+        assert ids.tolist() == exp.tolist()
+        # msearch shape + padding contract
+        mids, mscores = ann.msearch(dr._emb[:4], cutoff=50)
+        assert mids.shape == (4, 50) and mscores.shape == (4, 50)
+        assert (mids[:, 30:] == -1).all()  # only 30 docs exist
+        for r in range(4):
+            assert mids[r, 0] == r
+    finally:
+        set_base_path(old)
