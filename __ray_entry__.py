@@ -60,6 +60,15 @@ PROXIMITY_QUERIES = {
     "x3": ("data", "data", 4),  # same-term: self-pairs excluded
 }
 PREFIX_QUERIES = {"w1": "s", "w2": "c", "w3": "qu"}
+# (term, max_edit_distance); expansions exercise 1-term, multi-term
+# and empty sets over the sf vocabulary ("par"~2 -> {a, part, spark})
+FUZZY_QUERIES = {
+    "f1": ("tabel", 2),
+    "f2": ("scam", 1),
+    "f3": ("par", 2),
+    "f4": ("jion", 2),
+    "f5": ("zzzzz", 1),
+}
 MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 MIXTURE_BUDGET = 3000
 DELETED_DOC_IDS = [3, 7, 23, 99, 154, 200, 201, 202]
@@ -414,6 +423,24 @@ def _q_prefix_search(sf_dir: str):
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_terms")],
         names=["q_id", "doc_id", "n_terms"],
+    )
+
+
+def _q_fuzzy_search(sf_dir: str):
+    """Fuzzy ``term~d`` retrieval: vectorized bit-parallel Levenshtein
+    scan of the sorted term dictionary (length-prefiltered, Myers
+    uint64 lanes across the whole candidate set) -> disjunctive BM25
+    over the expanded terms through the ordinary kernel."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.fuzzy import fuzzy_search_table
+
+    t = fuzzy_search_table(_index(sf_dir), FUZZY_QUERIES, CUTOFF)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
+        names=["q_id", "rank", "doc_id"],
     )
 
 
@@ -1128,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
         "prefix_search": _q_prefix_search,
+        "fuzzy_search": _q_fuzzy_search,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1277,6 +1305,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (VALUES {_fq_values}) AS q(q_id, qtext))"
     )
     wa, wb = FUSION_WEIGHTS
+    _fuzzy_values = " , ".join(
+        f"('{q}', '{t}', {d})" for q, (t, d) in FUZZY_QUERIES.items()
+    )
     out = {
         "filtered_bm25_topk": f"""
             WITH {_BASE_CTES}, {_fqterms},
@@ -1355,6 +1386,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, doc_id, n_terms FROM (
               SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
             ORDER BY q_id, doc_id
+        """,
+        "fuzzy_search": f"""
+            WITH {_BASE_CTES},
+            fq(q_id, qterm, d) AS (VALUES {_fuzzy_values}),
+            exp AS (
+              SELECT DISTINCT fq.q_id, df.term
+              FROM fq JOIN df ON levenshtein(df.term, fq.qterm) <= fq.d),
+            scores AS (
+              SELECT e.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM exp e
+              JOIN tf ON tf.term = e.term
+              JOIN df ON df.term = e.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY e.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "snippets": f"""
             WITH {_BASE_CTES}, {_QTERMS},

@@ -1,0 +1,173 @@
+"""Fuzzy (edit-distance ``term~d``) queries via a vectorized
+bit-parallel Levenshtein scan of the term dictionary.
+
+Expansion runs over the same part-sharded sorted terms table the
+exact/prefix probes use (search/searcher.py TermStats,
+search/prefix.py): every part is length-prefiltered
+(``|len(t) - len(q)| <= d`` — a necessary condition for distance d)
+and the survivors are scored in ONE Myers/Hyyroe bit-parallel pass
+vectorized across the whole candidate set — the inner loop is
+O(max_candidate_len) numpy steps over uint64 lanes, not a per-string
+Python DP. The expanded term set then scores as an ordinary
+disjunctive BM25 query through the existing kernel (each matched
+vocabulary term contributes with its own df/tf, Lucene
+``FuzzyQuery``-with-constant-boost semantics).
+
+Distances are computed over UTF-8 BYTES: on ASCII vocabularies this
+equals character-level Levenshtein (what SQL ``levenshtein`` and the
+oracle compute); multi-byte scripts count per byte and are documented
+as divergent (a code-point matrix would lift this at 4x the lane
+width).
+
+Scale notes: expansion cost is vocabulary-bounded (never touches the
+corpus) and per-part independent — in serving fleets each scorer
+actor expands against its resident TermStats parts exactly like
+prefix queries; postings fetches for the expanded set then
+parallelize per part like any multi-term query. The length prefilter
+typically keeps the candidate set a few percent of the vocabulary for
+d <= 2.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+def _levenshtein_batch(
+    pattern: bytes, mat: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Levenshtein distance of ``pattern`` against every row of
+    ``mat`` (uint8-padded candidate byte matrix, true lengths in
+    ``lens``), Myers bit-parallel vectorized across rows. Pattern
+    must be 1..64 bytes (one uint64 lane)."""
+    m = len(pattern)
+    if not 1 <= m <= 64:
+        raise ValueError("pattern must be 1..64 bytes")
+    # per-byte-value pattern masks (Eq lookup table)
+    peq = np.zeros(256, dtype=np.uint64)
+    u1 = np.uint64(1)
+    for i, ch in enumerate(pattern):
+        peq[ch] |= u1 << np.uint64(i)
+    n = mat.shape[0]
+    Pv = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    Mv = np.zeros(n, dtype=np.uint64)
+    score = np.full(n, m, dtype=np.int64)
+    hbit = u1 << np.uint64(m - 1)
+    for j in range(mat.shape[1]):
+        active = j < lens
+        Eq = peq[mat[:, j]]
+        Xv = Eq | Mv
+        Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
+        Ph = Mv | ~(Xh | Pv)
+        Mh = Pv & Xh
+        delta = ((Ph & hbit) != 0).astype(np.int64) - (
+            (Mh & hbit) != 0
+        ).astype(np.int64)
+        score = np.where(active, score + delta, score)
+        Ph = (Ph << u1) | u1
+        Mh = Mh << u1
+        Pv = np.where(active, Mh | ~(Xv | Ph), Pv)
+        Mv = np.where(active, Ph & Xv, Mv)
+    return score
+
+
+def _levenshtein_rows(pattern: bytes, rows: List[bytes]) -> List[int]:
+    """Plain DP fallback for patterns over 64 bytes (vectorized over
+    the pattern axis; only reached for very long vocabulary probes)."""
+    p = np.frombuffer(pattern, dtype=np.uint8).astype(np.int64)
+    out = []
+    for r in rows:
+        prev = np.arange(len(p) + 1, dtype=np.int64)
+        for i, ch in enumerate(r):
+            cur = np.empty_like(prev)
+            cur[0] = i + 1
+            np.minimum(prev[:-1] + (p != ch), prev[1:] + 1, out=cur[1:])
+            # sequential insertion closure: cur[k] > cur[k-1] + 1 never
+            # survives; the +1 carry forces a scalar pass
+            for k in range(1, len(cur)):
+                if cur[k - 1] + 1 < cur[k]:
+                    cur[k] = cur[k - 1] + 1
+            prev = cur
+        out.append(int(prev[-1]))
+    return out
+
+
+def fuzzy_terms(
+    term_stats, term: str, max_dist: int = 1, limit: int = 10_000
+) -> List[str]:
+    """All vocabulary terms within Levenshtein distance ``max_dist``
+    of ``term``, sorted; raises if the expansion exceeds ``limit``."""
+    if not term:
+        raise ValueError("empty fuzzy term")
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    tb = term.encode("utf-8")
+    out: List[str] = []
+    for p in range(term_stats.num_parts):
+        entry = term_stats._part(p)
+        if entry is None:
+            continue
+        _arr, _prefixes, off, data, _df = entry
+        lens = np.diff(off)
+        cand = np.flatnonzero(np.abs(lens - len(tb)) <= max_dist)
+        if cand.size == 0:
+            continue
+        clens = lens[cand]
+        if len(tb) <= 64:
+            L = int(clens.max())
+            cols = np.arange(L, dtype=np.int64)
+            idx = off[cand][:, None] + cols[None, :]
+            valid = cols[None, :] < clens[:, None]
+            mat = data[np.minimum(idx, len(data) - 1)] * valid
+            dist = _levenshtein_batch(tb, mat, clens)
+        else:
+            rows = [
+                data[int(off[i]) : int(off[i + 1])].tobytes() for i in cand
+            ]
+            dist = np.asarray(_levenshtein_rows(tb, rows), dtype=np.int64)
+        for i in cand[dist <= max_dist]:
+            s, e = int(off[i]), int(off[i + 1])
+            out.append(data[s:e].tobytes().decode("utf-8"))
+        if len(out) > limit:
+            raise ValueError(
+                f"fuzzy term '{term}'~{max_dist} expands past {limit} terms"
+            )
+    return sorted(set(out))
+
+
+def fuzzy_search_table(
+    retriever,
+    queries: Dict[str, Tuple[str, int]],
+    cutoff: int = 100,
+) -> pa.Table:
+    """{q_id: (term, max_dist)} -> (q_id, rank, conv_id, turn_idx)
+    BM25 top-k over each query's expanded term set (disjunctive OR,
+    every expanded term scored with its own corpus statistics)."""
+    q_col: List[str] = []
+    r_col: List[int] = []
+    c_parts, t_parts = [], []
+    for q_id in sorted(queries):
+        term, max_dist = queries[q_id]
+        terms = fuzzy_terms(retriever.index.term_df, term, max_dist)
+        if not terms:
+            continue
+        ids, _scores = retriever._score(terms, cutoff)
+        convs, turns = retriever.index.to_original_ids(ids)
+        q_col.extend([q_id] * len(ids))
+        r_col.extend(range(1, len(ids) + 1))
+        c_parts.append(np.asarray(convs, dtype=object))
+        t_parts.append(turns)
+    convs = np.concatenate(c_parts) if c_parts else np.empty(0, dtype=object)
+    turns = np.concatenate(t_parts) if t_parts else np.empty(0, dtype=np.int32)
+    return pa.Table.from_arrays(
+        [
+            pa.array(q_col, type=pa.string()),
+            pa.array(np.asarray(r_col, dtype=np.int64)),
+            pa.array(convs, type=pa.string()),
+            pa.array(turns.astype(np.int32), type=pa.int32()),
+        ],
+        names=["q_id", "rank", "conv_id", "turn_idx"],
+    )
