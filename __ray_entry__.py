@@ -69,6 +69,9 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1024  # power of two: the quantizing multiply is exact
 MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 MIXTURE_BUDGET = 3000
 DELETED_DOC_IDS = [3, 7, 23, 99, 154, 200, 201, 202]
@@ -922,6 +925,18 @@ def _q_group_centroids(sf_dir: str):
     return group_centroids(_embeddings(sf_dir))
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """Integer-exact Lloyd k-means (seeded from the k smallest
+    vec_ids, 2 rounds): quantize-then-int64 arithmetic makes the
+    assignment bit-identical under any partitioning and SQL-checkable
+    (ops/cluster.py)."""
+    from retriv_ray.ops.cluster import kmeans_assign
+
+    return kmeans_assign(
+        _embeddings(sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+
+
 def _q_star_revenue(sf_dir: str):
     import ray.data
 
@@ -1205,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "profile_columns": _q_profile_columns,
         "group_centroids": _q_group_centroids,
+        "kmeans_assign": _q_kmeans_assign,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
@@ -2204,6 +2220,48 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS u(i)
         GROUP BY label, u.i ORDER BY label, dim
+    """
+    # integer-exact Lloyd k-means, mirrors ops/cluster.py: quantized
+    # int64 distances, ties -> lowest seed id, centroid update by
+    # exact floor division (the %-normalized numerator is divisible,
+    # so the double division is exact), empty clusters keep their
+    # previous centroid
+    out["kmeans_assign"] = f"""
+        WITH qv AS (
+          SELECT vec_id, u.i AS dim,
+                 floor({KMEANS_SCALE} * embedding[u.i]::DOUBLE)::BIGINT AS q
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS u(i)),
+        seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}),
+        c0 AS (SELECT vec_id AS c_id, dim, q AS c FROM qv
+               WHERE vec_id IN (SELECT vec_id FROM seeds)),
+        a1 AS (
+          SELECT qv.vec_id, c0.c_id,
+                 sum((qv.q - c0.c) * (qv.q - c0.c))::BIGINT AS d2
+          FROM qv JOIN c0 ON c0.dim = qv.dim
+          GROUP BY qv.vec_id, c0.c_id),
+        asg1 AS (
+          SELECT vec_id, c_id FROM (
+            SELECT vec_id, c_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+            FROM a1) WHERE rn = 1),
+        sums1 AS (
+          SELECT g.c_id, qv.dim, sum(qv.q)::BIGINT AS s, count(*)::BIGINT AS n
+          FROM asg1 g JOIN qv ON qv.vec_id = g.vec_id
+          GROUP BY g.c_id, qv.dim),
+        c1 AS (
+          SELECT c0.c_id, c0.dim,
+            coalesce(((s.s - ((s.s % s.n) + s.n) % s.n) / s.n)::BIGINT, c0.c) AS c
+          FROM c0 LEFT JOIN sums1 s ON s.c_id = c0.c_id AND s.dim = c0.dim),
+        a2 AS (
+          SELECT qv.vec_id, c1.c_id,
+                 sum((qv.q - c1.c) * (qv.q - c1.c))::BIGINT AS d2
+          FROM qv JOIN c1 ON c1.dim = qv.dim
+          GROUP BY qv.vec_id, c1.c_id)
+        SELECT vec_id, c_id AS cluster, d2 FROM (
+          SELECT vec_id, c_id, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+          FROM a2) WHERE rn = 1 ORDER BY vec_id
     """
     # GROUP BY ROLLUP parity with '<all>' sentinels for rolled-up
     # positions (ops/windows.py rollup_counts)
