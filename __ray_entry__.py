@@ -69,6 +69,8 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+BM25F_WEIGHTS = {"title": 3, "body": 1}  # positive ints (exactness)
+BM25F_TITLE_TOKENS = 5  # field split: first 5 tokens = title, rest = body
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1024  # power of two: the quantizing multiply is exact
@@ -925,6 +927,45 @@ def _q_group_centroids(sf_dir: str):
     return group_centroids(_embeddings(sf_dir))
 
 
+def _q_bm25f_topk(sf_dir: str):
+    """Weighted multi-field BM25 (BM25F): documents split into a
+    title field (first N tokens, weight 3) and body (rest, weight 1);
+    integer weighted tf/dl aggregates, distributed candidate join,
+    combiner-first top-k (search/bm25f.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.search.bm25f import bm25f_topk
+
+    def to_fields(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.cast(batch.column("text"), pa.string()))
+        split = pc.split_pattern_regex(col, r"\s+")
+        title = pc.binary_join(
+            pc.list_slice(split, 0, BM25F_TITLE_TOKENS), " "
+        )
+        body = pc.binary_join(pc.list_slice(split, BM25F_TITLE_TOKENS), " ")
+        n = batch.num_rows
+        ids = batch.column("doc_id")
+        names = ["doc_id", "field", "text"]
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays(
+                    [ids, pa.array(["title"] * n, type=pa.string()), title],
+                    names=names,
+                ),
+                pa.Table.from_arrays(
+                    [ids, pa.array(["body"] * n, type=pa.string()), body],
+                    names=names,
+                ),
+            ]
+        )
+
+    fields = _docs(sf_dir).map_batches(to_fields, batch_format="pyarrow")
+    return bm25f_topk(
+        fields, TOPK_QUERIES, BM25F_WEIGHTS, cutoff=CUTOFF
+    ).select_columns(["q_id", "rank", "doc_id"])
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Integer-exact Lloyd k-means (seeded from the k smallest
     vec_ids, 2 rounds): quantize-then-int64 arithmetic makes the
@@ -1221,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": _q_profile_columns,
         "group_centroids": _q_group_centroids,
         "kmeans_assign": _q_kmeans_assign,
+        "bm25f_topk": _q_bm25f_topk,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
@@ -2220,6 +2262,62 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS u(i)
         GROUP BY label, u.i ORDER BY label, dim
+    """
+    # BM25F (search/bm25f.py): weighted pseudo-document tf/dl with
+    # integer field weights, doc-level idf, rank-only compare
+    _w_values = " , ".join(
+        f"('{f}', {w})" for f, w in BM25F_WEIGHTS.items()
+    )
+    _tt = BM25F_TITLE_TOKENS
+    out["bm25f_topk"] = f"""
+        WITH docs AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents),
+        fields AS (
+          SELECT doc_id, 'title' AS field,
+                 array_slice(toks, 1, least({_tt}, len(toks))) AS ftoks
+          FROM docs
+          UNION ALL
+          SELECT doc_id, 'body',
+                 CASE WHEN len(toks) > {_tt}
+                      THEN array_slice(toks, {_tt} + 1, len(toks))
+                      ELSE [] END
+          FROM docs),
+        w(field, wt) AS (VALUES {_w_values}),
+        toks2 AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
+        wtf AS (
+          SELECT t.doc_id, t.term, sum(w.wt)::BIGINT AS wtf
+          FROM toks2 t JOIN w ON w.field = t.field
+          GROUP BY t.doc_id, t.term),
+        wdl AS (
+          SELECT f.doc_id, sum(w.wt * len(f.ftoks))::BIGINT AS wdl
+          FROM fields f JOIN w ON w.field = f.field
+          GROUP BY f.doc_id),
+        fdf AS (SELECT term, count(*)::DOUBLE AS df FROM wtf GROUP BY term),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(wdl) FROM wdl)::DOUBLE
+                 / (SELECT count(*) FROM wdl)::DOUBLE AS avgwdl),
+        {_QTERMS},
+        scores AS (
+          SELECT q.q_id, wtf.doc_id,
+            sum( ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
+                 * wtf.wtf::DOUBLE * ({k1} + 1)
+                 / (wtf.wtf::DOUBLE
+                    + {k1} * (1 - {b} + {b} * wdl.wdl::DOUBLE / s.avgwdl)) )
+              AS score
+          FROM qterms q
+          JOIN wtf ON wtf.term = q.term
+          JOIN fdf ON fdf.term = q.term
+          JOIN wdl ON wdl.doc_id = wtf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, wtf.doc_id)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+              AS rank
+          FROM scores)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
     """
     # integer-exact Lloyd k-means, mirrors ops/cluster.py: quantized
     # int64 distances, ties -> lowest seed id, centroid update by

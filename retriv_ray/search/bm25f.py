@@ -1,0 +1,291 @@
+"""BM25F — weighted multi-field BM25 — as a streaming Dataset op.
+
+Simplified BM25F (Robertson/Zaragoza): per-field term frequencies and
+field lengths fold into one weighted pseudo-document BEFORE
+saturation —
+
+    wtf(t,d)  = sum_f w_f * tf(t,f,d)
+    wdl(d)    = sum_f w_f * len(f,d)
+    score(q,d)= sum_t idf(t) * wtf*(k1+1) / (wtf + k1*(1-b+b*wdl/avgwdl))
+
+with doc-level idf (df = docs containing t in ANY field, the same
+``ln(1 + (N-df+0.5)/(df+0.5))`` shape as the main BM25 kernel).
+Integer field weights keep every aggregate (wtf, wdl, sum-wdl) exact
+int64 under any partitioning; floats appear only in the final
+per-(query, doc) scoring sum.
+
+Input is a Dataset of (doc_id, field, text) rows — one row per field
+per document. Shuffle shape: one streaming tokenize pass per
+aggregate with per-batch combiners (the exchange moves (doc, term,
+wtf) partials filtered to QUERY terms only, and (doc, wdl) pairs —
+never raw tokens), a tag-union-groupby hash join of candidates
+against doc lengths (the ops/joins.py side-tagging pattern: one key
+shuffle, robust to Ray's empty aggregate blocks), and the existing
+combiner-first ``topk_per_group`` for the cutoff. Query-term idfs
+travel as a tiny broadcast dict; the driver never holds per-doc
+state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from retriv_ray.ops.prep import topk_per_group
+
+
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """(parent_row_idx, token) for all non-empty whitespace tokens,
+    vectorized (no per-row Python split)."""
+    col = pc.utf8_trim_whitespace(
+        pc.cast(batch.column(text_col), pa.string())
+    )
+    split = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(split).combine_chunks()
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return parent[keep], flat.filter(pa.array(keep))
+
+
+def _row_weights(batch: pa.Table, field_col: str, weights: Dict[str, int]):
+    fields = batch.column(field_col).to_pylist()
+    try:
+        return np.array([weights[f] for f in fields], dtype=np.int64)
+    except KeyError as e:
+        raise ValueError(f"unknown field {e.args[0]!r} in {field_col}")
+
+
+def bm25f_topk(
+    ds_fields,
+    queries: Dict[str, str],
+    field_weights: Dict[str, int],
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 10,
+    doc_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+):
+    """(q_id, rank, doc_id, score) — BM25F top-``cutoff`` per query
+    over a (doc_id, field, text) dataset. Weights must be positive
+    integers (exactness contract above)."""
+    from ray.data.aggregate import Sum
+
+    for f, w in field_weights.items():
+        if not isinstance(w, (int, np.integer)) or w <= 0:
+            raise ValueError(f"field weight {f}={w!r} must be a positive int")
+    _sch = ds_fields.schema()  # Ray schema wrapper: .names / .types
+    doc_type = dict(zip(_sch.names, _sch.types))[doc_col]
+    qterm_lists = {q: queries[q].split() for q in queries}
+    qterms = sorted({t for ts in qterm_lists.values() for t in ts})
+    if not qterms:
+        raise ValueError("no query terms")
+    qterm_arr = pa.array(qterms, type=pa.string())
+
+    # -- weighted doc lengths: (doc_id, wdl) int64, one row per doc --
+    def wdl_partial(batch: pa.Table) -> pa.Table:
+        parent, _flat = _flat_tokens(batch, text_col)
+        w = _row_weights(batch, field_col, field_weights)
+        per_row = np.bincount(parent, minlength=batch.num_rows).astype(
+            np.int64
+        )
+        docs = batch.column(doc_col).to_numpy()
+        order = np.argsort(docs, kind="stable")
+        d_s = docs[order]
+        v_s = (per_row * w)[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        )
+        sums = np.add.reduceat(v_s, starts) if len(v_s) else v_s
+        return pa.Table.from_arrays(
+            [pa.array(d_s[starts]), pa.array(sums.astype(np.int64))],
+            names=[doc_col, "wdl"],
+        )
+
+    wdl_ds = (
+        ds_fields.map_batches(wdl_partial, batch_format="pyarrow")
+        .groupby(doc_col)
+        .aggregate(Sum("wdl", alias_name="wdl"))
+        .materialize()  # reused by the stats action AND the join probe
+    )
+    n_docs = wdl_ds.count()
+    sum_wdl = wdl_ds.sum("wdl")
+    avgwdl = float(sum_wdl) / float(n_docs)
+
+    # -- weighted tf of QUERY terms: (doc_id, term, wtf) int64 --------
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        parent, flat = _flat_tokens(batch, text_col)
+        mask = pc.is_in(flat, value_set=qterm_arr).to_numpy(
+            zero_copy_only=False
+        )
+        parent = parent[mask]
+        if not len(parent):
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=batch.schema.field(doc_col).type),
+                    pa.array([], type=pa.string()),
+                    pa.array([], type=pa.int64()),
+                ],
+                names=[doc_col, "term", "wtf"],
+            )
+        terms = flat.filter(pa.array(mask)).dictionary_encode()
+        codes = terms.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        docs = batch.column(doc_col).to_numpy()[parent]
+        w = _row_weights(batch, field_col, field_weights)[parent]
+        order = np.lexsort((codes, docs))
+        d_s, c_s, w_s = docs[order], codes[order], w[order]
+        starts = np.flatnonzero(
+            np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            )
+        )
+        sums = np.add.reduceat(w_s, starts)
+        dict_vals = terms.dictionary
+        return pa.Table.from_arrays(
+            [
+                pa.array(d_s[starts]),
+                dict_vals.take(pa.array(c_s[starts])),
+                pa.array(sums.astype(np.int64)),
+            ],
+            names=[doc_col, "term", "wtf"],
+        )
+
+    tf_ds = (
+        ds_fields.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby([doc_col, "term"])
+        .aggregate(Sum("wtf", alias_name="wtf"))
+        .materialize()  # reused: df gather + scoring probe
+    )
+
+    # doc-level df per query term — bounded by |qterms| rows
+    idf: Dict[str, float] = {}
+    for row in tf_ds.groupby("term").count().take_all():
+        df = float(row["count()"])
+        idf[row["term"]] = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+    # -- score: attach each candidate doc's wdl, expand, sum ---------
+    # tag-union-groupby join (the ops/joins.py pattern) rather than
+    # the native hash join: one key shuffle, and — unlike the native
+    # join operator — indifferent to the zero-column empty blocks
+    # Ray's hash aggregate emits for empty partitions
+    union_schema = pa.schema(
+        [
+            (doc_col, doc_type),
+            ("term", pa.string()),
+            ("x", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+    cand_schema = pa.schema(
+        [
+            (doc_col, doc_type),
+            ("term", pa.string()),
+            ("wtf", pa.int64()),
+            ("wdl", pa.int64()),
+        ]
+    )
+
+    def tag_tf(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column(doc_col),
+                batch.column("term"),
+                pc.cast(batch.column("wtf"), pa.int64()),
+                pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def tag_wdl(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column(doc_col),
+                pa.nulls(batch.num_rows, type=pa.string()),
+                pc.cast(batch.column("wdl"), pa.int64()),
+                pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        tf_mask = side == 0
+        if not tf_mask.any():
+            return cand_schema.empty_table()  # doc without query terms
+        wdl_val = int(x[side == 1][0])
+        keep = pa.array(np.flatnonzero(tf_mask))
+        n = len(keep)
+        return pa.Table.from_arrays(
+            [
+                group.column(doc_col).take(keep),
+                group.column("term").take(keep),
+                pa.array(x[tf_mask]),
+                pa.array(np.full(n, wdl_val, dtype=np.int64)),
+            ],
+            names=cand_schema.names,
+        )
+
+    cand = (
+        tf_ds.map_batches(tag_tf, batch_format="pyarrow")
+        .union(wdl_ds.map_batches(tag_wdl, batch_format="pyarrow"))
+        .groupby(doc_col)
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    term_to_qids: Dict[str, List[str]] = {}
+    for q, ts in qterm_lists.items():
+        for t in set(ts):
+            term_to_qids.setdefault(t, []).append(q)
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        docs = batch.column(doc_col).to_numpy()
+        wtf = batch.column("wtf").to_numpy().astype(np.float64)
+        wdl = batch.column("wdl").to_numpy().astype(np.float64)
+        denom_len = k1 * (1.0 - b + b * wdl / avgwdl)
+        base = wtf * (k1 + 1.0) / (wtf + denom_len)
+        term_arr = batch.column("term")
+        # expand per (distinct term -> queries containing it): the
+        # loop is |qterms| x |queries| wide, the row work is vectorized
+        out_q: List[pa.Array] = []
+        out_d: List[np.ndarray] = []
+        out_c: List[np.ndarray] = []
+        for t, qids in term_to_qids.items():
+            mask = pc.equal(term_arr, t).to_numpy(zero_copy_only=False)
+            if not mask.any():
+                continue
+            d_m, c_m = docs[mask], idf[t] * base[mask]
+            for q in qids:
+                out_q.append(pa.array([q] * len(d_m), type=pa.string()))
+                out_d.append(d_m)
+                out_c.append(c_m)
+        if not out_d:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.string()),
+                    pa.array([], type=batch.schema.field(doc_col).type),
+                    pa.array([], type=pa.float64()),
+                ],
+                names=["q_id", doc_col, "contrib"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(out_q),
+                pa.array(np.concatenate(out_d)),
+                pa.array(np.concatenate(out_c)),
+            ],
+            names=["q_id", doc_col, "contrib"],
+        )
+
+    scores = (
+        cand.map_batches(contribs, batch_format="pyarrow")
+        .groupby(["q_id", doc_col])
+        .aggregate(Sum("contrib", alias_name="score"))
+    )
+    return topk_per_group(
+        scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
+    )

@@ -1,0 +1,126 @@
+"""BM25F weighted multi-field scoring (search/bm25f.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from retriv_ray.search.bm25f import bm25f_topk
+
+ROWS = [
+    (0, "title", "spark fast"),
+    (0, "body", "spark query engine spark"),
+    (1, "title", "slow scan"),
+    (1, "body", "table scan join query"),
+    (2, "title", "query planner"),
+    (2, "body", "fast fast fast join"),
+    (3, "title", ""),
+    (3, "body", "spark table"),
+]
+WEIGHTS = {"title": 3, "body": 1}
+K1, B = 1.2, 0.75
+
+
+def _ref_scores(queries):
+    """Driver-side float reference of the simplified BM25F formula."""
+    wtf, wdl = {}, {}
+    for doc, field, text in ROWS:
+        w = WEIGHTS[field]
+        toks = text.split()
+        wdl[doc] = wdl.get(doc, 0) + w * len(toks)
+        for t in toks:
+            wtf[(doc, t)] = wtf.get((doc, t), 0) + w
+    n = len(wdl)
+    avgwdl = sum(wdl.values()) / n
+    df = {}
+    for (_d, t) in wtf:
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for q_id, text in queries.items():
+        sc = {}
+        for t in text.split():
+            if t not in df:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            for d in wdl:
+                f = wtf.get((d, t))
+                if not f:
+                    continue
+                sc[d] = sc.get(d, 0.0) + idf * f * (K1 + 1) / (
+                    f + K1 * (1 - B + B * wdl[d] / avgwdl)
+                )
+        out[q_id] = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def _ds(blocks):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ROWS], type=pa.int64()),
+            "field": [r[1] for r in ROWS],
+            "text": [r[2] for r in ROWS],
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+QUERIES = {"q1": "spark query", "q2": "fast join scan", "q3": "zzz"}
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bm25f_matches_reference(ray_session, blocks):
+    out = (
+        bm25f_topk(_ds(blocks), QUERIES, WEIGHTS, k1=K1, b=B, cutoff=10)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    ref = _ref_scores(QUERIES)
+    for q_id, want in ref.items():
+        got = out[out.q_id == q_id]
+        assert list(got["doc_id"]) == [d for d, _ in want]
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), [s for _, s in want], rtol=1e-12
+        )
+    assert (out[out.q_id == "q3"]).empty  # unseen term -> no rows
+
+
+def test_bm25f_title_weight_changes_ranking(ray_session):
+    # doc 0 has 'spark' twice in body + once in title; with weight 1:1
+    # vs 3:1 the title hit must matter three times as much
+    flat = bm25f_topk(
+        _ds(2), {"q": "spark"}, {"title": 1, "body": 1}, cutoff=10,
+            ).to_pandas()
+    weighted = bm25f_topk(
+        _ds(2), {"q": "spark"}, WEIGHTS, cutoff=10
+    ).to_pandas()
+    assert set(flat["doc_id"]) == set(weighted["doc_id"]) == {0, 3}
+    # weighted tf for doc 0: 3*1 + 1*2 = 5 vs flat 3
+    assert weighted.iloc[0]["score"] > flat.iloc[0]["score"]
+
+
+def test_bm25f_rejects_bad_weights(ray_session):
+    with pytest.raises(ValueError):
+        bm25f_topk(_ds(1), {"q": "spark"}, {"title": 1.5, "body": 1})
+    with pytest.raises(ValueError):
+        bm25f_topk(_ds(1), {"q": "spark"}, {"title": 0, "body": 1})
+    with pytest.raises(ValueError):
+        bm25f_topk(_ds(1), {"q": ""}, WEIGHTS)
+
+
+def test_bm25f_unknown_field_raises(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "field": ["abstract"],
+            "text": ["spark"],
+        }
+    )
+    with pytest.raises(Exception):
+        bm25f_topk(
+            ray.data.from_arrow(t), {"q": "spark"}, WEIGHTS,
+                    ).to_pandas()
