@@ -69,6 +69,16 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+FACET_QUERIES = {"fc1": "table scan join", "fc2": "spark big data"}
+FACET_FIELDS = ["lang", "source"]
+SUGGEST_QUERIES = {
+    "s1": "tabel",
+    "s2": "scann",
+    "s3": "quary",
+    "s4": "window",  # exact vocabulary hit -> itself at distance 0
+    "s5": "zzzzz",  # no candidate within distance 2 -> no row
+}
+SUGGEST_MAX_DIST = 2
 BM25F_WEIGHTS = {"title": 3, "body": 1}  # positive ints (exactness)
 BM25F_TITLE_TOKENS = 5  # field split: first 5 tokens = title, rest = body
 KMEANS_K = 8
@@ -446,6 +456,36 @@ def _q_fuzzy_search(sf_dir: str):
     return pa.Table.from_arrays(
         [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
         names=["q_id", "rank", "doc_id"],
+    )
+
+
+def _q_spell_suggest(sf_dir: str):
+    """'Did you mean': closest vocabulary term per probe — smallest
+    edit distance, then highest df, then lexicographic (the fuzzy
+    expansion machinery reporting (term, dist, df) triples)."""
+    import pyarrow as pa
+
+    from retriv_ray.search.fuzzy import suggest_term
+
+    stats = _index(sf_dir).index.term_df
+    q_col, s_col, d_col, f_col = [], [], [], []
+    for q_id in sorted(SUGGEST_QUERIES):
+        hit = suggest_term(stats, SUGGEST_QUERIES[q_id], SUGGEST_MAX_DIST)
+        if hit is None:
+            continue
+        t, d, df = hit
+        q_col.append(q_id)
+        s_col.append(t)
+        d_col.append(d)
+        f_col.append(df)
+    return pa.Table.from_arrays(
+        [
+            pa.array(q_col, type=pa.string()),
+            pa.array(s_col, type=pa.string()),
+            pa.array(np.asarray(d_col, dtype=np.int64)),
+            pa.array(np.asarray(f_col, dtype=np.int64)),
+        ],
+        names=["q_id", "suggestion", "dist", "df"],
     )
 
 
@@ -1137,6 +1177,29 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_facet_counts(sf_dir: str):
+    """Elasticsearch-style terms aggregation: per facet-field value
+    counts over each query's matching set (union of query-term
+    postings ∩ metadata postings via sorted-set probes,
+    search/facets.py)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import ensure_documents_metadata
+    from retriv_ray.search.facets import facet_counts
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    parts = []
+    for q_id in sorted(FACET_QUERIES):
+        t = facet_counts(r, FACET_QUERIES[q_id], FACET_FIELDS)
+        parts.append(
+            t.add_column(
+                0, "q_id", pa.array([q_id] * t.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def _q_fusion_topk(sf_dir: str):
     """Weighted min-max fusion of the BM25 and TF-IDF runs (reference
     merger/merger.py:18-49) via the Ray-Data fusion operator."""
@@ -1212,6 +1275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": _q_proximity_search,
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
+        "spell_suggest": _q_spell_suggest,
+        "facet_counts": _q_facet_counts,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1366,6 +1431,19 @@ def oracle_sql() -> dict[str, str]:
     _fuzzy_values = " , ".join(
         f"('{q}', '{t}', {d})" for q, (t, d) in FUZZY_QUERIES.items()
     )
+    _suggest_values = " , ".join(
+        f"('{q}', '{t}')" for q, t in SUGGEST_QUERIES.items()
+    )
+    _facet_values = " , ".join(
+        f"('{q}', '{t}')" for q, t in FACET_QUERIES.items()
+    )
+    _facet_arms = " UNION ALL ".join(
+        f"""SELECT m.q_id, '{f}' AS field, d.{f}::VARCHAR AS value,
+                   count(*)::BIGINT AS n_docs
+            FROM matching m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY m.q_id, d.{f}"""
+        for f in FACET_FIELDS
+    )
     out = {
         "filtered_bm25_topk": f"""
             WITH {_BASE_CTES}, {_fqterms},
@@ -1467,6 +1545,31 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "facet_counts": f"""
+            WITH {_BASE_CTES},
+            fcq AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                    FROM (VALUES {_facet_values}) AS q(q_id, qtext)),
+            matching AS (
+              SELECT DISTINCT q.q_id, tf.doc_id
+              FROM fcq q JOIN tf ON tf.term = q.term)
+            SELECT q_id, field, value, n_docs FROM ({_facet_arms})
+            ORDER BY q_id, field, value
+        """,
+        "spell_suggest": f"""
+            WITH {_BASE_CTES},
+            sq(q_id, qterm) AS (VALUES {_suggest_values}),
+            cand AS (
+              SELECT sq.q_id, df.term,
+                     levenshtein(df.term, sq.qterm)::BIGINT AS dist,
+                     df.df::BIGINT AS df
+              FROM sq JOIN df
+                ON levenshtein(df.term, sq.qterm) <= {SUGGEST_MAX_DIST})
+            SELECT q_id, term AS suggestion, dist, df FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY dist, df DESC, term) AS rn
+              FROM cand)
+            WHERE rn = 1 ORDER BY q_id
         """,
         "snippets": f"""
             WITH {_BASE_CTES}, {_QTERMS},

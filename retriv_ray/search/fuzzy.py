@@ -30,7 +30,7 @@ d <= 2.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -95,22 +95,23 @@ def _levenshtein_rows(pattern: bytes, rows: List[bytes]) -> List[int]:
     return out
 
 
-def fuzzy_terms(
+def fuzzy_term_matches(
     term_stats, term: str, max_dist: int = 1, limit: int = 10_000
-) -> List[str]:
+) -> List[Tuple[str, int, int]]:
     """All vocabulary terms within Levenshtein distance ``max_dist``
-    of ``term``, sorted; raises if the expansion exceeds ``limit``."""
+    of ``term`` as (term, distance, df) sorted by term; raises if the
+    expansion exceeds ``limit``."""
     if not term:
         raise ValueError("empty fuzzy term")
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     tb = term.encode("utf-8")
-    out: List[str] = []
+    out: List[Tuple[str, int, int]] = []
     for p in range(term_stats.num_parts):
         entry = term_stats._part(p)
         if entry is None:
             continue
-        _arr, _prefixes, off, data, _df = entry
+        _arr, _prefixes, off, data, df = entry
         lens = np.diff(off)
         cand = np.flatnonzero(np.abs(lens - len(tb)) <= max_dist)
         if cand.size == 0:
@@ -128,14 +129,40 @@ def fuzzy_terms(
                 data[int(off[i]) : int(off[i + 1])].tobytes() for i in cand
             ]
             dist = np.asarray(_levenshtein_rows(tb, rows), dtype=np.int64)
-        for i in cand[dist <= max_dist]:
+        hit = dist <= max_dist
+        for i, d in zip(cand[hit], dist[hit]):
             s, e = int(off[i]), int(off[i + 1])
-            out.append(data[s:e].tobytes().decode("utf-8"))
+            out.append(
+                (data[s:e].tobytes().decode("utf-8"), int(d), int(df[i]))
+            )
         if len(out) > limit:
             raise ValueError(
                 f"fuzzy term '{term}'~{max_dist} expands past {limit} terms"
             )
-    return sorted(set(out))
+    return sorted(out)
+
+
+def fuzzy_terms(
+    term_stats, term: str, max_dist: int = 1, limit: int = 10_000
+) -> List[str]:
+    """All vocabulary terms within Levenshtein distance ``max_dist``
+    of ``term``, sorted; raises if the expansion exceeds ``limit``."""
+    return [t for t, _d, _df in fuzzy_term_matches(term_stats, term, max_dist, limit)]
+
+
+def suggest_term(
+    term_stats, term: str, max_dist: int = 2
+) -> Optional[Tuple[str, int, int]]:
+    """Spell suggestion ("did you mean"): the vocabulary term closest
+    to ``term`` — smallest edit distance, then HIGHEST doc frequency,
+    then lexicographic — or None if nothing is within ``max_dist``.
+    An exact vocabulary hit returns itself at distance 0."""
+    best = None
+    for t, d, df in fuzzy_term_matches(term_stats, term, max_dist):
+        key = (d, -df, t)
+        if best is None or key < best[0]:
+            best = (key, (t, d, df))
+    return best[1] if best is not None else None
 
 
 def fuzzy_search_table(

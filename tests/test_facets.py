@@ -1,0 +1,133 @@
+"""Faceted search counts (search/facets.py) vs a brute-force oracle,
+including filter-DSL composition and tombstone masking."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from retriv_ray.config import SparseConfig
+from retriv_ray.index.build import build_index
+from retriv_ray.index.tombstones import delete_conversations
+from retriv_ray.search.facets import facet_counts
+from retriv_ray.search.metadata import build_metadata
+from retriv_ray.search.searcher import RaySparseRetriever
+from retriv_ray.sources.transcripts import _EPOCH_US
+
+ROWS = [
+    # conv, turn, role, text, tool, tags
+    ("c1", 0, "user", "alpha beta", "", ["x", "y"]),
+    ("c1", 1, "assistant", "beta gamma", "search", ["y"]),
+    ("c2", 0, "user", "alpha gamma", "", ["z"]),
+    ("c2", 1, "assistant", "delta", "python", ["x", "z"]),
+    ("c3", 0, "user", "alpha beta gamma", "", []),
+    ("c3", 1, "assistant", "beta delta", "search", ["y", "z"]),
+]
+SCHEMA_META = {"role": "keyword", "tool": "keyword", "tags": "keywords",
+               "turn_idx": "number"}
+
+
+def _table() -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in ROWS]),
+            pa.array([r[1] for r in ROWS], type=pa.int32()),
+            pa.array([r[2] for r in ROWS]),
+            pa.array([r[3] for r in ROWS]),
+            pa.array([r[4] for r in ROWS]),
+            pa.array(
+                [int(_EPOCH_US) + i * 1_000_000 for i in range(len(ROWS))],
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+            pa.array([r[5] for r in ROWS], type=pa.list_(pa.string())),
+        ],
+        names=["conv_id", "turn_idx", "role", "text", "tool", "ts", "tags"],
+    )
+
+
+def _brute(query_terms, fields, rows=ROWS, doc_filter=None):
+    want = {}
+    for i, (_c, _t, role, text, tool, tags) in enumerate(rows):
+        if not any(t in text.split() for t in query_terms):
+            continue
+        if doc_filter is not None and not doc_filter(i):
+            continue
+        vals = {"role": [role], "tool": [tool], "tags": tags}
+        for f in fields:
+            for v in vals[f]:
+                want[(f, v)] = want.get((f, v), 0) + 1
+    return want
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("facets")
+    src = os.path.join(d, "t.parquet")
+    pq.write_table(_table(), src)
+    idx = os.path.join(d, "idx")
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+    build_index(src, idx, cfg, num_parts=2)
+    build_metadata(src, idx, SCHEMA_META)
+    return d, cfg
+
+
+def _open(built):
+    d, cfg = built
+    return RaySparseRetriever(os.path.join(d, "idx"), cfg)
+
+
+def test_facets_match_bruteforce(built):
+    r = _open(built)
+    t = facet_counts(r, "beta delta", ["role", "tool", "tags"])
+    got = {
+        (f, v): n
+        for f, v, n in zip(
+            t.column("field").to_pylist(),
+            t.column("value").to_pylist(),
+            t.column("n_docs").to_pylist(),
+        )
+    }
+    assert got == _brute(["beta", "delta"], ["role", "tool", "tags"])
+
+
+def test_facets_compose_with_filter_dsl(built):
+    r = _open(built)
+    t = facet_counts(
+        r, {"text": "alpha beta", "where": {"role": "user"}}, ["tags"]
+    )
+    got = dict(
+        zip(t.column("value").to_pylist(), t.column("n_docs").to_pylist())
+    )
+    want = _brute(
+        ["alpha", "beta"],
+        ["tags"],
+        doc_filter=lambda i: ROWS[i][2] == "user",
+    )
+    assert got == {v: n for (_f, v), n in want.items()}
+
+
+def test_facets_number_field_raises(built):
+    r = _open(built)
+    with pytest.raises(ValueError):
+        facet_counts(r, "alpha", ["turn_idx"])
+    with pytest.raises(ValueError):
+        facet_counts(r, "alpha", ["nope"])
+
+
+def test_facets_honor_tombstones(built, tmp_path):
+    import shutil
+
+    d, cfg = built
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(os.path.join(d, "idx"), idx2)
+    delete_conversations(idx2, ["c1"])
+    r2 = RaySparseRetriever(idx2, cfg)
+    t = facet_counts(r2, "beta delta", ["role"])
+    got = dict(
+        zip(t.column("value").to_pylist(), t.column("n_docs").to_pylist())
+    )
+    want = _brute(
+        ["beta", "delta"], ["role"], doc_filter=lambda i: ROWS[i][0] != "c1"
+    )
+    assert got == {v: n for (_f, v), n in want.items()}

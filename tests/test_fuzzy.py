@@ -12,7 +12,9 @@ from retriv_ray.search.fuzzy import (
     _levenshtein_batch,
     _levenshtein_rows,
     fuzzy_search_table,
+    fuzzy_term_matches,
     fuzzy_terms,
+    suggest_term,
 )
 from retriv_ray.search.searcher import RaySparseRetriever
 
@@ -132,6 +134,32 @@ def test_fuzzy_search_matches_expanded_or_query(setup):
     convs, _turns = setup.index.to_original_ids(ids)
     assert t.column("conv_id").to_pylist() == list(convs)
     assert t.column("rank").to_pylist() == list(range(1, len(ids) + 1))
+
+
+def test_fuzzy_term_matches_carries_dist_and_df(setup):
+    got = dict(
+        (t, (d, df)) for t, d, df in fuzzy_term_matches(
+            setup.index.term_df, "beta", 1
+        )
+    )
+    # df: 'beta' in docs 0,1; 'eta' in doc 3; 'zeta' in doc 3
+    assert got == {"beta": (0, 2), "eta": (1, 1), "zeta": (1, 1)}
+
+
+def test_suggest_term_prefers_distance_then_df(setup):
+    # exact hit wins at distance 0
+    assert suggest_term(setup.index.term_df, "beta") == ("beta", 0, 2)
+    # 'betb'~1 -> beta (d1); eta/zeta are d2: distance dominates
+    assert suggest_term(setup.index.term_df, "betb") == ("beta", 1, 2)
+    # 'albedx'~1 -> albedo; df tie-break: 'zet_'~1 has zeta(df1) and
+    # eta d2 -- construct a real tie instead: 'et'~2 matches beta(d2,
+    # df2), eta(d1), zeta(d2), theta(d3 out)...: eta wins on distance
+    assert suggest_term(setup.index.term_df, "et") == ("eta", 1, 1)
+    # true df tie at equal distance: 'aeta'~1 -> beta(d1,df2),
+    # eta(d1,df1), zeta(d1,df1): beta wins on df
+    assert suggest_term(setup.index.term_df, "aeta") == ("beta", 1, 2)
+    # nothing in range
+    assert suggest_term(setup.index.term_df, "qqqqqq", 1) is None
 
 
 def test_fuzzy_search_empty_expansion(setup):
