@@ -69,6 +69,8 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+MLT_DOC_IDS = [0, 7, 42]
+MLT_TERMS = 5
 FACET_QUERIES = {"fc1": "table scan join", "fc2": "spark big data"}
 FACET_FIELDS = ["lang", "source"]
 SUGGEST_QUERIES = {
@@ -1177,6 +1179,41 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_more_like_this(sf_dir: str):
+    """Similar-document retrieval: the source doc's top quantized
+    TF-IDF terms (index df stats, tfidf_keywords contract) run as a
+    disjunctive BM25 query, source excluded (search/mlt.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from retriv_ray.search.mlt import more_like_this
+
+    r = _index(sf_dir)
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(pc.is_in(pc.field("doc_id"), pa.array(MLT_DOC_IDS)))
+    texts = dict(
+        zip(src.column("doc_id").to_pylist(), src.column("text").to_pylist())
+    )
+    parts = []
+    for d in MLT_DOC_IDS:
+        t = more_like_this(
+            r, texts[d], exclude_doc=d, top_terms=MLT_TERMS, cutoff=CUTOFF
+        )
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array([f"m{d}"] * t.num_rows, type=pa.string()),
+                    t.column("rank"),
+                    t.column("doc_id"),
+                ],
+                names=["q_id", "rank", "doc_id"],
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def _q_facet_counts(sf_dir: str):
     """Elasticsearch-style terms aggregation: per facet-field value
     counts over each query's matching set (union of query-term
@@ -1277,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": _q_fuzzy_search,
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
+        "more_like_this": _q_more_like_this,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1434,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
     _suggest_values = " , ".join(
         f"('{q}', '{t}')" for q, t in SUGGEST_QUERIES.items()
     )
+    _mlt_values = " , ".join(f"('m{d}', {d})" for d in MLT_DOC_IDS)
     _facet_values = " , ".join(
         f"('{q}', '{t}')" for q, t in FACET_QUERIES.items()
     )
@@ -1543,6 +1582,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, rank, doc_id FROM (
               SELECT q_id, doc_id,
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "more_like_this": f"""
+            WITH {_BASE_CTES},
+            src(q_id, src_id) AS (VALUES {_mlt_values}),
+            kw AS (
+              SELECT s.q_id, s.src_id, tf.term,
+                     floor(10000 * tf.tf * ln(st.n / df.df))::BIGINT AS w
+              FROM src s JOIN tf ON tf.doc_id = s.src_id
+              JOIN df ON df.term = tf.term CROSS JOIN stats st),
+            topterms AS (SELECT q_id, src_id, term FROM (
+              SELECT q_id, src_id, term,
+                row_number() OVER (PARTITION BY q_id ORDER BY w DESC, term)
+                  AS rn
+              FROM kw) WHERE rn <= {MLT_TERMS}),
+            scores AS (
+              SELECT t.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) )
+                  AS score
+              FROM topterms t
+              JOIN tf ON tf.term = t.term AND tf.doc_id <> t.src_id
+              JOIN df ON df.term = t.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY t.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+                  AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
