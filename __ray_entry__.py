@@ -1179,6 +1179,40 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_search_after(sf_dir: str):
+    """Cursor pagination: page 2 of each BM25 ranking fetched
+    statelessly via the (score, doc_id) cursor of page 1's last hit
+    (search/pagination.py) — ranks CUTOFF+1..2*CUTOFF."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.pagination import search_after_table
+
+    r = _index(sf_dir)
+    parts = []
+    for q_id, text in TOPK_QUERIES.items():
+        p1 = search_after_table(r, text, q_id, page_size=CUTOFF)
+        if p1.num_rows == 0:
+            continue
+        cursor = (
+            p1.column("score")[-1].as_py(),
+            p1.column("doc_id")[-1].as_py(),
+        )
+        p2 = search_after_table(r, text, q_id, page_size=CUTOFF, cursor=cursor)
+        docs = conv_to_doc_id(p2.column("conv_id").to_pylist())
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    p2.column("q_id"),
+                    p2.column("rank"),
+                    pa.array(docs, type=pa.int64()),
+                ],
+                names=["q_id", "rank", "doc_id"],
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def _q_more_like_this(sf_dir: str):
     """Similar-document retrieval: the source doc's top quantized
     TF-IDF terms (index df stats, tfidf_keywords contract) run as a
@@ -1315,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
         "more_like_this": _q_more_like_this,
+        "search_after": _q_search_after,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1584,6 +1619,28 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "search_after": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) )
+                  AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+                  AS rank
+              FROM scores)
+            WHERE rank BETWEEN {CUTOFF} + 1 AND 2 * {CUTOFF}
+            ORDER BY q_id, rank
         """,
         "more_like_this": f"""
             WITH {_BASE_CTES},
