@@ -69,6 +69,12 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+REGEX_QUERIES = {
+    "r1": "s.*n",  # scan
+    "r2": "[bc].*",  # batch/big/column/customer
+    "r3": "qu(ery|een)",
+    "r4": "zz+",  # no match -> no rows
+}
 MLT_DOC_IDS = [0, 7, 42]
 MLT_TERMS = 5
 FACET_QUERIES = {"fc1": "table scan join", "fc2": "spark big data"}
@@ -1179,6 +1185,50 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_explain_top1(sf_dir: str):
+    """Lucene-style score explanation for each query's rank-1 doc:
+    per-term (tf, df, quantized BM25 contribution) rows
+    (search/explain.py; floor(1e6 x) integer contract)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.explain import explain_queries
+
+    r = _index(sf_dir)
+    t = explain_queries(r, TOPK_QUERIES)
+    internal = t.column("doc_id").to_numpy()
+    convs, _turns = r.index.to_original_ids(internal)
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            pa.array(conv_to_doc_id(convs), type=pa.int64()),
+            t.column("term"),
+            t.column("tf"),
+            t.column("df"),
+            t.column("score_e6"),
+        ],
+        names=["q_id", "doc_id", "term", "tf", "df", "score_e6"],
+    )
+
+
+def _q_regex_search(sf_dir: str):
+    """Lucene RegexpQuery: vocabulary matched with RE2
+    (pc.match_substring_regex, anchored — same engine+dialect as the
+    DuckDB oracle's regexp_full_match), then per-doc distinct
+    matching-term counts (search/regex.py)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.regex import regex_search_table
+
+    t = regex_search_table(_index(sf_dir), REGEX_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_terms")],
+        names=["q_id", "doc_id", "n_terms"],
+    )
+
+
 def _q_search_after(sf_dir: str):
     """Cursor pagination: page 2 of each BM25 ranking fetched
     statelessly via the (score, doc_id) cursor of page 1's last hit
@@ -1350,6 +1400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
+        "regex_search": _q_regex_search,
+        "explain_top1": _q_explain_top1,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1508,6 +1560,9 @@ def oracle_sql() -> dict[str, str]:
         f"('{q}', '{t}')" for q, t in SUGGEST_QUERIES.items()
     )
     _mlt_values = " , ".join(f"('m{d}', {d})" for d in MLT_DOC_IDS)
+    _regex_values = " , ".join(
+        f"('{q}', '{p}')" for q, p in REGEX_QUERIES.items()
+    )
     _facet_values = " , ".join(
         f"('{q}', '{t}')" for q, t in FACET_QUERIES.items()
     )
@@ -1619,6 +1674,54 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "explain_top1": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            -- the engine's relative_doc_lens divides by a
+            -- float32-cast avgdl (searcher.py LoadedIndex), so the
+            -- value-exact quantization must mirror that cast
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) )
+                  AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id),
+            top1 AS (
+              SELECT q_id, doc_id FROM (
+                SELECT q_id, doc_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+                    AS rank
+                FROM scores) WHERE rank = 1)
+            SELECT t1.q_id, t1.doc_id, tf.term,
+                   tf.tf::BIGINT AS tf, df.df::BIGINT AS df,
+                   floor(1000000
+                     * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * ({k1} + 1)
+                        / (tf.tf + {k1} * (1 - {b} + {b}
+                           * (dl.dl / (s.avgdl::FLOAT4::DOUBLE))))))::BIGINT
+                     AS score_e6
+            FROM top1 t1
+            JOIN qterms q ON q.q_id = t1.q_id
+            JOIN tf ON tf.doc_id = t1.doc_id AND tf.term = q.term
+            JOIN df ON df.term = q.term
+            JOIN dl ON dl.doc_id = t1.doc_id
+            CROSS JOIN stats s
+            ORDER BY t1.q_id, tf.term
+        """,
+        "regex_search": f"""
+            WITH {_BASE_CTES},
+            rx(q_id, pat) AS (VALUES {_regex_values})
+            SELECT rx.q_id, tf.doc_id,
+                   count(DISTINCT tf.term)::BIGINT AS n_terms
+            FROM rx JOIN tf ON regexp_full_match(tf.term, rx.pat)
+            GROUP BY rx.q_id, tf.doc_id
+            ORDER BY q_id, doc_id
         """,
         "search_after": f"""
             WITH {_BASE_CTES}, {_QTERMS},
