@@ -69,6 +69,8 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+HYBRID_PAIRS = {"q1": 0, "q2": 1, "q3": 2, "q4": 3, "q5": 4}
+HYBRID_WEIGHTS = (0.7, 0.3)  # (sparse BM25, dense cosine)
 REGEX_QUERIES = {
     "r1": "s.*n",  # scan
     "r2": "[bc].*",  # batch/big/column/customer
@@ -1185,6 +1187,65 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_hybrid_topk(sf_dir: str):
+    """Hybrid sparse+dense retrieval: each query pairs BM25 text
+    scores with cosine similarities of a query embedding (vec_id ==
+    doc_id row space); both runs min-max normalize within their
+    top-CUTOFF pools and fuse through the same merger operator as
+    fusion_topk."""
+    import numpy as _np
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.merger import fuse_runs_ds
+    from retriv_ray.ops.ann import cosine_topk_bruteforce
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+
+    r = _index(sf_dir)
+    rows = []
+    for q_id, vec in HYBRID_PAIRS.items():
+        res = r.search(TOPK_QUERIES[q_id], cutoff=CUTOFF)
+        docs = conv_to_doc_id([c for c, _ in res.keys()])
+        for d, s in zip(docs.tolist(), res.values()):
+            rows.append(
+                {"run_idx": 0, "q_id": q_id, "doc_id": str(d), "score": float(s)}
+            )
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    dense = cosine_topk_bruteforce(
+        _embeddings(sf_dir),
+        q_ids,
+        q_vecs,
+        k=CUTOFF,
+        exclude_self=False,
+        return_sims=True,
+    ).to_pandas()
+    vec_to_q = {v: q for q, v in HYBRID_PAIRS.items()}
+    for _i, row in dense.iterrows():
+        rows.append(
+            {
+                "run_idx": 1,
+                "q_id": vec_to_q[int(row["q_vec_id"])],
+                "doc_id": str(int(row["vec_id"])),
+                "score": float(row["sim"]),
+            }
+        )
+    fused = fuse_runs_ds(
+        ray.data.from_items(rows),
+        norm="min-max",
+        weights=list(HYBRID_WEIGHTS),
+        cutoff=CUTOFF,
+    )
+    t = fused.to_pandas()
+    return pa.Table.from_arrays(
+        [
+            pa.array(t["q_id"], type=pa.string()),
+            pa.array(t["rank"].astype("int64")),
+            pa.array(t["doc_id"].astype("int64")),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_explain_top1(sf_dir: str):
     """Lucene-style score explanation for each query's rank-1 doc:
     per-term (tf, df, quantized BM25 contribution) rows
@@ -1402,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _q_search_after,
         "regex_search": _q_regex_search,
         "explain_top1": _q_explain_top1,
+        "hybrid_topk": _q_hybrid_topk,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1560,6 +1622,10 @@ def oracle_sql() -> dict[str, str]:
         f"('{q}', '{t}')" for q, t in SUGGEST_QUERIES.items()
     )
     _mlt_values = " , ".join(f"('m{d}', {d})" for d in MLT_DOC_IDS)
+    _hybrid_values = " , ".join(
+        f"('{q}', {v})" for q, v in HYBRID_PAIRS.items()
+    )
+    hws, hwd = HYBRID_WEIGHTS
     _regex_values = " , ".join(
         f"('{q}', '{p}')" for q, p in REGEX_QUERIES.items()
     )
@@ -1673,6 +1739,53 @@ def oracle_sql() -> dict[str, str]:
               SELECT q_id, doc_id,
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "hybrid_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            bm AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            hp(q_id, qvec) AS (VALUES {_hybrid_values}),
+            sims AS (
+              SELECT h.q_id, e.vec_id AS doc_id,
+                     list_cosine_similarity(
+                       qe.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+              FROM hp h JOIN embeddings qe ON qe.vec_id = h.qvec
+              CROSS JOIN embeddings e),
+            bmc AS (SELECT * FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM bm) WHERE rnk <= {CUTOFF}),
+            dnc AS (SELECT * FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM sims) WHERE rnk <= {CUTOFF}),
+            bmn AS (SELECT q_id, doc_id,
+              (score - min(score) OVER (PARTITION BY q_id))
+              / greatest(max(score) OVER (PARTITION BY q_id)
+                         - min(score) OVER (PARTITION BY q_id), 1e-9) AS ns
+              FROM bmc),
+            dnn AS (SELECT q_id, doc_id,
+              (score - min(score) OVER (PARTITION BY q_id))
+              / greatest(max(score) OVER (PARTITION BY q_id)
+                         - min(score) OVER (PARTITION BY q_id), 1e-9) AS ns
+              FROM dnc),
+            fused AS (
+              SELECT coalesce(b.q_id, d.q_id) AS q_id,
+                     coalesce(b.doc_id, d.doc_id) AS doc_id,
+                     coalesce({hws} * b.ns, 0) + coalesce({hwd} * d.ns, 0) AS fs
+              FROM bmn b FULL OUTER JOIN dnn d
+              ON b.q_id = d.q_id AND b.doc_id = d.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
+              FROM fused)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "explain_top1": f"""

@@ -51,10 +51,13 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    return_sims: bool = False,
 ):
     """Exact top-k by cosine for each query vector. Returns a Dataset
     (q_vec_id, rank, vec_id) — rank 1-based, ties broken by vec_id
-    ascending (deterministic, matches the SQL oracle ordering)."""
+    ascending (deterministic, matches the SQL oracle ordering); with
+    ``return_sims`` a ``sim`` float64 column is appended (hybrid
+    fusion consumes it)."""
     import ray
 
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -91,14 +94,16 @@ def cosine_topk_bruteforce(
             keep = v != q
             v, s = v[keep], s[keep]
         order = np.lexsort((v, -s))[:k]
-        return pa.Table.from_arrays(
-            [
-                pa.array(np.full(len(order), q, dtype=np.int64)),
-                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                pa.array(v[order]),
-            ],
-            names=["q_vec_id", "rank", "vec_id"],
-        )
+        arrays = [
+            pa.array(np.full(len(order), q, dtype=np.int64)),
+            pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            pa.array(v[order]),
+        ]
+        names = ["q_vec_id", "rank", "vec_id"]
+        if return_sims:
+            arrays.append(pa.array(s[order].astype(np.float64)))
+            names.append("sim")
+        return pa.Table.from_arrays(arrays, names=names)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -113,3 +113,33 @@ def test_group_centroids_partition_exact(ray_session, nparts):
         want = q[labels == lbl].sum(axis=0)
         assert (sub["sum_e6"].to_numpy() == want).all()
         assert (sub["n"] == (labels == lbl).sum()).all()
+
+
+def test_bruteforce_return_sims_consistent(vec_ds):
+    from retriv_ray.ops.ann import _normalize, cosine_topk_bruteforce
+
+    ds, vecs = vec_ds
+    q_ids = np.array([0, 7])
+    q_vecs = vecs[q_ids]
+    out = (
+        cosine_topk_bruteforce(
+            ds, q_ids, q_vecs, k=5, exclude_self=False, return_sims=True
+        )
+        .to_pandas()
+        .sort_values(["q_vec_id", "rank"])
+    )
+    assert list(out.columns) == ["q_vec_id", "rank", "vec_id", "sim"]
+    qn = _normalize(np.asarray(q_vecs, dtype=np.float64))
+    mn = _normalize(np.asarray(vecs, dtype=np.float64))
+    for qi, q in enumerate(q_ids):
+        g = out[out.q_vec_id == q]
+        sims = qn[qi] @ mn.T
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        assert g["vec_id"].tolist() == list(order)
+        # per-batch BLAS matmuls differ from the whole-matrix product
+        # in the last ulp; ranks above are exact, sims are close
+        np.testing.assert_allclose(
+            g["sim"].to_numpy(), sims[order], rtol=1e-12
+        )
+        # self at rank 1 with sim exactly 1.0-ish when not excluded
+        assert g.iloc[0]["vec_id"] == q
