@@ -69,6 +69,9 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+COLLAPSE_FIELD = "lang"
+COLLAPSE_PER_VALUE = 2
+COLLAPSE_CUTOFF = 6
 HYBRID_PAIRS = {"q1": 0, "q2": 1, "q3": 2, "q4": 3, "q5": 4}
 HYBRID_WEIGHTS = (0.7, 0.3)  # (sparse BM25, dense cosine)
 REGEX_QUERIES = {
@@ -1187,6 +1190,39 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_collapse_topk(sf_dir: str):
+    """Elasticsearch field collapsing: the BM25 ranking keeps at most
+    N hits per metadata value (result diversification), re-ranked
+    (search/collapse.py)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.collapse import collapse_queries
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    t = collapse_queries(
+        r,
+        TOPK_QUERIES,
+        COLLAPSE_FIELD,
+        per_value=COLLAPSE_PER_VALUE,
+        cutoff=COLLAPSE_CUTOFF,
+    )
+    convs, _turns = r.index.to_original_ids(t.column("doc_id").to_numpy())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            pa.array(conv_to_doc_id(convs), type=pa.int64()),
+            t.column("value"),
+        ],
+        names=["q_id", "rank", "doc_id", "value"],
+    )
+
+
 def _q_hybrid_topk(sf_dir: str):
     """Hybrid sparse+dense retrieval: each query pairs BM25 text
     scores with cosine similarities of a query embedding (vec_id ==
@@ -1464,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": _q_regex_search,
         "explain_top1": _q_explain_top1,
         "hybrid_topk": _q_hybrid_topk,
+        "collapse_topk": _q_collapse_topk,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1740,6 +1777,31 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "collapse_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            ranked AS (
+              SELECT sc.q_id, sc.doc_id, d.{COLLAPSE_FIELD}::VARCHAR AS value,
+                row_number() OVER (PARTITION BY sc.q_id
+                                   ORDER BY sc.score DESC, sc.doc_id) AS r
+              FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id),
+            grp AS (
+              SELECT *, row_number() OVER (PARTITION BY q_id, value ORDER BY r)
+                AS vr
+              FROM ranked)
+            SELECT q_id, rank, doc_id, value FROM (
+              SELECT q_id, doc_id, value,
+                row_number() OVER (PARTITION BY q_id ORDER BY r) AS rank
+              FROM grp WHERE vr <= {COLLAPSE_PER_VALUE})
+            WHERE rank <= {COLLAPSE_CUTOFF} ORDER BY q_id, rank
         """,
         "hybrid_topk": f"""
             WITH {_BASE_CTES}, {_QTERMS},

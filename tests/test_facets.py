@@ -131,3 +131,50 @@ def test_facets_honor_tombstones(built, tmp_path):
         ["beta", "delta"], ["role"], doc_filter=lambda i: ROWS[i][0] != "c1"
     )
     assert got == {v: n for (_f, v), n in want.items()}
+
+
+def test_collapse_topk_matches_bruteforce(built):
+    from retriv_ray.search.collapse import collapse_topk
+
+    r = _open(built)
+    # full ranking for 'beta delta', collapse by role, 1 per value
+    ids, _ = r._score(r.query_terms("beta delta"), r.index.local_count)
+    roles = [ROWS[i][2] for i in ids]
+    seen, want = set(), []
+    for i, role in zip(ids, roles):
+        if role in seen:
+            continue
+        seen.add(role)
+        want.append(int(i))
+    t = collapse_topk(r, "beta delta", "role", per_value=1, cutoff=10)
+    assert t.column("doc_id").to_pylist() == want
+    assert t.column("rank").to_pylist() == list(range(1, len(want) + 1))
+    assert t.column("value").to_pylist() == [ROWS[i][2] for i in want]
+
+
+def test_collapse_per_value_two(built):
+    from retriv_ray.search.collapse import collapse_topk
+
+    r = _open(built)
+    ids, _ = r._score(r.query_terms("beta delta"), r.index.local_count)
+    counts, want = {}, []
+    for i in ids:
+        role = ROWS[i][2]
+        if counts.get(role, 0) >= 2:
+            continue
+        counts[role] = counts.get(role, 0) + 1
+        want.append(int(i))
+    t = collapse_topk(r, "beta delta", "role", per_value=2, cutoff=10)
+    assert t.column("doc_id").to_pylist() == want
+
+
+def test_collapse_rejects_multi_valued_field(built):
+    from retriv_ray.search.collapse import collapse_topk
+
+    r = _open(built)
+    with pytest.raises(ValueError):
+        collapse_topk(r, "beta", "tags")
+    with pytest.raises(ValueError):
+        collapse_topk(r, "beta", "turn_idx")
+    with pytest.raises(ValueError):
+        collapse_topk(r, "beta", "role", per_value=0)
