@@ -862,6 +862,68 @@ class RaySparseRetriever:
         )
         joined.write_parquet(path)
 
+    # -- extended query surface (delegating facades; each module
+    #    documents its own semantics and scale plan) -----------------
+    def fuzzy_search(self, queries, cutoff: int = 100) -> pa.Table:
+        """{q_id: (term, max_dist)} -> BM25 over the edit-distance
+        expansion (search/fuzzy.py)."""
+        from retriv_ray.search.fuzzy import fuzzy_search_table
+
+        return fuzzy_search_table(self, queries, cutoff)
+
+    def suggest(self, term: str, max_dist: int = 2):
+        """Closest vocabulary term (term, dist, df) or None."""
+        from retriv_ray.search.fuzzy import suggest_term
+
+        return suggest_term(self.index.term_df, term, max_dist)
+
+    def regex_search(self, queries) -> pa.Table:
+        """{q_id: RE2 pattern} -> per-doc distinct matching-term
+        counts (search/regex.py)."""
+        from retriv_ray.search.regex import regex_search_table
+
+        return regex_search_table(self, queries)
+
+    def facets(self, query, fields) -> pa.Table:
+        """Per facet-value doc counts over the query's matching set
+        (search/facets.py)."""
+        from retriv_ray.search.facets import facet_counts
+
+        return facet_counts(self, query, fields)
+
+    def more_like_this(
+        self, doc_text: str, exclude_doc=None, top_terms: int = 5,
+        cutoff: int = 10,
+    ) -> pa.Table:
+        """Documents similar to a source text (search/mlt.py)."""
+        from retriv_ray.search.mlt import more_like_this
+
+        return more_like_this(self, doc_text, exclude_doc, top_terms, cutoff)
+
+    def search_after(
+        self, query: str, q_id: str = "q", page_size: int = 10, cursor=None,
+    ) -> pa.Table:
+        """Stateless cursor pagination (search/pagination.py)."""
+        from retriv_ray.search.pagination import search_after_table
+
+        return search_after_table(self, query, q_id, page_size, cursor)
+
+    def collapse(
+        self, query: str, field: str, q_id: str = "q",
+        per_value: int = 1, cutoff: int = 10,
+    ) -> pa.Table:
+        """Field-collapsed ranking (search/collapse.py)."""
+        from retriv_ray.search.collapse import collapse_topk
+
+        return collapse_topk(self, query, field, q_id, per_value, cutoff)
+
+    def explain(self, query: str, doc_id: int) -> pa.Table:
+        """Per-term score breakdown for one document
+        (search/explain.py)."""
+        from retriv_ray.search.explain import explain
+
+        return explain(self, query, doc_id)
+
 
 def _orig_key(k):
     """Result key -> qrels key string: turn-0 docs (the single-turn

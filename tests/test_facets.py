@@ -178,3 +178,26 @@ def test_collapse_rejects_multi_valued_field(built):
         collapse_topk(r, "beta", "turn_idx")
     with pytest.raises(ValueError):
         collapse_topk(r, "beta", "role", per_value=0)
+
+
+def test_retriever_facade_methods(built):
+    """The RaySparseRetriever facades delegate to the query modules."""
+    r = _open(built)
+    assert r.suggest("alpna") == ("alpha", 1, 3)
+    t = r.fuzzy_search({"q": ("beta", 1)}, cutoff=5)
+    assert t.num_rows > 0
+    t = r.regex_search({"q": "al.*"})
+    assert set(t.column_names) == {"q_id", "conv_id", "turn_idx", "n_terms"}
+    t = r.facets("beta delta", ["role"])
+    assert t.num_rows > 0
+    t = r.more_like_this("alpha beta", cutoff=3)
+    assert t.num_rows > 0
+    p1 = r.search_after("beta", page_size=2)
+    assert p1.num_rows == 2
+    cur = (p1.column("score")[-1].as_py(), p1.column("doc_id")[-1].as_py())
+    p2 = r.search_after("beta", page_size=2, cursor=cur)
+    assert p2.column("rank").to_pylist() == [3, 4] or p2.num_rows <= 2
+    t = r.collapse("beta delta", "role", per_value=1)
+    assert t.num_rows > 0
+    t = r.explain("beta", int(p1.column("doc_id")[0].as_py()))
+    assert t.num_rows == 1 and t.column("term")[0].as_py() == "beta"
