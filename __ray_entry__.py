@@ -23,7 +23,13 @@ Implemented pipelines (SURVEY.md §2 + training-data operators):
   wildcard prefix scans, KWIC snippets, offline index merge
   (merged_postings shares the whole-corpus postings oracle),
   tombstone-masked BM25 (deleted_bm25_topk), token-budget mixture
-  sampling, large-large shuffle hash join (order_priority_join)
+  sampling, large-large shuffle hash join (order_priority_join);
+  extended search surface: fuzzy term~d (bit-parallel Levenshtein),
+  spell suggestion, regex term queries (RE2 both sides), faceted
+  counts, more-like-this, stateless search_after pagination, field
+  collapsing, BM25F weighted fields, hybrid sparse+dense fusion,
+  per-term score explanation (value-exact), integer-exact Lloyd
+  k-means over embeddings
 """
 
 from __future__ import annotations
