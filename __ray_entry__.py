@@ -75,6 +75,9 @@ FUZZY_QUERIES = {
     "f4": ("jion", 2),
     "f5": ("zzzzz", 1),
 }
+RANGE_FACET_EDGES = [0, 200, 400, 600, 800, 10_000]
+SIGTERMS_TOPK = 10
+SIGTERMS_MIN_DF_FG = 2
 COLLAPSE_FIELD = "lang"
 COLLAPSE_PER_VALUE = 2
 COLLAPSE_CUTOFF = 6
@@ -1196,6 +1199,77 @@ def _q_filtered_bm25(sf_dir: str):
     )
 
 
+def _q_range_facets(sf_dir: str):
+    """Histogram facet: matching-doc counts per numeric bucket of
+    n_chars (search/facets.py range_facets)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import ensure_documents_metadata
+    from retriv_ray.search.facets import range_facets
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    parts = []
+    for q_id in sorted(FACET_QUERIES):
+        t = range_facets(r, FACET_QUERIES[q_id], "n_chars", RANGE_FACET_EDGES)
+        parts.append(
+            t.add_column(
+                0, "q_id", pa.array([q_id] * t.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _q_significant_terms(sf_dir: str):
+    """ES significant_terms: vocabulary terms overrepresented in each
+    query's matching set, integer-exact quantized lift
+    (search/facets.py significant_terms)."""
+    import pyarrow as pa
+
+    from retriv_ray.search.facets import significant_terms
+
+    r = _index(sf_dir)
+    parts = []
+    for q_id in sorted(FACET_QUERIES):
+        t = significant_terms(
+            r, FACET_QUERIES[q_id], SIGTERMS_TOPK, SIGTERMS_MIN_DF_FG
+        )
+        parts.append(
+            t.add_column(
+                0, "q_id", pa.array([q_id] * t.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _q_index_stats(sf_dir: str):
+    """Corpus/index profile: doc count, vocabulary size, postings
+    rows (sum df) and collection frequency (sum cf) straight from the
+    index products."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    r = _index(sf_dir)
+    parts = [
+        pq.read_table(p, columns=["df", "cf"])
+        for p in sorted(glob.glob(os.path.join(r.index_dir, "terms", "*.parquet")))
+    ]
+    t = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    return pa.Table.from_arrays(
+        [
+            pa.array([int(r.index.doc_count)], type=pa.int64()),
+            pa.array([t.num_rows], type=pa.int64()),
+            pa.array([pc.sum(t.column("df")).as_py()], type=pa.int64()),
+            pa.array([pc.sum(t.column("cf")).as_py()], type=pa.int64()),
+        ],
+        names=["doc_count", "vocab_size", "postings_rows", "total_tf"],
+    )
+
+
 def _q_collapse_topk(sf_dir: str):
     """Elasticsearch field collapsing: the BM25 ranking keeps at most
     N hits per metadata value (result diversification), re-ranked
@@ -1507,6 +1581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_top1": _q_explain_top1,
         "hybrid_topk": _q_hybrid_topk,
         "collapse_topk": _q_collapse_topk,
+        "range_facets": _q_range_facets,
+        "significant_terms": _q_significant_terms,
+        "index_stats": _q_index_stats,
         "snippets": _q_snippets,
         "tfidf_topk": _q_tfidf_topk,
         "filtered_bm25_topk": _q_filtered_bm25,
@@ -1675,6 +1752,10 @@ def oracle_sql() -> dict[str, str]:
     _facet_values = " , ".join(
         f"('{q}', '{t}')" for q, t in FACET_QUERIES.items()
     )
+    _range_values = " , ".join(
+        f"({lo}, {hi})"
+        for lo, hi in zip(RANGE_FACET_EDGES[:-1], RANGE_FACET_EDGES[1:])
+    )
     _facet_arms = " UNION ALL ".join(
         f"""SELECT m.q_id, '{f}' AS field, d.{f}::VARCHAR AS value,
                    count(*)::BIGINT AS n_docs
@@ -1783,6 +1864,59 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "range_facets": f"""
+            WITH {_BASE_CTES},
+            fcq AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                    FROM (VALUES {_facet_values}) AS q(q_id, qtext)),
+            matching AS (
+              SELECT DISTINCT q.q_id, tf.doc_id
+              FROM fcq q JOIN tf ON tf.term = q.term),
+            bk(lo, hi) AS (VALUES {_range_values})
+            SELECT m.q_id, bk.lo::DOUBLE AS lo, bk.hi::DOUBLE AS hi,
+                   count(*)::BIGINT AS n_docs
+            FROM matching m
+            JOIN documents d ON d.doc_id = m.doc_id
+            JOIN bk ON d.n_chars >= bk.lo AND d.n_chars < bk.hi
+            GROUP BY m.q_id, bk.lo, bk.hi
+            ORDER BY q_id, lo
+        """,
+        "significant_terms": f"""
+            WITH {_BASE_CTES},
+            fcq AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                    FROM (VALUES {_facet_values}) AS q(q_id, qtext)),
+            matching AS (
+              SELECT DISTINCT q.q_id, tf.doc_id
+              FROM fcq q JOIN tf ON tf.term = q.term),
+            nfg AS (SELECT q_id, count(*)::BIGINT AS n_fg
+                    FROM matching GROUP BY q_id),
+            fg AS (
+              SELECT m.q_id, t.term, count(*)::BIGINT AS df_fg
+              FROM matching m JOIN tf t ON t.doc_id = m.doc_id
+              GROUP BY m.q_id, t.term),
+            scored AS (
+              SELECT fg.q_id, fg.term, fg.df_fg, df.df::BIGINT AS df,
+                (10000 * fg.df_fg * s.n::BIGINT)
+                  // (df.df::BIGINT * nfg.n_fg) AS lift_e4
+              FROM fg
+              JOIN df ON df.term = fg.term
+              JOIN nfg ON nfg.q_id = fg.q_id
+              CROSS JOIN stats s
+              WHERE fg.df_fg >= {SIGTERMS_MIN_DF_FG})
+            SELECT q_id, term, df_fg, df, lift_e4 FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY lift_e4 DESC, df_fg DESC, term) AS rn
+              FROM scored)
+            WHERE rn <= {SIGTERMS_TOPK} ORDER BY q_id, term
+        """,
+        "index_stats": f"""
+            WITH {_BASE_CTES}
+            SELECT
+              (SELECT count(*) FROM documents)::BIGINT AS doc_count,
+              (SELECT count(*) FROM df)::BIGINT AS vocab_size,
+              (SELECT count(*) FROM tf)::BIGINT AS postings_rows,
+              (SELECT sum(tf) FROM tf)::BIGINT AS total_tf
         """,
         "collapse_topk": f"""
             WITH {_BASE_CTES}, {_QTERMS},

@@ -111,3 +111,92 @@ def facet_counts(
         ],
         names=["field", "value", "n_docs"],
     )
+
+
+def range_facets(
+    retriever,
+    query: Union[str, Dict],
+    field: str,
+    edges: List[float],
+) -> pa.Table:
+    """Histogram facet over a NUMBER field: matching-doc counts per
+    half-open bucket [edges[i], edges[i+1]); zero buckets omitted.
+    Returns (lo, hi, n_docs) ordered by lo."""
+    md = retriever.metadata
+    if md.schema.get(field) != "number":
+        raise ValueError(f"range_facets needs a number field, got `{field}`")
+    if len(edges) < 2 or any(
+        edges[i] >= edges[i + 1] for i in range(len(edges) - 1)
+    ):
+        raise ValueError("edges must be strictly increasing, >= 2 values")
+    docs = _matching_docs(retriever, query)
+    vals = md.values[field][docs] if len(docs) else np.empty(0)
+    e = np.asarray(edges, dtype=np.float64)
+    bucket = np.searchsorted(e, vals, side="right") - 1
+    ok = (bucket >= 0) & (bucket < len(e) - 1) & (vals < e[-1])
+    counts = np.bincount(bucket[ok], minlength=len(e) - 1)
+    keep = np.flatnonzero(counts)
+    return pa.Table.from_arrays(
+        [
+            pa.array(e[keep]),
+            pa.array(e[keep + 1]),
+            pa.array(counts[keep].astype(np.int64)),
+        ],
+        names=["lo", "hi", "n_docs"],
+    )
+
+
+def significant_terms(
+    retriever,
+    query: Union[str, Dict],
+    top_k: int = 10,
+    min_df_fg: int = 2,
+) -> pa.Table:
+    """Elasticsearch ``significant_terms``: vocabulary terms
+    overrepresented in the query's matching set vs the corpus, scored
+    by integer-exact quantized lift
+    ``lift_e4 = (10^4 * df_fg * N) // (df * n_fg)`` (foreground doc
+    frequency over expected), ranked (lift desc, df_fg desc, term
+    asc). Exact rational arithmetic — no float divergence between
+    engine and oracle.
+
+    Scale notes: cost is one sorted-set membership probe per
+    vocabulary term against the matching set — vocabulary-bounded,
+    the same budget ES spends shard-locally; at web scale run it on
+    the sampled top docs like ES does, or pre-prune terms whose
+    global df already caps their lift below the current top-k floor
+    (df >= df_fg_max * N / (lift_floor * n_fg))."""
+    docs = _matching_docs(retriever, query)
+    n_fg = len(docs)
+    if n_fg == 0:
+        return pa.Table.from_arrays(
+            [
+                pa.array([], type=pa.string()),
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.int64()),
+            ],
+            names=["term", "df_fg", "df", "lift_e4"],
+        )
+    n = int(retriever.index.doc_count)
+    stats = retriever.index.term_df
+    rows = []
+    for term in stats:  # vocabulary-bounded scan
+        ids, _tfs = retriever.index.get_postings(term)
+        df_fg = _count_in(docs, ids)
+        if df_fg < min_df_fg:
+            continue
+        df = int(stats[term])
+        lift_e4 = (10_000 * df_fg * n) // (df * n_fg)
+        rows.append((-lift_e4, -df_fg, term, df))
+    rows.sort()
+    rows = rows[:top_k]
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[2] for r in rows], type=pa.string()),
+            pa.array(np.asarray([-r[1] for r in rows], dtype=np.int64)),
+            pa.array(np.asarray([r[3] for r in rows], dtype=np.int64)),
+            pa.array(np.asarray([-r[0] for r in rows], dtype=np.int64)),
+        ],
+        names=["term", "df_fg", "df", "lift_e4"],
+    )

@@ -201,3 +201,74 @@ def test_retriever_facade_methods(built):
     assert t.num_rows > 0
     t = r.explain("beta", int(p1.column("doc_id")[0].as_py()))
     assert t.num_rows == 1 and t.column("term")[0].as_py() == "beta"
+
+
+def test_range_facets_bruteforce(built):
+    from retriv_ray.search.facets import range_facets
+
+    d, cfg = built
+    # give the fixture a number field view: turn_idx acts as the value
+    r = _open(built)
+    t = range_facets(r, "alpha beta", "turn_idx", [0, 1, 2])
+    got = {
+        (lo, hi): n
+        for lo, hi, n in zip(
+            t.column("lo").to_pylist(),
+            t.column("hi").to_pylist(),
+            t.column("n_docs").to_pylist(),
+        )
+    }
+    want = {}
+    for i, (_c, turn, _r, text, _tool, _tags) in enumerate(ROWS):
+        if not any(w in text.split() for w in ("alpha", "beta")):
+            continue
+        for lo, hi in [(0.0, 1.0), (1.0, 2.0)]:
+            if lo <= turn < hi:
+                want[(lo, hi)] = want.get((lo, hi), 0) + 1
+    assert got == want
+
+
+def test_range_facets_validation(built):
+    from retriv_ray.search.facets import range_facets
+
+    r = _open(built)
+    with pytest.raises(ValueError):
+        range_facets(r, "alpha", "role", [0, 1])  # keyword field
+    with pytest.raises(ValueError):
+        range_facets(r, "alpha", "turn_idx", [5])  # one edge
+    with pytest.raises(ValueError):
+        range_facets(r, "alpha", "turn_idx", [2, 1])  # not increasing
+
+
+def test_significant_terms_bruteforce(built):
+    from retriv_ray.search.facets import significant_terms
+
+    r = _open(built)
+    t = significant_terms(r, "delta", top_k=5, min_df_fg=1)
+    # matching docs: rows containing 'delta' -> ids 3, 5
+    match = [i for i, row in enumerate(ROWS) if "delta" in row[3].split()]
+    n, n_fg = len(ROWS), len(match)
+    want = []
+    vocab = sorted({w for row in ROWS for w in row[3].split()})
+    for term in vocab:
+        df = sum(1 for row in ROWS if term in row[3].split())
+        df_fg = sum(1 for i in match if term in ROWS[i][3].split())
+        if df_fg < 1:
+            continue
+        want.append((-((10_000 * df_fg * n) // (df * n_fg)), -df_fg, term, df))
+    want.sort()
+    want = want[:5]
+    got = t.to_pylist()
+    assert [(r_["term"], r_["df_fg"], r_["df"], r_["lift_e4"]) for r_ in got] == [
+        (w[2], -w[1], w[3], -w[0]) for w in want
+    ]
+    # 'delta' itself has maximal lift (present in every matching doc)
+    assert got[0]["term"] == "delta"
+
+
+def test_significant_terms_empty_query(built):
+    from retriv_ray.search.facets import significant_terms
+
+    r = _open(built)
+    t = significant_terms(r, "qqqq", top_k=5)
+    assert t.num_rows == 0
