@@ -481,6 +481,31 @@ def _q_fuzzy_search(sf_dir: str):
     )
 
 
+def _q_autocomplete(sf_dir: str):
+    """Search-box autocomplete: top-k vocabulary completions of each
+    prefix by (df desc, term) — sorted-part bracket scans, dfs read
+    in place (search/prefix.py complete)."""
+    import pyarrow as pa
+
+    from retriv_ray.search.prefix import complete
+
+    stats = _index(sf_dir).index.term_df
+    q_col, t_col, d_col = [], [], []
+    for q_id in sorted(PREFIX_QUERIES):
+        for term, df in complete(stats, PREFIX_QUERIES[q_id], k=5):
+            q_col.append(q_id)
+            t_col.append(term)
+            d_col.append(df)
+    return pa.Table.from_arrays(
+        [
+            pa.array(q_col, type=pa.string()),
+            pa.array(t_col, type=pa.string()),
+            pa.array(np.asarray(d_col, dtype=np.int64)),
+        ],
+        names=["q_id", "term", "df"],
+    )
+
+
 def _q_spell_suggest(sf_dir: str):
     """'Did you mean': closest vocabulary term per probe — smallest
     edit distance, then highest df, then lexicographic (the fuzzy
@@ -1574,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "spell_suggest": _q_spell_suggest,
+        "autocomplete": _q_autocomplete,
         "facet_counts": _q_facet_counts,
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
@@ -1737,6 +1763,9 @@ def oracle_sql() -> dict[str, str]:
     wa, wb = FUSION_WEIGHTS
     _fuzzy_values = " , ".join(
         f"('{q}', '{t}', {d})" for q, (t, d) in FUZZY_QUERIES.items()
+    )
+    _prefix_pairs = " , ".join(
+        f"('{q}', '{p}')" for q, p in PREFIX_QUERIES.items()
     )
     _suggest_values = " , ".join(
         f"('{q}', '{t}')" for q, t in SUGGEST_QUERIES.items()
@@ -2101,6 +2130,16 @@ def oracle_sql() -> dict[str, str]:
               FROM fcq q JOIN tf ON tf.term = q.term)
             SELECT q_id, field, value, n_docs FROM ({_facet_arms})
             ORDER BY q_id, field, value
+        """,
+        "autocomplete": f"""
+            WITH {_BASE_CTES},
+            pq(q_id, pre) AS (VALUES {_prefix_pairs})
+            SELECT q_id, term, df FROM (
+              SELECT pq.q_id, df.term, df.df::BIGINT AS df,
+                row_number() OVER (PARTITION BY pq.q_id
+                                   ORDER BY df.df DESC, df.term) AS rn
+              FROM pq JOIN df ON df.term LIKE pq.pre || '%')
+            WHERE rn <= 5 ORDER BY q_id, term
         """,
         "spell_suggest": f"""
             WITH {_BASE_CTES},

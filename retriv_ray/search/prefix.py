@@ -59,6 +59,42 @@ def prefix_terms(term_stats, prefix: str, limit: int = 100_000) -> List[str]:
     return sorted(out)
 
 
+def complete(
+    term_stats, prefix: str, k: int = 10, limit: int = 100_000
+) -> List[Tuple[str, int]]:
+    """Search-box autocomplete: the top-``k`` vocabulary completions
+    of ``prefix`` by (df desc, term asc) as (term, df) pairs. Uses
+    the same two-searchsorted bracket per sorted part as
+    :func:`prefix_terms`, reading dfs from the part entry — no
+    postings touched."""
+    if not prefix:
+        raise ValueError("empty prefix")
+    pb = prefix.encode("utf-8")
+    lo_key = np.uint64(int.from_bytes(pb[:8].ljust(8, b"\0"), "big"))
+    hi_key = np.uint64(int.from_bytes(pb[:8].ljust(8, b"\xff"), "big"))
+    out: List[Tuple[int, str]] = []
+    n_seen = 0
+    for p in range(term_stats.num_parts):
+        entry = term_stats._part(p)
+        if entry is None:
+            continue
+        _arr, prefixes, off, data, df = entry
+        lo = int(np.searchsorted(prefixes, lo_key, side="left"))
+        hi = int(np.searchsorted(prefixes, hi_key, side="right"))
+        for i in range(lo, hi):
+            s, e = int(off[i]), int(off[i + 1])
+            raw = data[s:e].tobytes()
+            if raw.startswith(pb):
+                out.append((-int(df[i]), raw.decode("utf-8")))
+                n_seen += 1
+        if n_seen > limit:
+            raise ValueError(
+                f"prefix '{prefix}' expands past {limit} terms"
+            )
+    out.sort()
+    return [(t, -negdf) for negdf, t in out[:k]]
+
+
 def prefix_doc_counts(index, prefix: str) -> Tuple[np.ndarray, np.ndarray]:
     """(doc_ids asc, n_distinct_matching_terms) for every doc that
     contains at least one term starting with ``prefix``."""

@@ -272,3 +272,72 @@ def test_significant_terms_empty_query(built):
     r = _open(built)
     t = significant_terms(r, "qqqq", top_k=5)
     assert t.num_rows == 0
+
+
+def test_facet_counts_additive_across_shards(ray_session, tmp_path_factory):
+    """Facet counts from per-doc-shard views sum to the monolithic
+    count (the sharded-serving merge contract in facets.py)."""
+    d = tmp_path_factory.mktemp("facets_sharded")
+    src = os.path.join(d, "t.parquet")
+    pq.write_table(_table(), src)
+    idx = os.path.join(d, "idx")
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+    man = build_index(src, idx, cfg, num_parts=2, shard_docs=4)
+    assert man.doc_count == 6  # spans 2 shards of 4
+    build_metadata(src, idx, SCHEMA_META)
+
+    def counts(r):
+        t = facet_counts(r, "beta delta", ["role", "tags"])
+        return {
+            (f, v): n
+            for f, v, n in zip(
+                t.column("field").to_pylist(),
+                t.column("value").to_pylist(),
+                t.column("n_docs").to_pylist(),
+            )
+        }
+
+    mono = counts(RaySparseRetriever(idx, cfg))
+    summed = {}
+    for s in (0, 1):
+        for k, n in counts(
+            RaySparseRetriever(idx, cfg, shard_range=(s, s))
+        ).items():
+            summed[k] = summed.get(k, 0) + n
+    assert summed == mono
+
+
+def test_autocomplete_top_df(ray_session, tmp_path_factory):
+    from retriv_ray.search.prefix import complete
+
+    import ray.data
+
+    d = tmp_path_factory.mktemp("complete")
+    tbl = pa.table(
+        {
+            "conv_id": [f"c{i}" for i in range(4)],
+            "turn_idx": pa.array([0] * 4, type=pa.int32()),
+            "text": [
+                "alpha alarm albedo",
+                "alpha albedo",
+                "alpha beta",
+                "albatross beta",
+            ],
+        }
+    )
+    src = os.path.join(d, "src")
+    ray.data.from_arrow(tbl).write_parquet(src)
+    idx = os.path.join(d, "idx")
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+    build_index(src, idx, cfg, num_parts=2, resume=False)
+    r = RaySparseRetriever(idx, cfg)
+    got = complete(r.index.term_df, "al", k=3)
+    # dfs: alpha 3, albedo 2, alarm 1, albatross 1 -> df-1 tie breaks
+    # lexically ('alarm' < 'albatross')
+    assert got == [("alpha", 3), ("albedo", 2), ("alarm", 1)]
+    assert complete(r.index.term_df, "al", k=10) == [
+        ("alpha", 3), ("albedo", 2), ("alarm", 1), ("albatross", 1)
+    ]
+    assert complete(r.index.term_df, "zz", k=3) == []
+    with pytest.raises(ValueError):
+        complete(r.index.term_df, "")
