@@ -467,16 +467,29 @@ def _q_fuzzy_search(sf_dir: str):
     """Fuzzy ``term~d`` retrieval: vectorized bit-parallel Levenshtein
     scan of the sorted term dictionary (length-prefiltered, Myers
     uint64 lanes across the whole candidate set) -> disjunctive BM25
-    over the expanded terms through the ordinary kernel."""
+    over the expanded terms. Runs the BATCH SERVING path
+    (fuzzy_msearch_ds: expansion inside worker-cached retrievers)."""
     import pyarrow as pa
 
     from retriv_ray.pipelines.documents import conv_to_doc_id
-    from retriv_ray.search.fuzzy import fuzzy_search_table
+    from retriv_ray.search.fuzzy import fuzzy_msearch_ds
 
-    t = fuzzy_search_table(_index(sf_dir), FUZZY_QUERIES, CUTOFF)
-    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    qs = [
+        {"id": q, "term": t, "max_dist": d}
+        for q, (t, d) in FUZZY_QUERIES.items()
+    ]
+    t = (
+        fuzzy_msearch_ds(_index(sf_dir), qs, cutoff=CUTOFF, concurrency=2)
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+    )
+    docs = conv_to_doc_id(t["conv_id"].tolist())
     return pa.Table.from_arrays(
-        [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
+        [
+            pa.array(t["q_id"], type=pa.string()),
+            pa.array(t["rank"].astype("int64")),
+            pa.array(docs, type=pa.int64()),
+        ],
         names=["q_id", "rank", "doc_id"],
     )
 

@@ -271,6 +271,28 @@ def main() -> None:
         boolean_candidates(r.index, **s_)
     t_bool = time.monotonic() - t5
 
+    # fuzzy leg: 200 term~d queries from corrupted Zipf terms
+    # (expansion = bit-parallel dictionary scan, then disjunctive BM25)
+    from retriv_ray.search.fuzzy import fuzzy_terms
+
+    fqs = []
+    for i, q in enumerate(qs[:200]):
+        w = q["text"].split()[0]
+        probe = w[:-1] if (i % 2 == 0 and len(w) > 3) else w + "x"
+        fqs.append((probe, 1 + (i % 2)))
+
+    def _fuzzy_once(probe, d):
+        terms = fuzzy_terms(r.index.term_df, probe, d)
+        if terms:
+            r._score(terms, CUTOFF)
+
+    for probe, d in fqs[:20]:
+        _fuzzy_once(probe, d)
+    t6 = time.monotonic()
+    for probe, d in fqs:
+        _fuzzy_once(probe, d)
+    t_fuzzy = time.monotonic() - t6
+
     out = {
         "metric": "index-build+query (turns/sec build, p50 ms, msearch q/s)",
         "value": round(t_build, 3),
@@ -282,6 +304,7 @@ def main() -> None:
             "pos_build": round(t_pos_build, 3),
             "phrase_200q": round(t_phrase, 3),
             "boolean_200q": round(t_bool, 3),
+            "fuzzy_200q": round(t_fuzzy, 3),
         },
         "sf": sf,
         "num_cpus": NUM_CPUS,
@@ -295,6 +318,7 @@ def main() -> None:
         "pos_build_turns_per_sec": round(n_turns / t_pos_build, 1),
         "phrase_qps": round(200 / t_phrase, 1),
         "boolean_qps": round(200 / t_bool, 1),
+        "fuzzy_qps": round(200 / t_fuzzy, 1),
     }
     ray.shutdown()
     print(json.dumps(out))

@@ -166,3 +166,34 @@ def test_fuzzy_search_empty_expansion(setup):
     t = fuzzy_search_table(setup, {"q": ("zzzzzz", 1)}, cutoff=10)
     assert t.num_rows == 0
     assert t.column_names == ["q_id", "rank", "conv_id", "turn_idx"]
+
+
+def test_fuzzy_msearch_ds_equals_table_path(setup):
+    from retriv_ray.search.fuzzy import fuzzy_msearch_ds
+
+    queries = {"a": ("beta", 1), "b": ("alpha", 2), "c": ("zzzz", 1)}
+    want = fuzzy_search_table(setup, queries, cutoff=10).to_pandas()
+    got = (
+        fuzzy_msearch_ds(
+            setup,
+            [
+                {"id": q, "term": t, "max_dist": d}
+                for q, (t, d) in queries.items()
+            ],
+            cutoff=10,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    cols = ["q_id", "rank", "conv_id", "turn_idx"]
+    assert got[cols].astype(str).equals(want[cols].astype(str))
+    # the serving path also carries the scores
+    ids, scores = setup._score(["beta", "eta", "zeta"], 10)
+    import numpy as _np
+
+    _np.testing.assert_array_equal(
+        got[got.q_id == "a"]["score"].to_numpy(),
+        scores.astype(_np.float64),
+    )
