@@ -109,6 +109,16 @@ KMEANS_SCALE = 1024  # power of two: the quantizing multiply is exact
 MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 MIXTURE_BUDGET = 3000
 DELETED_DOC_IDS = [3, 7, 23, 99, 154, 200, 201, 202]
+# Lucene-style query strings (search/querystring.py): boolean structure
+# over term/phrase/prefix/fuzzy/metadata-field leaves; oracle arms in
+# oracle_sql() mirror each string's candidate set + scoring terms.
+QS_QUERIES = {
+    "qs1": "table AND (scan OR join) AND NOT spark",
+    "qs2": '"big data" AND window',
+    "qs3": "qu* AND tabel~1",
+    "qs4": "customer OR (merge AND NOT hash)",
+    "qs5": "n_chars:[200 TO 600] AND merge AND filter",
+}
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -369,6 +379,33 @@ def _q_boolean_search(sf_dir: str):
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_should")],
         names=["q_id", "doc_id", "n_should"],
+    )
+
+
+def _q_query_string(sf_dir: str):
+    """Lucene-style query-string retrieval: one string combining
+    boolean structure with term / phrase / prefix / fuzzy /
+    metadata-field leaves, scored as BM25 over the candidate set
+    (search/querystring.py; every leaf resolves through the engine's
+    part-routed postings / term-dictionary / positional / metadata
+    structures)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        documents_positional_index,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.querystring import query_string_table
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    px = documents_positional_index(sf_dir)
+    t = query_string_table(r, QS_QUERIES, CUTOFF, positional=px)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
+        names=["q_id", "rank", "doc_id"],
     )
 
 
@@ -1606,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
+        "query_string": _q_query_string,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
@@ -2321,6 +2359,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, doc_id, n_should
             FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
             ORDER BY q_id, doc_id
+        """,
+        # query_string semantics: per query, a candidate CTE mirrors the
+        # boolean structure (phrase via consecutive positions, prefix /
+        # fuzzy via vocabulary predicates, fields via the documents
+        # columns) and the score sums BM25 over the positive scoring
+        # terms restricted to the candidates (strict-positive top-k).
+        "query_string": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            c1 AS (SELECT doc_id FROM docs
+                   WHERE list_contains(toks, 'table')
+                     AND (list_contains(toks, 'scan') OR list_contains(toks, 'join'))
+                     AND NOT list_contains(toks, 'spark')),
+            c2 AS (SELECT d.doc_id FROM docs d
+                   WHERE list_contains(d.toks, 'window')
+                     AND EXISTS (SELECT 1 FROM pos a JOIN pos b
+                                 ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                                    AND b.term = 'data'
+                                 WHERE a.term = 'big' AND a.doc_id = d.doc_id)),
+            c3 AS (SELECT d.doc_id FROM docs d
+                   WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id
+                                 AND tf.term LIKE 'qu%')
+                     AND EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id
+                                 AND levenshtein(tf.term, 'tabel') <= 1)),
+            c4 AS (SELECT doc_id FROM docs
+                   WHERE list_contains(toks, 'customer')
+                      OR (list_contains(toks, 'merge')
+                          AND NOT list_contains(toks, 'hash'))),
+            c5 AS (SELECT dd.doc_id FROM docs dd
+                   JOIN documents d ON d.doc_id = dd.doc_id
+                   WHERE d.n_chars BETWEEN 200 AND 600
+                     AND list_contains(dd.toks, 'merge')
+                     AND list_contains(dd.toks, 'filter')),
+            s1 AS (SELECT 'qs1' AS q_id, tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c1)
+                     AND tf.term IN ('table', 'scan', 'join')
+                   GROUP BY tf.doc_id),
+            s2 AS (SELECT 'qs2' AS q_id, tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c2)
+                     AND tf.term IN ('big', 'data', 'window')
+                   GROUP BY tf.doc_id),
+            s3 AS (SELECT 'qs3' AS q_id, tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c3)
+                     AND (tf.term LIKE 'qu%' OR levenshtein(tf.term, 'tabel') <= 1)
+                   GROUP BY tf.doc_id),
+            s4 AS (SELECT 'qs4' AS q_id, tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c4)
+                     AND tf.term IN ('customer', 'merge')
+                   GROUP BY tf.doc_id),
+            s5 AS (SELECT 'qs5' AS q_id, tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c5)
+                     AND tf.term IN ('merge', 'filter')
+                   GROUP BY tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                    UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+                    UNION ALL SELECT * FROM s5))
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "vocabulary": f"""
             WITH {_BASE_CTES}

@@ -917,6 +917,20 @@ class RaySparseRetriever:
 
         return collapse_topk(self, query, field, q_id, per_value, cutoff)
 
+    def query_string(
+        self, queries, cutoff: int = 100, positional=None
+    ) -> pa.Table:
+        """Lucene-style query strings — boolean structure over term /
+        phrase / prefix / fuzzy / metadata-field leaves, BM25 over the
+        candidates (search/querystring.py). ``queries`` is one string
+        or {q_id: string}; phrase leaves need ``positional=`` (a
+        PositionalIndex over the same corpus/config)."""
+        from retriv_ray.search.querystring import query_string_table
+
+        if isinstance(queries, str):
+            queries = {"q": queries}
+        return query_string_table(self, queries, cutoff, positional)
+
     def explain(self, query: str, doc_id: int) -> pa.Table:
         """Per-term score breakdown for one document
         (search/explain.py)."""
