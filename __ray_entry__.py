@@ -29,7 +29,8 @@ Implemented pipelines (SURVEY.md §2 + training-data operators):
   counts, more-like-this, stateless search_after pagination, field
   collapsing, BM25F weighted fields, hybrid sparse+dense fusion,
   per-term score explanation (value-exact), integer-exact Lloyd
-  k-means over embeddings
+  k-means over embeddings, Lucene-style query strings (boolean
+  structure over term/phrase/prefix/fuzzy/field leaves, query_string)
 """
 
 from __future__ import annotations
