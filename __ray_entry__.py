@@ -119,7 +119,12 @@ QS_QUERIES = {
     "qs3": "qu* AND tabel~1",
     "qs4": "customer OR (merge AND NOT hash)",
     "qs5": "n_chars:[200 TO 600] AND merge AND filter",
+    "qs6": "scan^3 OR join^0.5",  # query-time boosts scale the addends
+    "qs7": "vector AND fast",  # 'vector' expands via QS_SYNONYMS
 }
+# query-time synonym map (ES synonym-filter model: each matched term
+# scored with its own stats); keys chosen disjoint from qs1-qs6 terms
+QS_SYNONYMS = {"vector": ["row", "column"]}
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
@@ -402,7 +407,9 @@ def _q_query_string(sf_dir: str):
     r = _index(sf_dir)
     ensure_documents_metadata(sf_dir, r)
     px = documents_positional_index(sf_dir)
-    t = query_string_table(r, QS_QUERIES, CUTOFF, positional=px)
+    t = query_string_table(
+        r, QS_QUERIES, CUTOFF, positional=px, synonyms=QS_SYNONYMS
+    )
     docs = conv_to_doc_id(t.column("conv_id").to_pylist())
     return pa.Table.from_arrays(
         [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
@@ -2394,6 +2401,14 @@ def oracle_sql() -> dict[str, str]:
                    WHERE d.n_chars BETWEEN 200 AND 600
                      AND list_contains(dd.toks, 'merge')
                      AND list_contains(dd.toks, 'filter')),
+            c6 AS (SELECT doc_id FROM docs
+                   WHERE list_contains(toks, 'scan')
+                      OR list_contains(toks, 'join')),
+            c7 AS (SELECT doc_id FROM docs
+                   WHERE (list_contains(toks, 'vector')
+                          OR list_contains(toks, 'row')
+                          OR list_contains(toks, 'column'))
+                     AND list_contains(toks, 'fast')),
             s1 AS (SELECT 'qs1' AS q_id, tf.doc_id,
                      sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
                           * tf.tf * ({k1} + 1)
@@ -2438,13 +2453,33 @@ def oracle_sql() -> dict[str, str]:
                    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
                    WHERE tf.doc_id IN (SELECT doc_id FROM c5)
                      AND tf.term IN ('merge', 'filter')
+                   GROUP BY tf.doc_id),
+            s6 AS (SELECT 'qs6' AS q_id, tf.doc_id,
+                     sum( (CASE tf.term WHEN 'scan' THEN 3.0 ELSE 0.5 END)
+                          * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c6)
+                     AND tf.term IN ('scan', 'join')
+                   GROUP BY tf.doc_id),
+            s7 AS (SELECT 'qs7' AS q_id, tf.doc_id,
+                     sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({k1} + 1)
+                          / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+                   FROM tf JOIN df ON df.term = tf.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+                   WHERE tf.doc_id IN (SELECT doc_id FROM c7)
+                     AND tf.term IN ('vector', 'row', 'column', 'fast')
                    GROUP BY tf.doc_id)
             SELECT q_id, rank, doc_id FROM (
               SELECT q_id, doc_id,
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
                     UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
-                    UNION ALL SELECT * FROM s5))
+                    UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6
+                    UNION ALL SELECT * FROM s7))
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "vocabulary": f"""

@@ -17,7 +17,7 @@ precedence NOT > AND > OR, adjacency = AND):
     expr     := and_expr (OR and_expr)*
     and_expr := unary (AND? unary)*
     unary    := (NOT | '-') unary | primary
-    primary  := '(' expr ')' | leaf
+    primary  := ('(' expr ')' | leaf) ('^' number)?   (query-time boost)
     leaf     := "quoted phrase"            (positional-index phrase)
               | field:value                (metadata keyword/bool/number)
               | field:[lo TO hi]           (metadata numeric range, incl.)
@@ -46,6 +46,19 @@ Semantics (SQL-oracle-checked by the ``query_string`` driver query):
   a stopword, is neutral — it constrains nothing, exactly Lucene's
   analyzer-dropped-clause behavior). Wildcard/fuzzy patterns are NOT
   analyzed (Lucene multi-term query behavior).
+- BOOSTS (``term^2``, ``"phrase"^0.5``, ``(a OR b)^3``) multiply the
+  enclosed scoring terms' BM25 contributions; nested boosts multiply.
+  Candidates are unaffected (a boost never changes what matches). The
+  scoring-term set is deduplicated, so when the same term appears in
+  several positive contexts the LARGEST effective boost wins
+  (documented divergence from Lucene's duplicate-scorer addition — an
+  edge nobody writes on purpose). Boosting a field filter is a no-op
+  (filter context never scores).
+- SYNONYMS (``synonyms={"big": ["large", "huge"]}``) expand an
+  analyzed term leaf into the union of the group's postings, each
+  matched term scored with its OWN collection statistics — the
+  Elasticsearch ``synonym`` filter model. Synonym strings are used
+  verbatim (not re-analyzed).
 
 Scale notes: every leaf resolves through part-routed structures already
 sized for sharded serving — postings via ``LoadedIndex.get_postings``
@@ -88,6 +101,8 @@ _TOKEN_RE = re.compile(
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.S)
 _RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+)$")
+_BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+_BOOST_TOK_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")  # postfix after ")" / '"..."'
 
 
 class QueryStringError(ValueError):
@@ -103,6 +118,9 @@ def _classify(tok: str):
         return ("phrase", inner)
     if tok.startswith("-") and len(tok) > 1:
         return ("not", _classify(tok[1:]))
+    m = _BOOST_RE.match(tok)
+    if m:
+        return ("boost", float(m.group(2)), _classify(m.group(1)))
     m = _FIELD_RE.match(tok)
     if m:
         field, value = m.group(1), m.group(2)
@@ -180,13 +198,21 @@ def parse_query_string(qs: str):
             if peek() != ")":
                 raise QueryStringError("unbalanced parentheses")
             advance()
-            return node
-        if nxt == ")":
+        elif nxt == ")":
             raise QueryStringError("unbalanced parentheses")
-        if nxt in ("AND", "OR", "&&", "||"):
+        elif nxt in ("AND", "OR", "&&", "||"):
             raise QueryStringError(f"dangling operator {nxt}")
-        advance()
-        return _classify(nxt)
+        else:
+            advance()
+            node = _classify(nxt)
+        # postfix boost lexed as its own token: ("..." or parens group)^n
+        nxt = peek()
+        if nxt is not None:
+            m = _BOOST_TOK_RE.match(nxt)
+            if m:
+                advance()
+                node = ("boost", float(m.group(1)), node)
+        return node
 
     node = parse_or()
     if pos[0] != len(toks):
@@ -201,14 +227,25 @@ def parse_query_string(qs: str):
 _NEUTRAL = ("neutral",)
 
 
-def _lower(node, retriever):
+def _lower(node, retriever, synonyms=None):
     """Resolve analyzer-dependent leaves: term -> pipeline tokens
-    (('terms', [tok, ...]) or neutral), prefix/fuzzy -> concrete
-    vocabulary expansions (('expansion', [term, ...]))."""
+    (('terms', [tok, ...]) or neutral; synonym-mapped tokens become
+    per-token expansion groups), prefix/fuzzy -> concrete vocabulary
+    expansions (('expansion', [term, ...]))."""
     kind = node[0]
     if kind == "term":
         toks = retriever.pre.tokens(node[1])
-        return ("terms", toks) if toks else _NEUTRAL
+        if not toks:
+            return _NEUTRAL
+        if synonyms:
+            groups = [
+                ("expansion", sorted({t, *synonyms[t]}))
+                if t in synonyms
+                else ("terms", [t])
+                for t in toks
+            ]
+            return groups[0] if len(groups) == 1 else ("and", groups)
+        return ("terms", toks)
     if kind == "phrase":
         toks = retriever.pre.tokens(node[1])
         if not toks:
@@ -226,10 +263,13 @@ def _lower(node, retriever):
             fuzzy_terms(retriever.index.term_df, node[1], node[2]),
         )
     if kind == "not":
-        child = _lower(node[1], retriever)
+        child = _lower(node[1], retriever, synonyms)
         return _NEUTRAL if child is _NEUTRAL else ("not", child)
+    if kind == "boost":
+        child = _lower(node[2], retriever, synonyms)
+        return _NEUTRAL if child is _NEUTRAL else ("boost", node[1], child)
     if kind in ("and", "or"):
-        kids = [_lower(c, retriever) for c in node[1]]
+        kids = [_lower(c, retriever, synonyms) for c in node[1]]
         kids = [k for k in kids if k is not _NEUTRAL]
         if not kids:
             return _NEUTRAL
@@ -237,16 +277,19 @@ def _lower(node, retriever):
     return node  # field_eq / field_range
 
 
-def _scoring_terms(node, vocab, out: List[str]) -> None:
-    """Positive-context scoring terms, in first-appearance order."""
+def _scoring_terms(node, vocab, out: Dict[str, float], mult: float = 1.0) -> None:
+    """Positive-context scoring terms -> effective boost (max wins on
+    duplicates), in first-appearance order (dict preserves insertion)."""
     kind = node[0]
     if kind == "terms" or kind == "phrase_toks" or kind == "expansion":
         for t in node[1]:
-            if t in vocab and t not in out:
-                out.append(t)
+            if t in vocab:
+                out[t] = max(out.get(t, 0.0), mult)
+    elif kind == "boost":
+        _scoring_terms(node[2], vocab, out, mult * node[1])
     elif kind in ("and", "or"):
         for c in node[1]:
-            _scoring_terms(c, vocab, out)
+            _scoring_terms(c, vocab, out, mult)
     # 'not' subtree and field filters never score
 
 
@@ -333,6 +376,8 @@ def _eval(node, retriever, positional) -> np.ndarray:
     if kind == "not":  # top-level / OR-context negation: complement
         inner = _eval(node[1], retriever, positional)
         return diff_sorted(np.arange(idx.local_count, dtype=np.int64), inner)
+    if kind == "boost":  # boosts never change the candidate set
+        return _eval(node[2], retriever, positional)
     raise QueryStringError(f"unhandled node {kind}")
 
 
@@ -346,19 +391,29 @@ def query_string_search(
     qs: str,
     cutoff: int = 100,
     positional=None,
+    synonyms: Optional[Dict[str, Sequence[str]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(internal doc_ids ranked by (-score, doc_id), scores) for one
     query string against a RaySparseRetriever (+ optional
-    PositionalIndex for phrase leaves)."""
-    ast = _lower(parse_query_string(qs), retriever)
+    PositionalIndex for phrase leaves; optional query-time synonym
+    map for analyzed term leaves)."""
+    ast = _lower(parse_query_string(qs), retriever, synonyms)
     if ast is _NEUTRAL:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     cand = _eval(ast, retriever, positional)
-    terms: List[str] = []
-    _scoring_terms(ast, retriever.index.term_df, terms)
-    if not len(cand) or not terms:
+    term_boosts: Dict[str, float] = {}
+    _scoring_terms(ast, retriever.index.term_df, term_boosts)
+    if not len(cand) or not term_boosts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    return retriever._score(terms, cutoff, operator="OR", subset=cand)
+    terms = list(term_boosts)
+    boosts = list(term_boosts.values())
+    return retriever._score(
+        terms,
+        cutoff,
+        operator="OR",
+        subset=cand,
+        boosts=None if all(b == 1.0 for b in boosts) else boosts,
+    )
 
 
 def query_string_table(
@@ -366,6 +421,7 @@ def query_string_table(
     queries: Dict[str, str],
     cutoff: int = 100,
     positional=None,
+    synonyms: Optional[Dict[str, Sequence[str]]] = None,
 ) -> pa.Table:
     """Batch form: ``{q_id: query_string}`` -> Arrow table
     (q_id, rank, conv_id, turn_idx) ordered by (q_id, rank)."""
@@ -375,7 +431,7 @@ def query_string_table(
     t_parts: List[np.ndarray] = []
     for q_id in sorted(queries):
         ids, _scores = query_string_search(
-            retriever, queries[q_id], cutoff, positional
+            retriever, queries[q_id], cutoff, positional, synonyms
         )
         convs, turns = retriever.index.to_original_ids(ids)
         q_col.extend([q_id] * len(ids))

@@ -466,7 +466,13 @@ class RaySparseRetriever:
         cutoff: int,
         operator: str = "OR",
         subset: Optional[np.ndarray] = None,
+        boosts: Optional[List[float]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """``boosts`` (parallel to ``terms``) multiplies each term's
+        score contribution — Lucene query-time boosts. The cached
+        contribution vectors stay unboosted; the multiply makes a
+        per-call copy, and the block-max pruned path is skipped (its
+        per-block bounds assume unboosted contributions)."""
         idx = self.index
         dtype = np.float32 if self.cfg.score_dtype == "float32" else np.float64
         b, k1 = self.cfg.hyperparams["b"], self.cfg.hyperparams["k1"]
@@ -476,6 +482,7 @@ class RaySparseRetriever:
             model == "bm25"
             and operator == "OR"
             and subset is None
+            and boosts is None
             and exclude is None  # pruned bounds ignore tombstones
             and self.cfg.use_block_max
             and idx.shard_range is None  # block metadata is global-id
@@ -496,6 +503,11 @@ class RaySparseRetriever:
         contribs = [
             idx.term_contrib(t, model, b, k1, dtype) for t in terms
         ]
+        if boosts is not None:
+            contribs = [
+                c if bo == 1.0 else c * dtype(bo)
+                for c, bo in zip(contribs, boosts)
+            ]
         if model == "bm25":
             return kernel.bm25(
                 b=b,
@@ -918,18 +930,19 @@ class RaySparseRetriever:
         return collapse_topk(self, query, field, q_id, per_value, cutoff)
 
     def query_string(
-        self, queries, cutoff: int = 100, positional=None
+        self, queries, cutoff: int = 100, positional=None, synonyms=None
     ) -> pa.Table:
         """Lucene-style query strings — boolean structure over term /
-        phrase / prefix / fuzzy / metadata-field leaves, BM25 over the
-        candidates (search/querystring.py). ``queries`` is one string
-        or {q_id: string}; phrase leaves need ``positional=`` (a
+        phrase / prefix / fuzzy / metadata-field leaves with ^boosts
+        and query-time synonyms, BM25 over the candidates
+        (search/querystring.py). ``queries`` is one string or
+        {q_id: string}; phrase leaves need ``positional=`` (a
         PositionalIndex over the same corpus/config)."""
         from retriv_ray.search.querystring import query_string_table
 
         if isinstance(queries, str):
             queries = {"q": queries}
-        return query_string_table(self, queries, cutoff, positional)
+        return query_string_table(self, queries, cutoff, positional, synonyms)
 
     def explain(self, query: str, doc_id: int) -> pa.Table:
         """Per-term score breakdown for one document

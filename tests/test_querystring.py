@@ -119,6 +119,8 @@ def _toks(i):
 
 
 def _bm25(terms, cand):
+    """terms: list (all boost 1) or {term: boost}."""
+    boosts = terms if isinstance(terms, dict) else {t: 1.0 for t in terms}
     n = len(DOCS)
     avgdl = sum(len(_toks(i)) for i in range(n)) / n
     k1, b = 1.2, 0.75
@@ -126,13 +128,15 @@ def _bm25(terms, cand):
     for i in cand:
         toks = _toks(i)
         s = 0.0
-        for t in set(terms):
+        for t, bo in boosts.items():
             tf = toks.count(t)
             if tf == 0:
                 continue
             df = sum(1 for j in range(n) if t in _toks(j))
             idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
-            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            s += bo * idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
         if s > 0:
             out[i] = s
     return [i for i, _ in sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))]
@@ -170,6 +174,58 @@ def test_query_string_matches_brute_force(qs_env, qs, cand, terms):
     ids, scores = query_string_search(r, qs, cutoff=10, positional=px)
     assert _ids(r, ids) == _bm25(terms, cand)
     assert list(scores) == sorted(scores, reverse=True)
+
+
+BOOST_CASES = [
+    ("blue^3 OR red", {0, 1, 3, 4, 6}, {"blue": 3.0, "red": 1.0}),
+    ('"deep blue"^2 OR orange', {5, 6}, {"deep": 2.0, "blue": 2.0, "orange": 1.0}),
+    ("(red OR green)^2 AND purple", {2, 4}, {"red": 2.0, "green": 2.0, "purple": 1.0}),
+    ("yellow^0.5 OR quick", {1, 2, 4, 5}, {"yellow": 0.5, "quick": 1.0}),
+]
+
+
+@pytest.mark.parametrize("qs,cand,boosts", BOOST_CASES)
+def test_boosts_match_brute_force(qs_env, qs, cand, boosts):
+    r, px = qs_env
+    ids, scores = query_string_search(r, qs, cutoff=10, positional=px)
+    assert _ids(r, ids) == _bm25(boosts, cand)
+
+
+def test_parse_boost_forms():
+    assert parse_query_string("a^2") == ("boost", 2.0, ("term", "a"))
+    assert parse_query_string('"x y"^3') == ("boost", 3.0, ("phrase", "x y"))
+    assert parse_query_string("(a OR b)^2") == (
+        "boost", 2.0, ("or", [("term", "a"), ("term", "b")])
+    )
+    assert parse_query_string("pre*^2") == ("boost", 2.0, ("prefix", "pre"))
+    assert parse_query_string("w~1^2") == ("boost", 2.0, ("fuzzy", "w", 1))
+
+
+def test_duplicate_term_max_boost_wins(qs_env):
+    r, px = qs_env
+    a_ids, a_sc = query_string_search(r, "red^2 OR red", positional=px)
+    b_ids, b_sc = query_string_search(r, "red^2", positional=px)
+    assert list(a_ids) == list(b_ids)
+    assert list(a_sc) == list(b_sc)
+
+
+def test_field_boost_is_noop(qs_env):
+    r, px = qs_env
+    a, _ = query_string_search(r, "lang:en^2 AND purple", positional=px)
+    b, _ = query_string_search(r, "lang:en AND purple", positional=px)
+    assert list(a) == list(b)
+
+
+def test_synonym_expansion(qs_env):
+    r, px = qs_env
+    syn = {"red": ["orange"]}
+    ids, _ = query_string_search(r, "red", positional=px, synonyms=syn)
+    assert _ids(r, ids) == _bm25(["red", "orange"], {0, 1, 4, 5})
+    # synonym group under a boost: the whole group is boosted
+    ids2, _ = query_string_search(r, "red^2 OR quick", positional=px, synonyms=syn)
+    assert _ids(r, ids2) == _bm25(
+        {"red": 2.0, "orange": 2.0, "quick": 1.0}, {0, 1, 4, 5}
+    )
 
 
 def test_phrase_without_positional_raises(qs_env):
