@@ -388,6 +388,42 @@ def _q_boolean_search(sf_dir: str):
     )
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style line-level dedup (global first occurrence of every
+    distinct line wins; docs re-emit with surviving lines in order,
+    fully-duplicated docs drop). Input lines are synthesized
+    deterministically as 5-token spans of each document so the
+    corpus actually contains cross-doc duplicate lines; the oracle
+    builds the identical spans in SQL (ops/dedup.py:dedup_lines —
+    the text crosses exactly one shuffle; line identity moves as
+    28-byte (sha1, packed) rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.dedup import dedup_lines
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            out.append(
+                "\n".join(
+                    " ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)
+                )
+            )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                pa.array(out, type=pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+
+    lines_ds = _docs(sf_dir).map_batches(to_lines, batch_format="pyarrow")
+    return dedup_lines(lines_ds).sort("doc_id")
+
+
 def _q_query_string(sf_dir: str):
     """Lucene-style query-string retrieval: one string combining
     boolean structure with term / phrase / prefix / fuzzy /
@@ -1652,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
         "query_string": _q_query_string,
+        "line_dedup": _q_line_dedup,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
@@ -2367,6 +2404,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, doc_id, n_should
             FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
             ORDER BY q_id, doc_id
+        """,
+        # line_dedup: lines = 5-token spans; the globally first
+        # (doc_id, line_idx) occurrence of each distinct line survives,
+        # docs rebuild from surviving lines, empty docs drop (GROUP BY)
+        "line_dedup": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            lines AS (SELECT doc_id, pos // 5 AS line_idx,
+                             string_agg(term, ' ' ORDER BY pos) AS line
+                      FROM pos GROUP BY doc_id, pos // 5),
+            keep AS (SELECT doc_id, line_idx, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_idx) AS rn
+                     FROM lines)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+            FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
         """,
         # query_string semantics: per query, a candidate CTE mirrors the
         # boolean structure (phrase via consecutive positions, prefix /

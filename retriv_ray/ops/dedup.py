@@ -808,6 +808,159 @@ def _near_dup_lsh(
     )
 
 
+_LINE_LIM = 1 << 20  # max lines per doc (packed-key radix)
+
+
+def dedup_lines(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+):
+    """C4-style line-level dedup (Raffel et al. 2020 §2.2 "we
+    discarded all but one of any three-sentence span occurring more
+    than once", here at line granularity): keep only the globally
+    FIRST occurrence of every distinct line — first = smallest
+    (doc_id, line_idx) — and re-emit each doc with its surviving
+    lines in original order. Docs whose every line loses are dropped
+    (the SQL GROUP BY drops them the same way).
+
+    Returns a Dataset of (id_col, text_col). Line identity is the
+    sha1 of the exact line string (the :func:`exact_dedup`
+    convention; collision odds are negligible and the SQL oracle
+    groups by the line text itself).
+
+    Scale shape — the corpus text crosses exactly ONE all-to-all
+    exchange; the line-identity traffic is 28 bytes/line:
+      1. explode pass A (vectorized split): (h = sha1(line),
+         packed = doc_id * 2^20 + line_idx) -> groupby(h) ->
+         min(packed) = the winner of every distinct line;
+      2. explode pass B re-derives the same rows and inner-joins the
+         winners on h (per-key traffic: group size, no driver set);
+         rows with packed != winner are the removals (doc_id,
+         line_idx);
+      3. removals + original docs co-group on doc_id (the
+         tag-union-groupby pattern — robust to the zero-column empty
+         blocks Ray aggregates emit); each group drops its removed
+         line indices locally and rejoins with ``sep``.
+    Docs need < 2^20 lines and doc_id < 2^43 (packed int64); both
+    validated. A broadcast fast path (ship the removal set via
+    ray.put when it is small) would skip shuffle 3's text exchange —
+    the join path is the default because removal volume is unbounded
+    on duplicate-heavy web corpora.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(4, n_cpus)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch.column(text_col), pa.string())
+        split = pc.split_pattern(col, sep).combine_chunks()
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split).to_numpy(
+            zero_copy_only=False
+        )
+        off = split.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        if counts.size and counts.max() >= _LINE_LIM:
+            raise ValueError(
+                f"doc with >= {_LINE_LIM} lines; repack or raise _LINE_LIM"
+            )
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            off[:-1].astype(np.int64), counts
+        )
+        docs = batch.column(id_col).to_numpy().astype(np.int64)
+        if docs.size and docs.max() >= (1 << 43):
+            raise ValueError("doc_id >= 2^43 overflows the packed key")
+        packed = docs[parent] * np.int64(_LINE_LIM) + idx
+        hashes = pa.array(
+            [hashlib.sha1(s.encode()).digest() for s in flat.to_pylist()],
+            type=pa.binary(),
+        )
+        return pa.Table.from_arrays(
+            [hashes, pa.array(packed)], names=["h", "packed"]
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    winners = (
+        exploded.groupby("h")
+        .aggregate(Min("packed", alias_name="keep_packed"))
+        .repartition(n_parts)  # drop empty zero-column agg blocks pre-join
+    )
+    def losers_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch.column("packed"), batch.column("keep_packed"))
+        )
+
+    removals = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .join(winners, join_type="inner", num_partitions=n_parts, on=("h",))
+        .map_batches(losers_only, batch_format="pyarrow")
+    )
+
+    def tag_rem(batch: pa.Table) -> pa.Table:
+        packed = batch.column("packed").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array(packed // _LINE_LIM),
+                pa.array(packed % _LINE_LIM),
+                pa.nulls(batch.num_rows, type=pa.string()),
+            ],
+            names=[id_col, "line_idx", text_col],
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(id_col), pa.int64()),
+                pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                pc.cast(batch.column(text_col), pa.string()),
+            ],
+            names=[id_col, "line_idx", text_col],
+        )
+
+    def strip(group: pa.Table) -> pa.Table:
+        li = group.column("line_idx").to_numpy(zero_copy_only=False)
+        doc_rows = np.flatnonzero(li == -1)
+        if len(doc_rows) != 1:  # removal rows for a doc absent from ds
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.string()),
+                ],
+                names=[id_col, text_col],
+            )
+        text = group.column(text_col)[doc_rows[0]].as_py() or ""
+        drop = set(li[li >= 0].tolist())
+        lines = [
+            s for i, s in enumerate(text.split(sep)) if i not in drop
+        ]
+        if not lines:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.string()),
+                ],
+                names=[id_col, text_col],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array([group.column(id_col)[0].as_py()], type=pa.int64()),
+                pa.array([sep.join(lines)], type=pa.string()),
+            ],
+            names=[id_col, text_col],
+        )
+
+    return (
+        ds.map_batches(tag_doc, batch_format="pyarrow")
+        .union(removals.map_batches(tag_rem, batch_format="pyarrow"))
+        .groupby(id_col)
+        .map_groups(strip, batch_format="pyarrow")
+    )
+
+
 def dedup_filter(ds, pairs, id_col: str = "doc_id"):
     """Materialize the DEDUPLICATED corpus from a near-dup pairs
     table: every ``doc_id_b`` of an (a < b) pair is dropped, keeping

@@ -287,3 +287,68 @@ def test_jaccard_join_hot_cap_drops_group(ray_session):
     # every shingle has df=8 > cap=4 -> all groups dropped -> no pairs
     df = jaccard_join(left, right, threshold=0.1, max_shingle_df=4).to_pandas()
     assert len(df) == 0
+
+
+# -- C4-style line-level dedup ----------------------------------------------
+
+LINE_DOCS = {
+    0: "alpha beta\ngamma delta\nshared one",
+    1: "shared one\nunique here\nalpha beta",  # two cross-doc dup lines lose
+    2: "totally fresh\ntotally fresh\nlast line",  # within-doc dup: idx 1 loses
+    3: "shared one\nalpha beta",  # every line loses -> doc dropped
+    4: "",  # one empty line, globally first -> survives as ""
+    5: "",  # empty-line dup -> doc dropped
+}
+
+
+def _brute_line_dedup(docs, sep="\n"):
+    seen, out = set(), {}
+    for d in sorted(docs):
+        kept = []
+        for line in docs[d].split(sep):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[d] = sep.join(kept)
+    return out
+
+
+def test_dedup_lines_matches_brute_force(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import dedup_lines
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in LINE_DOCS.items()]
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(ds).take_all()}
+    assert got == _brute_line_dedup(LINE_DOCS)
+
+
+def test_dedup_lines_partition_independent(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import dedup_lines
+
+    items = [{"doc_id": d, "text": t} for d, t in LINE_DOCS.items()]
+    a = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(ray.data.from_items(items).repartition(1)).take_all()
+    }
+    b = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(ray.data.from_items(items).repartition(5)).take_all()
+    }
+    assert a == b == _brute_line_dedup(LINE_DOCS)
+
+
+def test_dedup_lines_no_duplicates_is_identity(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import dedup_lines
+
+    docs = {7: "one two\nthree four", 8: "five six\nseven eight"}
+    ds = ray.data.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(ds).take_all()}
+    assert got == docs
