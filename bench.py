@@ -293,6 +293,28 @@ def main() -> None:
         _fuzzy_once(probe, d)
     t_fuzzy = time.monotonic() - t6
 
+    # query-string leg: 200 composed Lucene-style strings over the
+    # same Zipf mix (boolean structure + boosts + every 5th a phrase
+    # leaf against the positional index)
+    from retriv_ray.search.querystring import query_string_search
+
+    sqs = []
+    for i, q in enumerate(qs[:200]):
+        w = q["text"].split()
+        a, b_, c = w[0], w[1 % len(w)], w[-1]
+        if i % 5 == 0 and len(w) >= 2:
+            sqs.append(f'"{w[0]} {w[1]}" OR {c}^2')
+        elif i % 3 == 0:
+            sqs.append(f"{a} AND ({b_} OR {c}) AND NOT {w[len(w) // 2]}")
+        else:
+            sqs.append(f"{a}^2 OR {b_}")
+    for s_ in sqs[:20]:
+        query_string_search(r, s_, CUTOFF, positional=px)
+    t7 = time.monotonic()
+    for s_ in sqs:
+        query_string_search(r, s_, CUTOFF, positional=px)
+    t_qstring = time.monotonic() - t7
+
     out = {
         "metric": "index-build+query (turns/sec build, p50 ms, msearch q/s)",
         "value": round(t_build, 3),
@@ -305,6 +327,7 @@ def main() -> None:
             "phrase_200q": round(t_phrase, 3),
             "boolean_200q": round(t_bool, 3),
             "fuzzy_200q": round(t_fuzzy, 3),
+            "query_string_200q": round(t_qstring, 3),
         },
         "sf": sf,
         "num_cpus": NUM_CPUS,
@@ -319,6 +342,7 @@ def main() -> None:
         "phrase_qps": round(200 / t_phrase, 1),
         "boolean_qps": round(200 / t_bool, 1),
         "fuzzy_qps": round(200 / t_fuzzy, 1),
+        "query_string_qps": round(200 / t_qstring, 1),
     }
     ray.shutdown()
     print(json.dumps(out))
