@@ -1286,6 +1286,7 @@ FILTERED_QUERIES = {
            "d.lang = 'en' AND d.n_chars >= 300"),
 }
 FUSION_WEIGHTS = (0.6, 0.4)
+RRF_K = 60  # the Cormack 2009 default
 
 
 def _q_filtered_bm25(sf_dir: str):
@@ -1664,6 +1665,52 @@ def _q_fusion_topk(sf_dir: str):
     )
 
 
+def _q_rrf_topk(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack 2009) of the BM25 and TF-IDF
+    runs: each run contributes floor(1e6/(60+rank)) per doc, summed —
+    integer-exact, so the oracle hash covers the fused SCORES too.
+    Doc ids are zero-padded in the runs so the operator's string
+    tie-order equals the oracle's numeric order
+    (merger/__init__.py:rrf_fuse_ds)."""
+    import ray.data
+    import pyarrow as pa
+
+    from retriv_ray.merger import rrf_fuse_ds
+    from retriv_ray.pipelines.documents import (
+        ORACLE_TFIDF,
+        conv_to_doc_id,
+        documents_index,
+    )
+
+    rows = []
+    for run_idx, r in enumerate(
+        [_index(sf_dir), documents_index(sf_dir, ORACLE_TFIDF)]
+    ):
+        for q_id, text in TOPK_QUERIES.items():
+            res = r.search(text, cutoff=CUTOFF)
+            docs = conv_to_doc_id([c for c, _ in res.keys()])
+            for d, s in zip(docs.tolist(), res.values()):
+                rows.append(
+                    {
+                        "run_idx": run_idx,
+                        "q_id": q_id,
+                        "doc_id": f"{d:012d}",
+                        "score": float(s),
+                    }
+                )
+    fused = rrf_fuse_ds(ray.data.from_items(rows), k=RRF_K, cutoff=CUTOFF)
+    t = fused.to_pandas()
+    return pa.Table.from_arrays(
+        [
+            pa.array(t["q_id"], type=pa.string()),
+            pa.array(t["rank"].astype("int64")),
+            pa.array(t["doc_id"].astype("int64")),
+            pa.array(t["score_e6"].astype("int64")),
+        ],
+        names=["q_id", "rank", "doc_id", "score_e6"],
+    )
+
+
 def _q_bm25_full_chain(sf_dir: str):
     """Default retriv preprocessing (stemmer+stopwords, float32) —
     not SQL-expressible; rows-only check, parity pinned by the golden
@@ -1711,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_bm25_topk": _q_filtered_bm25,
         "filtered_bm25_topk_sharded": _q_filtered_bm25_sharded,
         "fusion_topk": _q_fusion_topk,
+        "rrf_topk": _q_rrf_topk,
         "bm25_full_chain": _q_bm25_full_chain,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1952,6 +2000,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, rank, doc_id FROM (
               SELECT q_id, doc_id,
                 row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
+              FROM fused)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        # RRF: per-run ranks (score DESC, doc_id) to depth CUTOFF, each
+        # contributing the integer 1e6 // (k + rank); sums and ties are
+        # exact, so the hash covers score_e6 values, not just ranks
+        "rrf_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            bm AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            ti AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( (tf.tf / dl.dl) * (ln((1 + s.n) / (1 + df.df)) + 1) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            bmc AS (SELECT * FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM bm) WHERE rnk <= {CUTOFF}),
+            tic AS (SELECT * FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM ti) WHERE rnk <= {CUTOFF}),
+            fused AS (
+              SELECT coalesce(b.q_id, t.q_id) AS q_id,
+                     coalesce(b.doc_id, t.doc_id) AS doc_id,
+                     coalesce(1000000 // (60 + b.rnk), 0)
+                     + coalesce(1000000 // (60 + t.rnk), 0) AS score_e6
+              FROM bmc b FULL OUTER JOIN tic t
+              ON b.q_id = t.q_id AND b.doc_id = t.doc_id)
+            SELECT q_id, rank, doc_id, score_e6 FROM (
+              SELECT q_id, doc_id, score_e6,
+                row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS rank
               FROM fused)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,

@@ -227,3 +227,85 @@ def fuse_runs_ds(
         .groupby("q_id")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (RRF, Cormack et al. 2009)
+# ---------------------------------------------------------------------------
+
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(
+    results: List[Dict[str, float]], k: int = 60, cutoff: int = 100
+) -> Dict[str, int]:
+    """Score-free rank fusion: each run contributes
+    ``floor(1e6 / (k + rank))`` per doc (rank 1-based by (-score,
+    doc_id)); docs sum across runs, ties break by doc_id ascending.
+    The 1e6 quantization makes every score an exact integer —
+    partition-order-independent and reproducible in SQL — while
+    preserving the classic 1/(k+r) ordering for any plausible run
+    depth. Returns {doc_id: score_e6} in fused rank order."""
+    fused: Dict[str, int] = {}
+    for run in results:
+        ranked = sorted(run.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r_, (doc, _s) in enumerate(ranked, 1):
+            fused[doc] = fused.get(doc, 0) + RRF_SCALE // (k + r_)
+    out = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:cutoff]
+    return dict(out)
+
+
+def rrf_fuse_ds(runs_ds, k: int = 60, cutoff: int = 100):
+    """Dataset form of :func:`rrf_fuse` over (run_idx:int64, q_id:str,
+    doc_id:str, score:float64) rows -> (q_id, rank, doc_id, score_e6).
+
+    Shuffle plan mirrors :func:`fuse_runs_ds`: (1) groupby(run_idx,
+    q_id).map_groups ranks each run's results for one query locally
+    ((-score, doc_id) lexsort — doc_id tie order is the STRING order,
+    so callers comparing against numeric oracles should zero-pad) and
+    converts ranks to integer RRF contributions; (2) one
+    groupby(q_id, doc_id).sum of int64 addends — exact under any
+    partitioning; (3) per-query grouped top-k. No stats ever gather on
+    the driver at any query count."""
+    import pyarrow as pa
+
+    def contribs(group: "pa.Table") -> "pa.Table":
+        s = group.column("score").to_numpy().astype(np.float64)
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+        order = np.lexsort((ids, -s))
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = np.arange(1, len(order) + 1)
+        return pa.Table.from_arrays(
+            [
+                group.column("q_id"),
+                group.column("doc_id"),
+                pa.array(RRF_SCALE // (k + ranks)),
+            ],
+            names=["q_id", "doc_id", "rrf_e6"],
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        q = group.column("q_id")[0].as_py()
+        scores = np.asarray(
+            group.column("sum(rrf_e6)").to_pylist(), dtype=np.int64
+        )
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+        order = np.lexsort((ids, -scores))[:cutoff]
+        return pa.Table.from_arrays(
+            [
+                pa.array([q] * len(order), type=pa.string()),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+                pa.array(ids[order], type=pa.string()),
+                pa.array(scores[order]),
+            ],
+            names=["q_id", "rank", "doc_id", "score_e6"],
+        )
+
+    return (
+        runs_ds.groupby(["run_idx", "q_id"])
+        .map_groups(contribs, batch_format="pyarrow")
+        .groupby(["q_id", "doc_id"])
+        .sum("rrf_e6")
+        .groupby("q_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )

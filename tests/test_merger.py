@@ -103,3 +103,51 @@ def test_fuse_runs_ds_matches_dict_path(ray_session, norm):
         assert [r["doc_id"] for r in rows_q] == list(expected)
         for r in rows_q:
             assert isclose(r["score"], expected[r["doc_id"]], rel_tol=1e-12)
+
+
+# -- reciprocal-rank fusion ---------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed():
+    from retriv_ray.merger import RRF_SCALE, rrf_fuse
+
+    # q1: run A ranks d1,d2,d3; run B ranks d3,d1
+    fused = rrf_fuse([RUN_A["q1"], RUN_B["q1"]], k=60, cutoff=10)
+    want = {
+        "d1": RRF_SCALE // 61 + RRF_SCALE // 62,
+        "d2": RRF_SCALE // 62,
+        "d3": RRF_SCALE // 63 + RRF_SCALE // 61,
+    }
+    assert fused == dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0])))
+    assert list(fused) == ["d1", "d3", "d2"]
+
+
+def test_rrf_fuse_score_ties_break_by_doc_id():
+    from retriv_ray.merger import rrf_fuse
+
+    # two docs each rank 1 in exactly one run -> equal score
+    fused = rrf_fuse([{"dz": 5.0}, {"da": 5.0}], k=60)
+    assert list(fused) == ["da", "dz"]
+
+
+def test_rrf_fuse_ds_matches_dict_path(ray_session):
+    import ray.data
+
+    from retriv_ray.merger import rrf_fuse, rrf_fuse_ds
+
+    rows = []
+    for idx, run in enumerate([RUN_A, RUN_B]):
+        for q_id, results in run.items():
+            for doc_id, score in results.items():
+                rows.append(
+                    {"run_idx": idx, "q_id": q_id, "doc_id": doc_id, "score": score}
+                )
+    got = rrf_fuse_ds(ray.data.from_items(rows), k=60, cutoff=10).take_all()
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["q_id"], []).append(r)
+    for q_id in ("q1", "q2"):
+        want = rrf_fuse([RUN_A[q_id], RUN_B[q_id]], k=60, cutoff=10)
+        rows_q = sorted(got_by_q[q_id], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows_q] == list(want)
+        assert [r["score_e6"] for r in rows_q] == list(want.values())
