@@ -93,6 +93,11 @@ REGEX_QUERIES = {
 MLT_DOC_IDS = [0, 7, 42]
 MLT_TERMS = 5
 FACET_QUERIES = {"fc1": "table scan join", "fc2": "spark big data"}
+PERC_QUERIES = {
+    "p1": {"must": ["table scan"]},
+    "p2": {"should": ["window stream"], "must_not": ["customer"]},
+    "p3": {"must": ["hash"], "should": ["merge"]},  # should never gates a must
+}
 FACET_FIELDS = ["lang", "source"]
 SUGGEST_QUERIES = {
     "s1": "tabel",
@@ -386,6 +391,48 @@ def _q_boolean_search(sf_dir: str):
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_should")],
         names=["q_id", "doc_id", "n_should"],
     )
+
+
+def _q_facet_stats(sf_dir: str):
+    """ES stats sub-aggregation: per-lang integer stats (count / sum /
+    min / max of n_chars) over each facet query's matching set
+    (search/facets.py:facet_stats; one sorted-set probe per facet
+    value, stats additive across doc-range shards)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import ensure_documents_metadata
+    from retriv_ray.search.facets import facet_stats
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    parts = []
+    for q_id, text in FACET_QUERIES.items():
+        t = facet_stats(r, text, "lang", "n_chars")
+        parts.append(
+            t.add_column(
+                0, "q_id", pa.array([q_id] * t.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _q_percolate(sf_dir: str):
+    """Percolation (reverse search): registered boolean queries match
+    a streamed document set — zero-shuffle map_batches, one Arrow
+    is_in/index_in pass + numpy presence-matrix algebra per batch
+    (search/percolate.py)."""
+    return percolate_queries(sf_dir)
+
+
+def percolate_queries(sf_dir: str):
+    import ray.data
+
+    from retriv_ray.search.percolate import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return percolate(ds, PERC_QUERIES)
 
 
 def _q_line_dedup(sf_dir: str):
@@ -1736,6 +1783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         "query_string": _q_query_string,
         "line_dedup": _q_line_dedup,
+        "facet_stats": _q_facet_stats,
+        "percolate": _q_percolate,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
@@ -2492,6 +2541,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, doc_id, n_should
             FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
             ORDER BY q_id, doc_id
+        """,
+        "facet_stats": f"""
+            WITH {_BASE_CTES},
+            fcq AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                    FROM (VALUES {_facet_values}) AS q(q_id, qtext)),
+            matching AS (
+              SELECT DISTINCT q.q_id, tf.doc_id
+              FROM fcq q JOIN tf ON tf.term = q.term)
+            SELECT m.q_id, d.lang AS value, count(*)::BIGINT AS n_docs,
+                   sum(d.n_chars)::BIGINT AS sum_v,
+                   min(d.n_chars)::BIGINT AS min_v,
+                   max(d.n_chars)::BIGINT AS max_v
+            FROM matching m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY m.q_id, d.lang ORDER BY q_id, value
+        """,
+        "percolate": f"""
+            WITH {_BASE_CTES}
+            SELECT doc_id, q_id FROM (
+              SELECT d.doc_id, 'p1' AS q_id FROM docs d
+              WHERE list_contains(d.toks, 'table')
+                AND list_contains(d.toks, 'scan')
+              UNION ALL
+              SELECT d.doc_id, 'p2' FROM docs d
+              WHERE (list_contains(d.toks, 'window')
+                     OR list_contains(d.toks, 'stream'))
+                AND NOT list_contains(d.toks, 'customer')
+              UNION ALL
+              SELECT d.doc_id, 'p3' FROM docs d
+              WHERE list_contains(d.toks, 'hash'))
+            ORDER BY doc_id, q_id
         """,
         # line_dedup: lines = 5-token spans; the globally first
         # (doc_id, line_idx) occurrence of each distinct line survives,

@@ -113,6 +113,67 @@ def facet_counts(
     )
 
 
+def facet_stats(
+    retriever,
+    query: Union[str, Dict],
+    facet_field: str,
+    value_field: str,
+    metadata=None,
+) -> pa.Table:
+    """Elasticsearch ``stats`` sub-aggregation: per ``facet_field``
+    bucket over the query's matching set, integer stats of the NUMBER
+    field ``value_field`` — (value, n_docs, sum_v, min_v, max_v),
+    values sorted, empty buckets omitted. ``avg`` is left to the
+    caller (sum/n) so every emitted column stays integer-exact.
+
+    Scale notes: one sorted-set membership probe per facet value (as
+    :func:`facet_counts`) plus a gather from the doc-id-aligned value
+    array. Across doc-range shards n_docs and sum_v ADD and min_v /
+    max_v combine by min/max — the merge is |values| rows of 4 ints."""
+    md = metadata if metadata is not None else retriever.metadata
+    kind = md.schema.get(facet_field)
+    if kind is None or kind == "number":
+        raise ValueError(
+            f"facet_field `{facet_field}` must be a keyword/id/bool/keywords field"
+        )
+    if md.schema.get(value_field) != "number":
+        raise ValueError(f"value_field `{value_field}` must be a number field")
+    docs = _matching_docs(retriever, query)
+    vals_all = md.values[value_field]
+    v_col: List[str] = []
+    n_col: List[int] = []
+    s_col: List[int] = []
+    lo_col: List[int] = []
+    hi_col: List[int] = []
+    for value in sorted(md.postings[facet_field], key=str):
+        ids = md.postings[facet_field][value]
+        if not len(docs) or not len(ids):
+            continue
+        pos = np.searchsorted(docs, ids)
+        pos[pos == len(docs)] = len(docs) - 1
+        members = ids[docs[pos] == ids]
+        if not len(members):
+            continue
+        v = vals_all[members].astype(np.int64)
+        v_col.append(
+            str(value).lower() if isinstance(value, bool) else str(value)
+        )
+        n_col.append(len(v))
+        s_col.append(int(v.sum()))
+        lo_col.append(int(v.min()))
+        hi_col.append(int(v.max()))
+    return pa.Table.from_arrays(
+        [
+            pa.array(v_col, type=pa.string()),
+            pa.array(np.asarray(n_col, dtype=np.int64)),
+            pa.array(np.asarray(s_col, dtype=np.int64)),
+            pa.array(np.asarray(lo_col, dtype=np.int64)),
+            pa.array(np.asarray(hi_col, dtype=np.int64)),
+        ],
+        names=["value", "n_docs", "sum_v", "min_v", "max_v"],
+    )
+
+
 def range_facets(
     retriever,
     query: Union[str, Dict],

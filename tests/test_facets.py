@@ -341,3 +341,32 @@ def test_autocomplete_top_df(ray_session, tmp_path_factory):
     assert complete(r.index.term_df, "zz", k=3) == []
     with pytest.raises(ValueError):
         complete(r.index.term_df, "")
+
+
+# -- ES stats sub-aggregation (facet_stats) ----------------------------------
+
+
+def test_facet_stats_match_bruteforce(built):
+    from retriv_ray.search.facets import facet_stats
+
+    r = _open(built)
+    t = facet_stats(r, "alpha beta", "role", "turn_idx")
+    rows = {
+        v: (n, s, lo, hi)
+        for v, n, s, lo, hi in zip(
+            *(t.column(c).to_pylist() for c in t.column_names)
+        )
+    }
+    # matching docs (alpha or beta): 0,1,2,4,5; user turns = 0,0,0;
+    # assistant turns = 1,1
+    assert rows == {"user": (3, 0, 0, 0), "assistant": (2, 2, 1, 1)}
+
+
+def test_facet_stats_field_kind_errors(built):
+    from retriv_ray.search.facets import facet_stats
+
+    r = _open(built)
+    with pytest.raises(ValueError):
+        facet_stats(r, "alpha", "turn_idx", "turn_idx")  # numeric facet
+    with pytest.raises(ValueError):
+        facet_stats(r, "alpha", "role", "role")  # non-numeric value field
