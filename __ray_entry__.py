@@ -393,6 +393,18 @@ def _q_boolean_search(sf_dir: str):
     )
 
 
+def _q_substring_dedup(sf_dir: str):
+    """ExactSubstr-style dedup (Lee et al. 2021), token-aligned at
+    window=8: duplicated 8-token spans are cut from every non-first
+    occurrence, overlapping cuts merge, fully-covered docs drop
+    (ops/dedup.py:exact_substring_dedup; span identity = the
+    doc_fingerprint polynomial hash, so the oracle reproduces it
+    HUGEINT-exactly)."""
+    from retriv_ray.ops.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(_docs(sf_dir), window=8).sort("doc_id")
+
+
 def _q_facet_stats(sf_dir: str):
     """ES stats sub-aggregation: per-lang integer stats (count / sum /
     min / max of n_chars) over each facet query's matching set
@@ -1785,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "facet_stats": _q_facet_stats,
         "percolate": _q_percolate,
+        "substring_dedup": _q_substring_dedup,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
@@ -2803,6 +2816,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(agg.fp, 0)::BIGINT AS fingerprint,
                    coalesce(agg.ng, 0)::BIGINT AS n_grams
             FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id
+        """,
+        # substring_dedup: window hashes exactly as doc_fingerprint's
+        # wh CTE; the first (doc_id, i) occurrence of each hash keeps,
+        # later occurrences cut tokens [i, i+8) from their doc
+        "substring_dedup": f"""
+            WITH docs AS (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents),
+            tok AS (SELECT doc_id, len(toks) AS L, u.i,
+                           (md5_number_lower(toks[u.i]) % {_WINNOW_P}) AS v,
+                           toks[u.i] AS t
+                    FROM docs, unnest(generate_series(1, len(toks))) u(i)),
+            pw(off, p8) AS (VALUES {_WINNOW_PW_VALUES}),
+            wh AS (SELECT a.doc_id, a.i,
+                     (sum((b.v::HUGEINT * pw.p8::HUGEINT) % {_WINNOW_P}) % {_WINNOW_P}) AS h
+                   FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                                        AND b.i BETWEEN a.i AND a.i + 7
+                   JOIN pw ON pw.off = b.i - a.i
+                   WHERE a.i + 7 <= a.L
+                   GROUP BY a.doc_id, a.i),
+            ranked AS (SELECT doc_id, i,
+                         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+                       FROM wh),
+            rem AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+            kept AS (SELECT k.doc_id, k.i, k.t FROM tok k
+                     WHERE NOT EXISTS (SELECT 1 FROM rem r
+                                       WHERE r.doc_id = k.doc_id
+                                         AND k.i BETWEEN r.i AND r.i + 7))
+            SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         # ann_lsh_topk re-ranks candidates with exact cosine, and the

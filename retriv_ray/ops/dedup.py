@@ -961,6 +961,156 @@ def dedup_lines(
     )
 
 
+def exact_substring_dedup(
+    ds,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """ExactSubstr-style dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), token-aligned:
+    every ``window``-token span whose content occurs more than once
+    in the corpus is cut from every NON-FIRST occurrence (first =
+    smallest (doc_id, start)); overlapping cuts merge via a coverage
+    diff-array, surviving tokens re-join with single spaces (output
+    text is whitespace-normalized). Docs shorter than ``window``
+    tokens pass through; docs with every token covered drop.
+
+    Span identity is the polynomial rolling hash (base 1000003 mod
+    2^61-1) over md5-low64 token hashes — the
+    :func:`~retriv_ray.ops.textstats.doc_fingerprint` convention, so
+    a SQL oracle reproduces identities bit-exactly (HUGEINT
+    sum-of-products). Distinct spans colliding under the 61-bit hash
+    would be wrongly cut; at 10^12 windows the expected collision
+    count is ~10^6 windows == ~10^-6 of the corpus (the paper's
+    suffix-array tool is exact; the hash form is the standard
+    distributed compromise).
+
+    Scale shape (== :func:`dedup_lines`): span identity moves as
+    16-byte (h, doc*2^20+start) rows through one groupby(h)
+    min-packed pass and one join-back; the corpus text crosses
+    exactly one doc-keyed co-group exchange. Hash computation is a
+    per-doc rolling loop over Python ints (mod-mul on 61-bit values
+    overflows uint64; a vectorized 128-bit split-multiply is the
+    known upgrade if the map wall ever shows here)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(4, n_cpus)
+    P = (1 << 61) - 1
+    BASE = 1000003
+    TOP = pow(BASE, window, P)
+
+    def windows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        docs = batch.column(id_col).to_numpy().astype(np.int64)
+        if docs.size and docs.max() >= (1 << 43):
+            raise ValueError("doc_id >= 2^43 overflows the packed key")
+        h_out: List[int] = []
+        p_out: List[int] = []
+        for d, t in zip(docs.tolist(), texts):
+            toks = (t or "").split()
+            if len(toks) < window:
+                continue
+            if len(toks) >= _LINE_LIM:
+                raise ValueError(
+                    f"doc with >= {_LINE_LIM} tokens; raise _LINE_LIM"
+                )
+            vals = (_md5_low64_many(toks) % np.uint64(P)).tolist()
+            h = 0
+            base_packed = d * _LINE_LIM
+            for j, x in enumerate(vals):
+                h = (h * BASE + x) % P
+                if j >= window:
+                    h = (h - vals[j - window] * TOP) % P
+                if j >= window - 1:
+                    h_out.append(h)
+                    p_out.append(base_packed + j - window + 1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(h_out, dtype=np.int64)),
+                pa.array(np.asarray(p_out, dtype=np.int64)),
+            ],
+            names=["h", "packed"],
+        )
+
+    winners = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("packed", alias_name="keep_packed"))
+        .repartition(n_parts)  # drop empty zero-column agg blocks pre-join
+    )
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch.column("packed"), batch.column("keep_packed"))
+        )
+
+    removals = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .join(winners, join_type="inner", num_partitions=n_parts, on=("h",))
+        .map_batches(losers_only, batch_format="pyarrow")
+    )
+
+    def tag_rem(batch: pa.Table) -> pa.Table:
+        packed = batch.column("packed").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array(packed // _LINE_LIM),
+                pa.array(packed % _LINE_LIM),
+                pa.nulls(batch.num_rows, type=pa.string()),
+            ],
+            names=[id_col, "start", text_col],
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(id_col), pa.int64()),
+                pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                pc.cast(batch.column(text_col), pa.string()),
+            ],
+            names=[id_col, "start", text_col],
+        )
+
+    def strip(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.string())],
+            names=[id_col, text_col],
+        )
+        st = group.column("start").to_numpy(zero_copy_only=False)
+        doc_rows = np.flatnonzero(st == -1)
+        if len(doc_rows) != 1:
+            return empty
+        toks = (group.column(text_col)[doc_rows[0]].as_py() or "").split()
+        starts = st[st >= 0]
+        if len(starts):
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + window, len(toks)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            toks = [t for t, c in zip(toks, covered) if not c]
+        if not toks:
+            return empty
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    [group.column(id_col)[0].as_py()], type=pa.int64()
+                ),
+                pa.array([" ".join(toks)], type=pa.string()),
+            ],
+            names=[id_col, text_col],
+        )
+
+    return (
+        ds.map_batches(tag_doc, batch_format="pyarrow")
+        .union(removals.map_batches(tag_rem, batch_format="pyarrow"))
+        .groupby(id_col)
+        .map_groups(strip, batch_format="pyarrow")
+    )
+
+
 def dedup_filter(ds, pairs, id_col: str = "doc_id"):
     """Materialize the DEDUPLICATED corpus from a near-dup pairs
     table: every ``doc_id_b`` of an (a < b) pair is dropped, keeping

@@ -352,3 +352,76 @@ def test_dedup_lines_no_duplicates_is_identity(ray_session):
     ds = ray.data.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
     got = {r["doc_id"]: r["text"] for r in dedup_lines(ds).take_all()}
     assert got == docs
+
+
+# -- ExactSubstr-style substring dedup ---------------------------------------
+
+SUB_DOCS = {
+    0: "a b c d e",
+    1: "x a b c y",  # shares (a b c) with doc0 -> middle cut -> "x y"
+    2: "a b c d e",  # every window duplicated -> fully covered -> dropped
+    3: "a b",  # shorter than the window -> untouched
+    4: "p q r s a b c d t",  # two overlapping cut sources merge
+    5: "unique tokens only here now",
+}
+
+
+def _brute_substr(docs, W):
+    occ = {}
+    for d in sorted(docs):
+        toks = docs[d].split()
+        for s in range(len(toks) - W + 1):
+            occ.setdefault(tuple(toks[s : s + W]), []).append((d, s))
+    rem = {}
+    for lst in occ.values():
+        for d, s in lst[1:]:
+            rem.setdefault(d, []).append(s)
+    out = {}
+    for d in sorted(docs):
+        toks = docs[d].split()
+        cov = [False] * len(toks)
+        for s in rem.get(d, []):
+            for i in range(s, min(s + W, len(toks))):
+                cov[i] = True
+        kept = [t for t, c in zip(toks, cov) if not c]
+        if kept:
+            out[d] = " ".join(kept)
+    return out
+
+
+def test_exact_substring_dedup_matches_brute_force(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import exact_substring_dedup
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in SUB_DOCS.items()]
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(ds, window=3).take_all()
+    }
+    want = _brute_substr(SUB_DOCS, 3)
+    assert got == want
+    assert 2 not in got and got[1] == "x y" and got[3] == "a b"
+
+
+def test_exact_substring_dedup_partition_independent(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import exact_substring_dedup
+
+    items = [{"doc_id": d, "text": t} for d, t in SUB_DOCS.items()]
+    a = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(
+            ray.data.from_items(items).repartition(1), window=3
+        ).take_all()
+    }
+    b = {
+        r["doc_id"]: r["text"]
+        for r in exact_substring_dedup(
+            ray.data.from_items(items).repartition(5), window=3
+        ).take_all()
+    }
+    assert a == b == _brute_substr(SUB_DOCS, 3)
