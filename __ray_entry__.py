@@ -393,6 +393,71 @@ def _q_boolean_search(sf_dir: str):
     )
 
 
+def _docs_as_conversation_turns(sf_dir: str):
+    """documents -> transcript shape (conv_id:int64 = doc_id,
+    turn_idx, role, text): 5-token spans as turns, role derived
+    deterministically from the span content (md5 % 3 < 2 -> 'user')
+    so role runs are irregular — leading assistants, repeated users —
+    and the conversation ops' latest-user logic is really exercised.
+    The oracle rebuilds the identical turns in SQL."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.dedup import _md5_low64
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        conv, tix, role, text = [], [], [], []
+        for d, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            toks = (t or "").split()
+            for k, i in enumerate(range(0, len(toks), 5)):
+                line = " ".join(toks[i : i + 5])
+                conv.append(d)
+                tix.append(k)
+                role.append(
+                    "user" if _md5_low64(line) % 3 < 2 else "assistant"
+                )
+                text.append(line)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.asarray(conv, dtype=np.int64)),
+                pa.array(np.asarray(tix, dtype=np.int64)),
+                pa.array(role, type=pa.string()),
+                pa.array(text, type=pa.string()),
+            ],
+            names=["conv_id", "turn_idx", "role", "text"],
+        )
+
+    return ds.map_batches(to_turns, batch_format="pyarrow")
+
+
+def _q_response_pairs(sf_dir: str):
+    """Instruction-tuning pair extraction: every assistant turn joins
+    the LATEST user turn before it in the same conversation
+    (ops/conversations.py:response_pairs — one conv-keyed shuffle,
+    vectorized latest-user scan per group)."""
+    from retriv_ray.ops.conversations import response_pairs
+
+    return response_pairs(_docs_as_conversation_turns(sf_dir)).sort(
+        ["conv_id", "assistant_turn_idx"]
+    )
+
+
+def _q_conversation_windows(sf_dir: str):
+    """Context assembly: overlapping 3-turn windows at stride 2 per
+    conversation, short conversations kept whole
+    (ops/conversations.py:conversation_windows)."""
+    from retriv_ray.ops.conversations import conversation_windows
+
+    return conversation_windows(
+        _docs_as_conversation_turns(sf_dir), n_turns=3, stride=2
+    ).sort(["conv_id", "window_idx"])
+
+
 def _q_substring_dedup(sf_dir: str):
     """ExactSubstr-style dedup (Lee et al. 2021), token-aligned at
     window=8: duplicated 8-token spans are cut from every non-first
@@ -1798,6 +1863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_stats": _q_facet_stats,
         "percolate": _q_percolate,
         "substring_dedup": _q_substring_dedup,
+        "response_pairs": _q_response_pairs,
+        "conversation_windows": _q_conversation_windows,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
@@ -2816,6 +2883,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(agg.fp, 0)::BIGINT AS fingerprint,
                    coalesce(agg.ng, 0)::BIGINT AS n_grams
             FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id
+        """,
+        # conversation ops share the synthesized transcript shape:
+        # turns = 5-token spans, role = md5(line) % 3 < 2 -> user
+        "response_pairs": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            lines AS (SELECT doc_id AS conv_id, pos // 5 AS turn_idx,
+                             string_agg(term, ' ' ORDER BY pos) AS text
+                      FROM pos GROUP BY doc_id, pos // 5),
+            turns AS (SELECT conv_id, turn_idx,
+                             CASE WHEN md5_number_lower(text) % 3 < 2
+                                  THEN 'user' ELSE 'assistant' END AS role,
+                             text
+                      FROM lines),
+            lu AS (SELECT conv_id, turn_idx, role, text,
+                     max(CASE WHEN role = 'user' THEN turn_idx END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS user_turn_idx
+                   FROM turns)
+            SELECT a.conv_id, a.user_turn_idx::BIGINT AS user_turn_idx,
+                   a.turn_idx::BIGINT AS assistant_turn_idx,
+                   u.text AS user_text, a.text AS assistant_text
+            FROM lu a JOIN turns u ON u.conv_id = a.conv_id
+                                  AND u.turn_idx = a.user_turn_idx
+            WHERE a.role = 'assistant' AND a.user_turn_idx IS NOT NULL
+            ORDER BY a.conv_id, assistant_turn_idx
+        """,
+        "conversation_windows": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            lines AS (SELECT doc_id AS conv_id, pos // 5 AS turn_idx,
+                             string_agg(term, ' ' ORDER BY pos) AS text
+                      FROM pos GROUP BY doc_id, pos // 5),
+            cnt AS (SELECT conv_id, count(*) AS L FROM lines GROUP BY conv_id),
+            win AS (SELECT c.conv_id, u.k AS window_idx, 2 * u.k AS s
+                    FROM cnt c, unnest(generate_series(0, (c.L - 3) // 2)) u(k)
+                    WHERE c.L >= 3),
+            agg AS (SELECT w.conv_id, w.window_idx::BIGINT AS window_idx,
+                           w.s::BIGINT AS start_turn_idx, 3::BIGINT AS n_in_window,
+                           string_agg(t.text, chr(10) ORDER BY t.turn_idx) AS text
+                    FROM win w JOIN lines t ON t.conv_id = w.conv_id
+                                           AND t.turn_idx BETWEEN w.s AND w.s + 2
+                    GROUP BY w.conv_id, w.window_idx, w.s),
+            short AS (SELECT c.conv_id, 0::BIGINT AS window_idx,
+                             0::BIGINT AS start_turn_idx, c.L::BIGINT AS n_in_window,
+                             (SELECT string_agg(t.text, chr(10) ORDER BY t.turn_idx)
+                              FROM lines t WHERE t.conv_id = c.conv_id) AS text
+                      FROM cnt c WHERE c.L < 3)
+            SELECT * FROM (SELECT * FROM agg UNION ALL SELECT * FROM short)
+            ORDER BY conv_id, window_idx
         """,
         # substring_dedup: window hashes exactly as doc_fingerprint's
         # wh CTE; the first (doc_id, i) occurrence of each hash keeps,

@@ -1,0 +1,157 @@
+"""Conversation / transcript training-data operators.
+
+The engine's canonical input is multi-turn transcripts (conv_id,
+turn_idx, role, text, ...). These operators produce the two shapes an
+LLM training pipeline derives from them most often:
+
+- :func:`response_pairs` — (user prompt, assistant response) pairs:
+  every assistant turn joined to the LATEST user turn before it (the
+  instruction-tuning extraction; assistant turns with no preceding
+  user turn drop, runs of assistant turns all share the same prompt).
+- :func:`conversation_windows` — overlapping fixed-size windows of
+  consecutive turns per conversation (context assembly for
+  long-context training; stride controls overlap).
+
+Both are ONE conv-keyed shuffle (`groupby(conv).map_groups`) with all
+per-group work vectorized; group size is bounded by conversation
+length, which for transcripts is naturally capped (no key salting
+needed — contrast sessionize's unbounded per-user event streams).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+
+def response_pairs(
+    ds,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+):
+    """(conv_id, user_turn_idx, assistant_turn_idx, user_text,
+    assistant_text) — one row per assistant turn that has at least one
+    user turn before it in the same conversation; the latest such user
+    turn supplies the prompt."""
+    conv_type = dict(
+        zip(ds.schema().names, ds.schema().types)
+    )[conv_col]
+    out_schema = pa.schema(
+        [
+            (conv_col, conv_type),
+            ("user_turn_idx", pa.int64()),
+            ("assistant_turn_idx", pa.int64()),
+            ("user_text", pa.string()),
+            ("assistant_text", pa.string()),
+        ]
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ti = group.column(turn_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(ti, kind="stable")
+        ti = ti[order]
+        roles = np.asarray(
+            group.column(role_col).to_pylist(), dtype=object
+        )[order]
+        texts = np.asarray(
+            group.column(text_col).to_pylist(), dtype=object
+        )[order]
+        n = len(ti)
+        pos = np.arange(n, dtype=np.int64)
+        user_pos = np.where(roles == user_role, pos, -1)
+        last_user = np.concatenate(
+            ([np.int64(-1)], np.maximum.accumulate(user_pos)[:-1])
+        )
+        take = np.flatnonzero((roles == assistant_role) & (last_user >= 0))
+        lu = last_user[take]
+        conv_val = group.column(conv_col)[0]
+        return pa.Table.from_arrays(
+            [
+                pa.array([conv_val.as_py()] * len(take), type=conv_type),
+                pa.array(ti[lu]),
+                pa.array(ti[take]),
+                pa.array(texts[lu], type=pa.string()),
+                pa.array(texts[take], type=pa.string()),
+            ],
+            names=out_schema.names,
+        )
+
+    return ds.groupby(conv_col).map_groups(pairs, batch_format="pyarrow")
+
+
+def conversation_windows(
+    ds,
+    n_turns: int = 4,
+    stride: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    keep_short: bool = True,
+):
+    """Overlapping windows of ``n_turns`` consecutive turns per
+    conversation at starts 0, stride, 2*stride, ... (full windows
+    only); a conversation with fewer than ``n_turns`` turns emits one
+    whole-conversation window when ``keep_short``. Returns (conv_id,
+    window_idx, start_turn_idx, n_in_window, text) with turns joined
+    by ``sep`` in turn order."""
+    if n_turns < 1 or stride < 1:
+        raise ValueError("n_turns and stride must be >= 1")
+    conv_type = dict(
+        zip(ds.schema().names, ds.schema().types)
+    )[conv_col]
+
+    def windows(group: pa.Table) -> pa.Table:
+        ti = group.column(turn_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(ti, kind="stable")
+        ti = ti[order]
+        texts = [
+            t or ""
+            for t in np.asarray(
+                group.column(text_col).to_pylist(), dtype=object
+            )[order]
+        ]
+        n = len(ti)
+        w_idx: List[int] = []
+        starts: List[int] = []
+        counts: List[int] = []
+        joined: List[str] = []
+        if n < n_turns:
+            if keep_short and n:
+                w_idx, starts, counts = [0], [int(ti[0])], [n]
+                joined = [sep.join(texts)]
+        else:
+            for k, s in enumerate(range(0, n - n_turns + 1, stride)):
+                w_idx.append(k)
+                starts.append(int(ti[s]))
+                counts.append(n_turns)
+                joined.append(sep.join(texts[s : s + n_turns]))
+        conv_val = group.column(conv_col)[0].as_py()
+        return pa.Table.from_arrays(
+            [
+                pa.array([conv_val] * len(w_idx), type=conv_type),
+                pa.array(np.asarray(w_idx, dtype=np.int64)),
+                pa.array(np.asarray(starts, dtype=np.int64)),
+                pa.array(np.asarray(counts, dtype=np.int64)),
+                pa.array(joined, type=pa.string()),
+            ],
+            names=[
+                conv_col,
+                "window_idx",
+                "start_turn_idx",
+                "n_in_window",
+                "text",
+            ],
+        )
+
+    return ds.groupby(conv_col).map_groups(windows, batch_format="pyarrow")
