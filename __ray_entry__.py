@@ -458,6 +458,17 @@ def _q_conversation_windows(sf_dir: str):
     ).sort(["conv_id", "window_idx"])
 
 
+def _q_bigram_lm(sf_dir: str):
+    """Corpus bigram-LM log-probability per doc (CCNet-style quality
+    signal): each bigram position contributes the quantized
+    conditional floor(1e4*ln(c12/c1x)) — integer-exact end to end
+    (ops/textstats.py:bigram_lm_stats; two co-group joins, no
+    vocabulary broadcast)."""
+    from retriv_ray.ops.textstats import bigram_lm_stats
+
+    return bigram_lm_stats(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_substring_dedup(sf_dir: str):
     """ExactSubstr-style dedup (Lee et al. 2021), token-aligned at
     window=8: duplicated 8-token spans are cut from every non-first
@@ -1865,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "response_pairs": _q_response_pairs,
         "conversation_windows": _q_conversation_windows,
+        "bigram_lm": _q_bigram_lm,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
@@ -2883,6 +2895,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(agg.fp, 0)::BIGINT AS fingerprint,
                    coalesce(agg.ng, 0)::BIGINT AS n_grams
             FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id ORDER BY d.doc_id
+        """,
+        "bigram_lm": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+                   FROM pos a JOIN pos b
+                     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+                    FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c12)::BIGINT AS c1x FROM c12 GROUP BY w1),
+            per AS (SELECT g.doc_id,
+                      floor(1e4 * ln(c.c12::DOUBLE / c1.c1x::DOUBLE))::BIGINT AS lp
+                    FROM bg g
+                    JOIN c12 c ON c.w1 = g.w1 AND c.w2 = g.w2
+                    JOIN c1 ON c1.w1 = g.w1)
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(lp)::BIGINT AS sum_logp_e4
+            FROM per GROUP BY doc_id ORDER BY doc_id
         """,
         # conversation ops share the synthesized transcript shape:
         # turns = 5-token spans, role = md5(line) % 3 < 2 -> user

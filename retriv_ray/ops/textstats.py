@@ -437,6 +437,164 @@ def token_rarity(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def bigram_lm_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document corpus bigram-LM log-probability — the CCNet-style
+    LM quality signal one level up from :func:`token_rarity`'s
+    unigrams: (doc_id, n_bigrams, sum_logp_e4) where each bigram
+    position (w1, w2) contributes ``floor(1e4 * ln(c12 / c1x))`` with
+    c12 = corpus count of the bigram and c1x = corpus count of
+    bigrams starting with w1 (a properly normalized conditional,
+    sum_w2 P(w2|w1) = 1). Quantizing BEFORE the per-doc sum keeps
+    every emitted value integer-exact under any partitioning; mean
+    log-prob / perplexity are client-side maps of the two integers.
+    Docs with fewer than 2 tokens emit no row.
+
+    Scale plan (no vocabulary broadcast): pass 1 Counter-combiner
+    bigram counts + a tiny first-token rollup; pass 2 re-emits
+    per-doc (bigram, tf) partials and hash-joins counts back via two
+    co-groups (bigram-keyed, then first-token-keyed); final doc-keyed
+    aggregate. Same shuffle family as token_rarity / pmi_collocations
+    (ln-quantization parity with DuckDB proven by the PMI oracle)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"  # token strings are whitespace-split, so \x1f is safe
+
+    def bigrams(toks):
+        return (
+            SEP.join(p) for p in zip(toks, toks[1:])
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(bigrams((t or "").split()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(c.keys()), type=pa.string()),
+                pa.array(list(c.values()), type=pa.int64()),
+            ],
+            names=["bg", "v"],
+        )
+
+    c12 = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("v", alias_name="c12"))
+    )
+
+    def first_tok(batch: pa.Table) -> pa.Table:
+        w1 = pc.split_pattern(
+            pc.cast(batch.column("bg"), pa.string()), SEP
+        )
+        return pa.Table.from_arrays(
+            [pc.list_element(w1, 0), batch.column("c12")],
+            names=["w1", "v"],
+        )
+
+    c1 = (
+        c12.map_batches(first_tok, batch_format="pyarrow")
+        .groupby("w1")
+        .aggregate(Sum("v", alias_name="c1x"))
+    )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        out_b, out_d, out_tf = [], [], []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            c = Counter(bigrams((t or "").split()))
+            out_b.extend(c.keys())
+            out_d.extend([int(ids[i])] * len(c))
+            out_tf.extend(c.values())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_b, type=pa.string()),
+                pa.array(np.asarray(out_d, dtype=np.int64)),
+                pa.array(np.asarray(out_tf, dtype=np.int64)),
+            ],
+            names=["bg", id_col, "v"],
+        )
+
+    def attach_c12(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        vs = group.column("v").to_numpy()
+        is_cnt = ids == -1
+        cnt = int(vs[is_cnt].sum())
+        keep = ~is_cnt
+        bg = group.column("bg")[0].as_py()
+        w1 = bg.split(SEP, 1)[0]
+        n = int(keep.sum())
+        return pa.Table.from_arrays(
+            [
+                pa.array([w1] * n, type=pa.string()),
+                pa.array(ids[keep]),
+                pa.array(vs[keep]),
+                pa.array(np.full(n, cnt, dtype=np.int64)),
+            ],
+            names=["w1", id_col, "tf", "c12"],
+        )
+
+    tagged_c12 = c12.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("bg"),
+                pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                t.column("c12"),
+            ],
+            names=["bg", id_col, "v"],
+        ),
+        batch_format="pyarrow",
+    )
+    with_c12 = (
+        ds.map_batches(doc_partial, batch_format="pyarrow")
+        .union(tagged_c12)
+        .groupby("bg")
+        .map_groups(attach_c12, batch_format="pyarrow")
+    )
+
+    def attach_c1x(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        is_cnt = ids == -1
+        c1x = int(group.column("tf").to_numpy()[is_cnt].sum())
+        keep = ~is_cnt
+        tf = group.column("tf").to_numpy()[keep]
+        cc = group.column("c12").to_numpy()[keep]
+        lp = np.floor(
+            1e4 * np.log(cc.astype(np.float64) / float(c1x))
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[keep]),
+                pa.array(tf),
+                pa.array(tf * lp),
+            ],
+            names=[id_col, "tf", "tflp"],
+        )
+
+    tagged_c1 = c1.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("w1"),
+                pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                t.column("c1x"),
+                pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            ],
+            names=["w1", id_col, "tf", "c12"],
+        ),
+        batch_format="pyarrow",
+    )
+    scored = (
+        with_c12.union(tagged_c1)
+        .groupby("w1")
+        .map_groups(attach_c1x, batch_format="pyarrow")
+    )
+    return scored.groupby(id_col).aggregate(
+        Sum("tf", alias_name="n_bigrams"),
+        Sum("tflp", alias_name="sum_logp_e4"),
+    )
+
+
 def length_quantiles(
     ds,
     col: str = "n_chars",

@@ -153,3 +153,51 @@ def test_gopher_filter_each_rule(ray_session):
     got = gopher_filter(ray.data.from_items(docs)).to_pandas()
     assert list(got["doc_id"]) == [0]
     assert got.iloc[0]["n_tokens"] == len(good.split())
+
+
+# -- bigram LM stats ----------------------------------------------------------
+
+
+def test_bigram_lm_stats_matches_brute_force(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from retriv_ray.ops.textstats import bigram_lm_stats
+
+    docs = {
+        0: "a b a b c",
+        1: "a b c d",
+        2: "x",  # < 2 tokens -> no row
+        3: "c d c d",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs.items()]
+    )
+    # brute force
+    from collections import Counter
+
+    c12, c1 = Counter(), Counter()
+    for t in docs.values():
+        toks = t.split()
+        for p in zip(toks, toks[1:]):
+            c12[p] += 1
+            c1[p[0]] += 1
+    want = {}
+    for d, t in docs.items():
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        n, s = 0, 0
+        for p in zip(toks, toks[1:]):
+            n += 1
+            s += int(np.floor(1e4 * np.log(c12[p] / c1[p[0]])))
+        want[d] = (n, s)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp_e4"])
+        for r in bigram_lm_stats(ds).take_all()
+    }
+    assert got == want
+    # sanity: conditional probabilities <= 1 -> non-positive log sums
+    assert all(s <= 0 for _n, s in got.values())
