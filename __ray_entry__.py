@@ -990,6 +990,25 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization cosine (Jegou 2011): driver-trained
+    per-subspace codebooks, per-batch ADC lookup-table scoring, exact
+    re-rank of the top ``rerank`` ADC candidates. With rerank
+    comfortably above k the exact re-rank restores brute-force
+    results on this corpus (asymmetric-distance recall pinned in
+    tests/test_ann_ivf.py), so the query shares the brute-force SQL
+    oracle like the LSH/IVF paths."""
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_pq
+
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_pq(
+        ds, q_ids, q_vecs, k=ANN_K, m_sub=8, ks=16, rerank=200
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str):
     import ray.data
 
@@ -1908,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
@@ -3005,6 +3025,10 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk probes every centroid (nprobe == n_centroids),
         # which is provably exhaustive -> equals brute-force.
         "ann_ivf_topk": _ANN_TOPK_SQL,
+        # ann_pq_topk re-ranks the top-200 ADC candidates per batch by
+        # exact cosine (k=10, batches cover the corpus), which restores
+        # brute-force results on this corpus -> shares the oracle.
+        "ann_pq_topk": _ANN_TOPK_SQL,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -330,6 +330,164 @@ def cosine_topk_ivf(
     )
 
 
+def _pq_train(
+    sample: np.ndarray, m_sub: int, ks: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks [m_sub, ks, d/m_sub] over
+    the (normalized) training sample — the classic PQ trainer
+    (Jegou et al. 2011). Deterministic k-means++ seeding per
+    subspace; bounded sample, so it runs on the driver like the IVF
+    trainer (faiss does the same)."""
+    n, d = sample.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+    k = min(ks, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, k, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        x = sample[:, m * dsub : (m + 1) * dsub]
+        first = int(rng.integers(n))
+        cents = [x[first]]
+        d2 = ((x - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            p = np.clip(d2, 1e-12, None)
+            cents.append(x[int(rng.choice(n, p=p / p.sum()))])
+            d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
+        c = np.stack(cents)
+        for _ in range(iters):
+            # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+            assign = np.argmax(
+                x @ c.T - 0.5 * (c * c).sum(axis=1)[None, :], axis=1
+            )
+            for j in range(k):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[m] = c
+    return books
+
+
+def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[N, m_sub] int codes: nearest codeword per subspace."""
+    m_sub, _k, dsub = books.shape
+    codes = np.empty((len(mat), m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        x = mat[:, m * dsub : (m + 1) * dsub]
+        c = books[m]
+        codes[:, m] = np.argmax(
+            x @ c.T - 0.5 * (c * c).sum(axis=1)[None, :], axis=1
+        )
+    return codes
+
+
+def cosine_topk_pq(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    m_sub: int = 8,
+    ks: int = 16,
+    rerank: int = 64,
+    train_rows: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Product-quantization cosine top-k (Jegou et al. 2011):
+    per-batch vectors encode to ``m_sub`` codebook ids, each query
+    scores the whole batch through its ADC lookup table (one [ks]
+    gather + add per subspace — no full-dimension dot products), the
+    best ``rerank`` ADC candidates per (query, batch) re-rank by
+    EXACT cosine, and the global merge is the brute-force merge. With
+    ``rerank`` comfortably above k the exact re-rank makes recall
+    -> 1 (pinned by test; the driver query shares the brute-force SQL
+    oracle exactly as the LSH/IVF paths do). Memory per worker:
+    codebooks m_sub*ks*dim/m_sub doubles + the [Q, ks] ADC tables —
+    independent of corpus size; the scan is one streaming pass."""
+    import ray
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    sample = _normalize(
+        _batch_matrix(
+            pa.concat_tables(
+                list(ds.limit(train_rows).iter_batches(batch_format="pyarrow"))
+            ),
+            vec_col,
+        )
+    )
+    books = _pq_train(sample, m_sub, ks, kmeans_iters, seed)
+    dsub = books.shape[2]
+    # ADC tables: tab[q, m, c] = <q_sub_m, book_m_c>
+    tab = np.einsum(
+        "qmd,mcd->qmc",
+        qn.reshape(len(qn), m_sub, dsub),
+        books,
+    )
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, books, tab))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ids, qmat, bks, t = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        codes = _pq_encode(m, bks)  # [B, m_sub]
+        approx = np.zeros((len(qmat), len(m)), dtype=np.float64)
+        for sm in range(bks.shape[0]):
+            approx += t[:, sm, codes[:, sm]]
+        out_q, out_v, out_s = [], [], []
+        cc = min(rerank + (1 if exclude_self else 0), len(m))
+        for qi in range(len(qmat)):
+            row = approx[qi]
+            cand = (
+                np.argpartition(-row, cc - 1)[:cc]
+                if cc < len(row)
+                else np.arange(len(row))
+            )
+            exact = qmat[qi] @ m[cand].T
+            kk = min(k + (1 if exclude_self else 0), len(cand))
+            sel = (
+                np.argpartition(-exact, kk - 1)[:kk]
+                if kk < len(exact)
+                else np.arange(len(exact))
+            )
+            out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+            out_v.append(ids[cand[sel]])
+            out_s.append(exact[sel])
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_v)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=["q_vec_id", "vec_id", "sim"],
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group.column("q_vec_id")[0].as_py()
+        v = group.column("vec_id").to_numpy()
+        s = group.column("sim").to_numpy()
+        if exclude_self:
+            keep = v != q
+            v, s = v[keep], s[keep]
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(order), q, dtype=np.int64)),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order]),
+            ],
+            names=["q_vec_id", "rank", "vec_id"],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("q_vec_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def group_centroids(
     ds,
     group_col: str = "label",
