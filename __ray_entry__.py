@@ -1819,6 +1819,30 @@ def _q_fusion_topk(sf_dir: str):
     )
 
 
+def _q_hard_negatives(sf_dir: str):
+    """DPR-style hard-negative mining: per query, the top BM25 hits
+    excluding the known positive (here: the query's own top-1),
+    renumbered 1..n (search/negatives.py). Oracle: the bm25 ranking's
+    rows 2..n+1 with rank shifted down by one."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.negatives import mine_hard_negatives
+
+    r = _index(sf_dir)
+    pairs = {}
+    for q_id, text in TOPK_QUERIES.items():
+        res = r.search(text, cutoff=1)
+        conv, turn = next(iter(res.keys()))
+        pairs[q_id] = (text, (conv, int(turn)))
+    t = mine_hard_negatives(r, pairs, n_negatives=CUTOFF)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_rrf_topk(sf_dir: str):
     """Reciprocal-rank fusion (Cormack 2009) of the BM25 and TF-IDF
     runs: each run contributes floor(1e6/(60+rank)) per doc, summed —
@@ -1919,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_bm25_topk_sharded": _q_filtered_bm25_sharded,
         "fusion_topk": _q_fusion_topk,
         "rrf_topk": _q_rrf_topk,
+        "hard_negatives": _q_hard_negatives,
         "bm25_full_chain": _q_bm25_full_chain,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2848,6 +2873,27 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        # hard_negatives: the bm25 ranking's rows 2..CUTOFF+1 (top-1 is
+        # the designated positive), rank renumbered down by one
+        "hard_negatives": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, (rank - 1)::BIGINT AS rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank BETWEEN 2 AND {CUTOFF} + 1 ORDER BY q_id, rank
         """,
         "tfidf_topk": f"""
             WITH {_BASE_CTES}, {_QTERMS},
