@@ -1178,6 +1178,17 @@ def _q_dedup_clusters(sf_dir: str):
     return dedup_clusters(_docs(sf_dir))
 
 
+def _q_cluster_dedup(sf_dir: str):
+    """Transitively deduplicated corpus: only each connected
+    component's minimum-id doc survives (ops/dedup.py:
+    cluster_dedup_filter over dedup_clusters — chains collapse even
+    without direct pairs; distributed anti-join, no driver set)."""
+    from retriv_ray.ops.dedup import cluster_dedup_filter, dedup_clusters
+
+    clusters = dedup_clusters(_docs(sf_dir))
+    return cluster_dedup_filter(_docs(sf_dir), clusters).sort("doc_id")
+
+
 def _q_length_quantiles(sf_dir: str):
     from retriv_ray.ops.textstats import length_quantiles
 
@@ -1980,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity": _q_token_rarity,
         "duplicate_windows": _q_duplicate_windows,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_dedup_filter": _q_cluster_dedup,
         "length_quantiles": _q_length_quantiles,
         "tfidf_keywords": _q_tfidf_keywords,
         "rolling_events": _q_rolling_events,
@@ -3450,6 +3462,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, MIN(label) AS cluster_id FROM cc
         GROUP BY doc_id ORDER BY doc_id
+    """
+    # transitively deduplicated corpus: cluster canonical (min label)
+    # survives; same recursive CTE as dedup_clusters
+    out["cluster_dedup_filter"] = """
+        WITH RECURSIVE memb AS (
+          SELECT doc_id, 'a#' || lang || '#' ||
+                 CAST(n_chars // 8 AS VARCHAR) AS k FROM documents
+          UNION ALL
+          SELECT doc_id, 'b#' || source || '#' ||
+                 CAST(n_chars // 12 AS VARCHAR) AS k FROM documents
+        ), edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM memb a JOIN memb b ON a.k = b.k
+        ), cc AS (
+          SELECT doc_id, doc_id AS label FROM documents
+          UNION
+          SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.doc_id = e.src
+        ), canon AS (
+          SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id)
+        SELECT d.* FROM documents d
+        JOIN canon c ON c.doc_id = d.doc_id
+        WHERE c.cluster_id = d.doc_id ORDER BY d.doc_id
     """
     # exact histogram-based quantiles (ops/textstats.py
     # length_quantiles; binary-fraction q keeps ceil(q*n) float-exact)

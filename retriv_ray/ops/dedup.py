@@ -1152,6 +1152,58 @@ def dedup_filter(ds, pairs, id_col: str = "doc_id"):
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
+def cluster_dedup_filter(ds, clusters, id_col: str = "doc_id"):
+    """Materialize the TRANSITIVELY deduplicated corpus: keep only
+    each cluster's canonical (minimum-id) member. ``clusters`` is the
+    (doc_id, cluster_id) output of :func:`dedup_clusters` /
+    :func:`connected_components` — unlike :func:`dedup_filter`'s
+    pairwise-greedy policy, chains A~B~C collapse to one survivor
+    even when A and C never formed a direct pair.
+
+    Scale shape: the loser set (rows with doc_id != cluster_id)
+    ships through a distributed LEFT OUTER join + null filter — the
+    dedup_filter anti-join; nothing gathers on the driver."""
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            batch.column(id_col), batch.column("cluster_id")
+        )
+        out = batch.filter(keep)
+        # the join key itself may be coalesced away by the join; a
+        # sibling marker column survives to flag matched rows (the
+        # dedup_filter doc_id_a pattern)
+        return pa.Table.from_arrays(
+            [
+                out.column(id_col),
+                pa.array(np.ones(out.num_rows, dtype=np.int8)),
+            ],
+            names=["drop_id", "_dropmark"],
+        )
+
+    marked = clusters.map_batches(
+        losers, batch_format="pyarrow"
+    ).repartition(max(4, n_cpus))
+    joined = ds.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=max(4, n_cpus),
+        on=(id_col,),
+        right_on=("drop_id",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_null(batch.column("_dropmark")))
+        drop = [
+            c for c in ("drop_id", "_dropmark") if c in out.column_names
+        ]
+        return out.drop_columns(drop)
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
 def duplicate_window_stats(
     ds,
     window: int = 50,

@@ -425,3 +425,29 @@ def test_exact_substring_dedup_partition_independent(ray_session):
         ).take_all()
     }
     assert a == b == _brute_substr(SUB_DOCS, 3)
+
+
+def test_cluster_dedup_filter_keeps_canonical_only(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.dedup import cluster_dedup_filter
+
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(6)]
+    )
+    # transitive chain 0~1~2 (0-2 never paired directly), pair 4~5
+    clusters = ray.data.from_items(
+        [
+            {"doc_id": 0, "cluster_id": 0},
+            {"doc_id": 1, "cluster_id": 0},
+            {"doc_id": 2, "cluster_id": 0},
+            {"doc_id": 3, "cluster_id": 3},
+            {"doc_id": 4, "cluster_id": 4},
+            {"doc_id": 5, "cluster_id": 4},
+        ]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in cluster_dedup_filter(corpus, clusters).take_all()
+    )
+    assert got == [0, 3, 4]
