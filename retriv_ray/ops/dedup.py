@@ -50,6 +50,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from retriv_ray.ops._safejoin import safe_join
+
 logger = logging.getLogger(__name__)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -493,26 +495,34 @@ def minhash_lsh_pairs(
             [_shingle_hashes(_tokens(t), n).tobytes() for t in texts],
             type=pa.binary(),
         )
-        return pa.Table.from_arrays(
-            [batch.column(id_col), packed], names=[id_col, "sh"]
-        )
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        return pa.Table.from_arrays([ids, packed], names=[id_col, "sh"])
 
     sh_tbl = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
-    # candidate pairs ⨝ shingles (a side), then ⨝ shingles (b side)
-    joined = cand.join(
+    # candidate pairs ⨝ shingles (a side), then ⨝ shingles (b side);
+    # safe_join: "zero candidate pairs" is a normal steady state
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    sh_schema = pa.schema([(id_col, pa.int64()), ("sh", pa.binary())])
+    joined = safe_join(
+        cand,
         sh_tbl,
         join_type="inner",
         num_partitions=join_partitions,
         on=("a",),
         right_on=(id_col,),
+        left_schema=pair_schema,
+        right_schema=sh_schema,
     ).rename_columns({"sh": "sh_a"})
-    joined = joined.join(
+    joined = safe_join(
+        joined,
         sh_tbl,
         join_type="inner",
         num_partitions=join_partitions,
         on=("b",),
         right_on=(id_col,),
+        left_schema=pair_schema.append(pa.field("sh_a", pa.binary())),
+        right_schema=sh_schema,
     ).rename_columns({"sh": "sh_b"})
 
     thr = threshold
@@ -708,6 +718,16 @@ def _near_dup_exact(base, threshold: float, id_col: str, vec_col: str, block_row
 
     mat = base.materialize()
     n = mat.count()
+    if n == 0:
+        # an empty corpus repartitions to zero-column blocks whose
+        # arrow refs lack the id/vec fields — return no pairs directly
+        return ray.data.from_arrow(
+            _pair_table(
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        )
     if n > EXACT_NEAR_DUP_MAX_ROWS:
         raise ValueError(
             f"embedding_near_dup(method='exact') on {n} rows would "
@@ -894,11 +914,17 @@ def dedup_lines(
             pc.not_equal(batch.column("packed"), batch.column("keep_packed"))
         )
 
-    removals = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .join(winners, join_type="inner", num_partitions=n_parts, on=("h",))
-        .map_batches(losers_only, batch_format="pyarrow")
-    )
+    removals = safe_join(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        winners,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("h",),
+        left_schema=pa.schema([("h", pa.binary()), ("packed", pa.int64())]),
+        right_schema=pa.schema(
+            [("h", pa.binary()), ("keep_packed", pa.int64())]
+        ),
+    ).map_batches(losers_only, batch_format="pyarrow")
 
     def tag_rem(batch: pa.Table) -> pa.Table:
         packed = batch.column("packed").to_numpy()
@@ -1047,11 +1073,17 @@ def exact_substring_dedup(
             pc.not_equal(batch.column("packed"), batch.column("keep_packed"))
         )
 
-    removals = (
-        ds.map_batches(windows, batch_format="pyarrow")
-        .join(winners, join_type="inner", num_partitions=n_parts, on=("h",))
-        .map_batches(losers_only, batch_format="pyarrow")
-    )
+    removals = safe_join(
+        ds.map_batches(windows, batch_format="pyarrow"),
+        winners,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("h",),
+        left_schema=pa.schema([("h", pa.int64()), ("packed", pa.int64())]),
+        right_schema=pa.schema(
+            [("h", pa.int64()), ("keep_packed", pa.int64())]
+        ),
+    ).map_batches(losers_only, batch_format="pyarrow")
 
     def tag_rem(batch: pa.Table) -> pa.Table:
         packed = batch.column("packed").to_numpy()
@@ -1136,12 +1168,19 @@ def dedup_filter(ds, pairs, id_col: str = "doc_id"):
         pairs.select_columns(["doc_id_b", "doc_id_a"])
         .repartition(max(4, n_cpus))
     )
-    joined = ds.join(
+    # safe_join: "zero duplicate pairs" must yield the corpus unchanged,
+    # not an empty-side join crash (pair ids are int64 by the pair-op
+    # contract)
+    joined = safe_join(
+        ds,
         marked,
         join_type="left_outer",
         num_partitions=max(4, n_cpus),
         on=(id_col,),
         right_on=("doc_id_b",),
+        right_schema=pa.schema(
+            [("doc_id_b", pa.int64()), ("doc_id_a", pa.int64())]
+        ),
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
@@ -1186,12 +1225,18 @@ def cluster_dedup_filter(ds, clusters, id_col: str = "doc_id"):
     marked = clusters.map_batches(
         losers, batch_format="pyarrow"
     ).repartition(max(4, n_cpus))
-    joined = ds.join(
+    # safe_join: an all-singleton clustering has zero losers — the
+    # empty right side must pass the corpus through unchanged
+    joined = safe_join(
+        ds,
         marked,
         join_type="left_outer",
         num_partitions=max(4, n_cpus),
         on=(id_col,),
         right_on=("drop_id",),
+        right_schema=pa.schema(
+            [("drop_id", pa.int64()), ("_dropmark", pa.int8())]
+        ),
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:

@@ -213,6 +213,10 @@ def pack_token_stream(
     counts_ds = ds.map_batches(counts, batch_format="pyarrow").materialize()
     n_docs = counts_ds.count()
 
+    if n_docs == 0:
+        # empty corpus: zero sequences (concat_tables rejects [])
+        return ray.data.from_arrow(span_table([], [], [], []))
+
     if n_docs <= driver_merge_limit:
         parts = pa.concat_tables(
             list(counts_ds.iter_batches(batch_format="pyarrow", batch_size=None))

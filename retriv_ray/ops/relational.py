@@ -36,6 +36,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from retriv_ray.ops._safejoin import arrow_schema, safe_join
+
 _JOIN_TYPES = {
     "inner": "inner",
     "left": "left outer",
@@ -226,12 +228,24 @@ def star_revenue_topk(
         ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
     ).map_batches(line_project, batch_format="pyarrow")
 
-    joined = line_pruned.join(
+    # safe_join: a segment/date filter matching nothing empties a side
+    joined = safe_join(
+        line_pruned,
         orders_pruned.repartition(max(4, n_cpus)),
         join_type="inner",
         num_partitions=max(4, n_cpus),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
     )
 
     from ray.data.aggregate import Sum
@@ -372,12 +386,23 @@ def shuffle_anti_join(
     marked = right.map_batches(distinct_keys, batch_format="pyarrow").repartition(
         nparts
     )
-    joined = left.join(
+    # marked's schema is the right side's key fields + the int8 marker
+    # — statically derivable from the right schema, keeping safe_join's
+    # empty-side padding lazy (an empty right side means "keep every
+    # left row", which the padded left_outer + null filter produces)
+    r_schema = arrow_schema(right)
+    marked_schema = pa.schema(
+        [(k, r_schema.field(k).type) for k in rkeys]
+        + [("_matched", pa.int8())]
+    )
+    joined = safe_join(
+        left,
         marked,
         join_type="left_outer",
         num_partitions=nparts,
         on=tuple(keys),
         right_on=tuple(rkeys),
+        right_schema=marked_schema,
     )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
@@ -399,6 +424,8 @@ def hash_join(
     num_partitions: int = 32,
     left_cols: Optional[Sequence[str]] = None,
     right_cols: Optional[Sequence[str]] = None,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ):
     """Large-large distributed equi-join: both sides hash-partition on
     the key (Ray Data's native shuffle hash join — the idiomatic path
@@ -410,21 +437,39 @@ def hash_join(
     tables). Hot keys: output rows per key are |L_k| x |R_k|; for
     skewed many-to-many keys prefer a pre-aggregation or the salted
     patterns in ops/joins.py — this wrapper is the general-purpose
-    path, and the aggregator layout is Ray's own."""
+    path, and the aggregator layout is Ray's own.
+
+    ``left_schema``/``right_schema`` are the PRE-projection schemas;
+    pass them when a side is derived (map_batches over a filter): a
+    derived side that comes up empty has no schema metadata at all,
+    which safe_join's sentinel padding needs."""
     keys = list(on)
     rkeys = list(right_on) if right_on is not None else keys
     if left_cols is not None:
-        left = left.select_columns(list(dict.fromkeys(keys + list(left_cols))))
+        lnames = list(dict.fromkeys(keys + list(left_cols)))
+        left = left.select_columns(lnames)
+        if left_schema is not None:
+            left_schema = pa.schema(
+                [(n, left_schema.field(n).type) for n in lnames]
+            )
     if right_cols is not None:
-        right = right.select_columns(
-            list(dict.fromkeys(rkeys + list(right_cols)))
-        )
-    return left.join(
+        rnames = list(dict.fromkeys(rkeys + list(right_cols)))
+        right = right.select_columns(rnames)
+        if right_schema is not None:
+            right_schema = pa.schema(
+                [(n, right_schema.field(n).type) for n in rnames]
+            )
+    # safe_join: an empty side (e.g. a date filter that matches no
+    # rows) must yield the correct empty/outer result, not a crash
+    return safe_join(
+        left,
         right,
         join_type=join_type,
         num_partitions=num_partitions,
         on=tuple(keys),
         right_on=tuple(rkeys),
+        left_schema=left_schema,
+        right_schema=right_schema,
     )
 
 
@@ -443,6 +488,10 @@ def order_priority_stats(orders, lineitem, date_lo: str, date_hi: str):
         return batch.filter(m)
 
     left = orders.map_batches(order_filter, batch_format="pyarrow")
+    # static schemas: the filtered left side is derived, so when the
+    # date window matches nothing it has no schema metadata of its own
+    o_schema = arrow_schema(orders)
+    l_schema = arrow_schema(lineitem)
     joined = hash_join(
         left,
         lineitem,
@@ -451,6 +500,8 @@ def order_priority_stats(orders, lineitem, date_lo: str, date_hi: str):
         num_partitions=16,
         left_cols=["o_orderpriority"],
         right_cols=["l_extendedprice"],
+        left_schema=o_schema,
+        right_schema=l_schema,
     )
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -1058,7 +1058,8 @@ def profile_columns(ds, cols: List[str]):
             .count()
         )
         agg = hist.aggregate(Count(), Min(c), Max(c))
-        n, n_null = totals[c]
+        # an empty input dataset produces no count rows at all
+        n, n_null = totals.get(c, (0, 0))
         out_rows.append(
             {
                 "col": c,
