@@ -446,6 +446,112 @@ def read_conv_offsets(index_dir: str) -> pa.Table:
     return pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in parts])
 
 
+class ConvMapResolver:
+    """Worker-side conv_id -> doc-base lookup over EITHER conv-map
+    layout: the broadcast ObjectRef of (conv_ids, bases) arrays, or
+    the ``("sharded", boundaries, refs)`` handle of
+    :func:`compute_conv_offsets_sharded`. Sharded mode is a bucketed
+    map-side hash join: rows route to conv-range buckets via the
+    (tiny) boundary array and only the buckets a task touches are
+    fetched, LRU-capped per worker — no whole-map object ever exists
+    (the 10^11-conversation path). Shared by the main tokenize stage
+    and the positional build."""
+
+    def __init__(self, conv_map_ref):
+        from collections import OrderedDict
+
+        self._ref = conv_map_ref
+        # deliberately lazy: when the conv offsets are still being
+        # merged (overlapped build), tokenization proceeds and only
+        # the first lookup blocks
+        self._conv = None
+        self._buckets: "OrderedDict[int, tuple]" = OrderedDict()
+        self._bucket_cap = int(os.environ.get("GRAFT_CONV_BUCKET_CACHE", "16"))
+
+    def conv_map(self):
+        if self._conv is None:
+            import ray
+
+            self._conv = ray.get(self._ref)
+        return self._conv
+
+    def doc_bases(self, conv: np.ndarray) -> np.ndarray:
+        """base[conv_id] per row. Broadcast mode: one searchsorted
+        over the whole (fetched-once) map. Sharded mode: fetch only
+        the touched buckets — with inputs laid out by conv range that
+        is 1-2 buckets per task."""
+        ref = self._ref
+        if not (isinstance(ref, tuple) and ref[0] == "sharded"):
+            convs, bases = self.conv_map()
+            return bases[np.searchsorted(convs, conv)]
+        import ray
+
+        _, bounds, refs = ref
+        b = np.searchsorted(bounds, conv, side="right") - 1
+        np.maximum(b, 0, out=b)  # bounds[0] is the global min conv_id
+        out = np.empty(len(conv), dtype=np.int64)
+        for bi in np.unique(b):
+            bucket = self._buckets.get(int(bi))
+            if bucket is None:
+                bucket = ray.get(refs[int(bi)])
+                self._buckets[int(bi)] = bucket
+                while len(self._buckets) > self._bucket_cap:
+                    self._buckets.popitem(last=False)
+            else:
+                self._buckets.move_to_end(int(bi))
+            convs_b, bases_b = bucket
+            m = b == bi
+            out[m] = bases_b[np.searchsorted(convs_b, conv[m])]
+        return out
+
+
+def _load_offsets_slice(path: str):
+    """One id_map parquet slice -> ((first_conv, end_doc), (conv_ids,
+    bases)). Run with ``num_returns=2`` so the driver fetches only the
+    tiny meta and tokenize workers only the arrays."""
+    t = pq.read_table(path)
+    if t.num_rows == 0:
+        return (None, 0), (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    base = t.column("base").to_numpy()
+    n = t.column("n_turns").to_numpy()
+    return (conv[0], int(base[-1] + n[-1])), (conv, base)
+
+
+def sharded_handle_from_slices(index_dir: str):
+    """Build a ``("sharded", boundaries, refs)`` conv-map handle over
+    an EXISTING id_map (either layout) without materializing the map
+    on the driver: one Ray task per parquet slice loads its
+    (conv_ids, bases) arrays straight into the object store; the
+    driver fetches only (first_conv, end_doc) per slice. Lets a
+    positional build reuse a sharded main build's doc-id assignment
+    at conversation counts past the broadcast limit. Returns
+    ``(handle, doc_count)``."""
+    import ray
+
+    d = os.path.join(index_dir, "id_map")
+    single = os.path.join(d, "conv_offsets.parquet")
+    if os.path.exists(single):
+        paths = [single]
+    else:
+        paths = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.startswith("conv_offsets-") and f.endswith(".parquet")
+        ]
+    if not paths:
+        raise FileNotFoundError(single)
+    task = ray.remote(num_cpus=1, num_returns=2)(_load_offsets_slice)
+    pairs = [task.remote(p) for p in paths]
+    metas = ray.get([m for m, _ in pairs])
+    live = [(m, r) for m, (_, r) in zip(metas, pairs) if m[0] is not None]
+    if not live:
+        raise ValueError(f"empty conv offsets under {d}")
+    boundaries = np.asarray([m[0] for m, _ in live], dtype=object)
+    handle = ("sharded", boundaries, [r for _, r in live])
+    return handle, int(live[-1][0][1])
+
+
 def _merge_offset_partials(t: pa.Table) -> Tuple[pa.Table, int]:
     """Merge conv-level offset partials (one pandas groupby) and
     finalize: validation + prefix-sum. Pure — runs on the driver or
@@ -586,54 +692,18 @@ class _TokenizePartials:
     def __init__(self, cfg: SparseConfig, conv_map_ref, num_parts: int, shard_docs: int):
         self.pre = TextPreprocessor(cfg)
         self._conv_ref = conv_map_ref
-        self._conv = None  # lazy: fetched at first partial-aggregation
+        self._resolver = ConvMapResolver(conv_map_ref)
         self.P = num_parts
         self.shard_docs = shard_docs
-        # sharded conv map: bucket_idx -> (conv_ids, bases), LRU-capped
-        from collections import OrderedDict
-
-        self._buckets: "OrderedDict[int, tuple]" = OrderedDict()
-        self._bucket_cap = int(os.environ.get("GRAFT_CONV_BUCKET_CACHE", "16"))
 
     def _conv_map(self):
-        # deliberately NOT in __init__: when the conv offsets are still
-        # being merged (overlapped build), tokenization proceeds and
-        # only this first fetch blocks
-        if self._conv is None:
-            import ray
-
-            self._conv = ray.get(self._conv_ref)
-        return self._conv
+        return self._resolver.conv_map()
 
     def _doc_bases(self, conv: np.ndarray) -> np.ndarray:
-        """base[conv_id] per row. Broadcast mode: one searchsorted over
-        the whole (fetched-once) map. Sharded mode: route rows to conv-
-        range buckets via the boundary array, fetch only the buckets
-        this task touches (bucketed map-side hash join — the
-        10^11-conversation path; no whole-map object ever exists)."""
-        ref = self._conv_ref
-        if not (isinstance(ref, tuple) and ref[0] == "sharded"):
-            convs, bases = self._conv_map()
-            return bases[np.searchsorted(convs, conv)]
-        import ray
-
-        _, bounds, refs = ref
-        b = np.searchsorted(bounds, conv, side="right") - 1
-        np.maximum(b, 0, out=b)  # bounds[0] is the global min conv_id
-        out = np.empty(len(conv), dtype=np.int64)
-        for bi in np.unique(b):
-            bucket = self._buckets.get(int(bi))
-            if bucket is None:
-                bucket = ray.get(refs[int(bi)])
-                self._buckets[int(bi)] = bucket
-                while len(self._buckets) > self._bucket_cap:
-                    self._buckets.popitem(last=False)
-            else:
-                self._buckets.move_to_end(int(bi))
-            convs_b, bases_b = bucket
-            m = b == bi
-            out[m] = bases_b[np.searchsorted(convs_b, conv[m])]
-        return out
+        """base[conv_id] per row — see :meth:`ConvMapResolver.doc_bases`
+        (broadcast searchsorted, or the bucketed map-side hash join on
+        a sharded handle)."""
+        return self._resolver.doc_bases(conv)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         P, shard_docs = self.P, self.shard_docs

@@ -36,9 +36,15 @@ Scale notes (10^12 turns):
   split across shards, so no reduce task ever holds a full hot-term
   posting list.
 - conv-id -> doc-id assignment reuses the main build's machinery
-  (:func:`compute_conv_offsets` broadcast; at 10^11+ conversations
-  swap in ``compute_conv_offsets_sharded`` exactly as build_index
-  does — same ``_doc_bases`` contract).
+  with the SAME mode policy as build_index: broadcast below
+  GRAFT_CONV_BROADCAST_LIMIT conversations, the bucketed
+  ``compute_conv_offsets_sharded`` map-side hash join above it (or
+  with GRAFT_CONV_MAP=sharded), consumed through the shared
+  :class:`~retriv_ray.index.build.ConvMapResolver`. Reusing a sharded
+  main build's offsets (``conv_offsets_source=``) lifts its id_map
+  slices into the object store task-side
+  (:func:`sharded_handle_from_slices`) — the per-conversation map
+  never touches the driver on either path.
 - Query cost: a phrase/proximity query decodes only its terms' rows
   from the parts they hash to (part routing identical to the BM25
   searcher) and intersects ascending doc arrays; the positional
@@ -59,10 +65,14 @@ import pyarrow.parquet as pq
 from retriv_ray.config import SparseConfig
 from retriv_ray.index import codec
 from retriv_ray.index.build import (
+    ConvMapResolver,
     _list_parquet_files,
     _plan_map_units,
     _term_parts_np,
     compute_conv_offsets,
+    compute_conv_offsets_sharded,
+    read_conv_offsets,
+    sharded_handle_from_slices,
 )
 from retriv_ray.search.kernel import intersect_sorted_multi
 from retriv_ray.text.pipeline import TextPreprocessor
@@ -93,18 +103,15 @@ class _PosTokenize:
 
     def __init__(self, cfg: SparseConfig, conv_map_ref, num_parts: int, shard_docs: int):
         self.pre = TextPreprocessor(cfg)
-        self._conv_ref = conv_map_ref
-        self._conv = None
+        self._resolver = ConvMapResolver(conv_map_ref)
         self.P = num_parts
         self.shard_docs = shard_docs
 
     def _doc_bases(self, conv: np.ndarray) -> np.ndarray:
-        if self._conv is None:
-            import ray
-
-            self._conv = ray.get(self._conv_ref)
-        convs, bases = self._conv
-        return bases[np.searchsorted(convs, conv)]
+        # broadcast searchsorted, or the bucketed map-side hash join
+        # on a ("sharded", ...) handle — same contract as the main
+        # build's tokenize stage (build.py ConvMapResolver)
+        return self._resolver.doc_bases(conv)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         P, shard_docs = self.P, self.shard_docs
@@ -391,26 +398,78 @@ def build_positional_index(
             "(Dataset inputs: write_parquet first)"
         )
     t0 = time.monotonic()
+    # conv-map mode: same policy as build_index — past the broadcast
+    # limit (GRAFT_CONV_BROADCAST_LIMIT conversations, estimated at
+    # ~400 bytes/turn from the parquet footers), the whole-map gather
+    # + ray.put would hit the driver/object-size wall, so the map goes
+    # bucketed (a ("sharded", boundaries, refs) handle consumed by
+    # ConvMapResolver's map-side hash join). GRAFT_CONV_MAP=sharded
+    # forces the path at any size.
+    conv_mode = os.environ.get("GRAFT_CONV_MAP", "auto")
+    conv_limit = int(
+        os.environ.get("GRAFT_CONV_BROADCAST_LIMIT", str(100_000_000))
+    )
+    est_turns = None
+    if conv_mode == "auto" and conv_offsets_source is None and len(files) <= 4096:
+        try:
+            want = {"conv_id", "turn_idx", "text"}
+            est = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    est += sum(
+                        g.column(c).total_uncompressed_size
+                        for c in range(g.num_columns)
+                        if g.column(c).path_in_schema.split(".")[0] in want
+                    )
+            est_turns = est // 400
+        except OSError:
+            est_turns = None
+    conv_offsets_dir = None  # manifest key: where the id_map lives
+    os.makedirs(os.path.join(index_dir, "id_map"), exist_ok=True)
     if conv_offsets_source is not None:
-        from retriv_ray.index.build import read_conv_offsets
-
-        conv_offsets = read_conv_offsets(conv_offsets_source)
-        doc_count = int(
-            conv_offsets.column("base")[-1].as_py()
-            + conv_offsets.column("n_turns")[-1].as_py()
+        single = os.path.join(
+            conv_offsets_source, "id_map", "conv_offsets.parquet"
         )
+        if conv_mode != "sharded" and os.path.exists(single):
+            conv_offsets = read_conv_offsets(conv_offsets_source)
+            doc_count = int(
+                conv_offsets.column("base")[-1].as_py()
+                + conv_offsets.column("n_turns")[-1].as_py()
+            )
+        else:
+            # the source build was itself sharded (or the sharded path
+            # is forced): lift its id_map slices into the object store
+            # task-side — the map never touches this driver either
+            conv_map_ref, doc_count = sharded_handle_from_slices(
+                conv_offsets_source
+            )
+            conv_offsets = None
+            conv_offsets_dir = os.path.abspath(conv_offsets_source)
+    elif conv_mode == "sharded" or (
+        est_turns is not None and est_turns > conv_limit
+    ):
+        conv_map_ref, doc_count = compute_conv_offsets_sharded(
+            files, index_dir
+        )
+        conv_offsets = None
+        conv_offsets_dir = index_dir
     else:
         conv_offsets, doc_count = compute_conv_offsets(source)
-    os.makedirs(os.path.join(index_dir, "id_map"), exist_ok=True)
-    pq.write_table(
-        conv_offsets, os.path.join(index_dir, "id_map", "conv_offsets.parquet")
-    )
-    conv_map_ref = ray.put(
-        (
-            np.asarray(conv_offsets.column("conv_id").to_pylist(), dtype=object),
-            conv_offsets.column("base").to_numpy(),
+    if conv_offsets is not None:
+        pq.write_table(
+            conv_offsets,
+            os.path.join(index_dir, "id_map", "conv_offsets.parquet"),
         )
-    )
+        conv_map_ref = ray.put(
+            (
+                np.asarray(
+                    conv_offsets.column("conv_id").to_pylist(), dtype=object
+                ),
+                conv_offsets.column("base").to_numpy(),
+            )
+        )
     n_shards = (doc_count + shard_docs - 1) // shard_docs if doc_count else 1
     n_groups = n_shards * num_parts
     n_buckets = min(n_groups, 64)
@@ -448,6 +507,10 @@ def build_positional_index(
         "n_postings": int(sum(s["n_postings"] for s in stats)),
         "n_positions": int(sum(s["n_positions"] for s in stats)),
         "wall_sec": round(time.monotonic() - t0, 3),
+        # where the conv-offsets id_map lives (absent/None = this
+        # index dir's single parquet): sharded builds point at their
+        # own slice dir, source-reuse builds at the source index
+        "conv_offsets_dir": conv_offsets_dir,
     }
     with open(os.path.join(index_dir, "pos_manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -564,8 +627,8 @@ class PositionalIndex:
     # -- conv mapping ---------------------------------------------------
     def to_original_ids(self, doc_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         if self._conv is None:
-            t = pq.read_table(
-                os.path.join(self.index_dir, "id_map", "conv_offsets.parquet")
+            t = read_conv_offsets(
+                self.manifest.get("conv_offsets_dir") or self.index_dir
             )
             self._conv = (
                 np.asarray(t.column("conv_id").to_pylist(), dtype=object),

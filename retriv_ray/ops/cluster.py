@@ -74,16 +74,22 @@ def _assign(qm: np.ndarray, cent: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def _init_centroids(qds, id_col: str, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Quantized vectors of the k smallest ids: per-batch partial
-    k-smallest, then a driver merge bounded by k x num_blocks rows."""
+    k-smallest, then a distributed sort over the k-per-block survivors
+    (k x num_blocks rows — the only data that ever moves) and a k-row
+    limit, so the driver receives exactly k rows regardless of input
+    size."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
         keep = np.argsort(ids, kind="stable")[:k]
         return batch.take(pa.array(np.sort(keep)))
 
-    rows = qds.map_batches(partial, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r[id_col])
-    rows = rows[:k]
+    rows = (
+        qds.map_batches(partial, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
     if len(rows) < k:
         raise ValueError(f"k={k} exceeds dataset size {len(rows)}")
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
