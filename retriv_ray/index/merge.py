@@ -47,6 +47,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from retriv_ray.index import codec
@@ -202,6 +203,117 @@ def _merge_part_task(
     return [t.to_pylist()[0] for t in out]
 
 
+def _id_map_slices(d: str):
+    """(paths, is_single_layout) of an index dir's id_map parquet(s)."""
+    base = os.path.join(d, "id_map")
+    single = os.path.join(base, "conv_offsets.parquet")
+    if os.path.exists(single):
+        return [single], True
+    parts = sorted(
+        f
+        for f in os.listdir(base)
+        if f.startswith("conv_offsets-") and f.endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(single)
+    return [os.path.join(base, f) for f in parts], False
+
+
+def _edge_conv(path: str, last: bool):
+    t = pq.read_table(path, columns=["conv_id"])
+    if t.num_rows == 0:
+        return None
+    return t.column("conv_id")[-1 if last else 0].as_py()
+
+
+def _rebase_offsets_slice(path: str, offset: int, out_path: str) -> None:
+    t = pq.read_table(path)
+    t = t.set_column(
+        t.schema.get_field_index("base"),
+        "base",
+        pc.add(t.column("base"), pa.scalar(offset, type=pa.int64())),
+    )
+    mf.atomic_write_parquet(t, out_path)
+
+
+def _merge_conv_offsets(dir_a: str, dir_b: str, out_dir: str, offset: int, label: str) -> bool:
+    """Merge the two inputs' id_maps into ``out_dir`` (B's bases shift
+    by ``offset``), validating B's conv range sorts strictly after
+    A's. Single+single layout: the original driver concat into one
+    parquet (bounded by the broadcast limit by construction, and
+    byte-identical to a from-scratch build). Any sharded side: A's
+    slices copy verbatim and B's rebase (+offset) in per-slice Ray
+    tasks — past the broadcast limit the per-conversation map never
+    materializes whole on the driver or any worker, matching the
+    sharded build path. Returns True when the output id_map is the
+    slice layout."""
+    import ray
+
+    sl_a, single_a = _id_map_slices(dir_a)
+    sl_b, single_b = _id_map_slices(dir_b)
+    last_a = _edge_conv(sl_a[-1], last=True)
+    first_b = _edge_conv(sl_b[0], last=False)
+    if last_a is None or first_b is None:
+        raise ValueError(f"{label}: empty input index")
+    if not str(last_a) < str(first_b):
+        raise ValueError(
+            f"{label}: B's conv_ids must sort strictly after A's "
+            "(enumeration order must be 'A then B')"
+        )
+    os.makedirs(os.path.join(out_dir, "id_map"), exist_ok=True)
+    if single_a and single_b:
+        ca, cb = pq.read_table(sl_a[0]), pq.read_table(sl_b[0])
+        merged_conv = pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [
+                        ca.column("conv_id").combine_chunks(),
+                        cb.column("conv_id").combine_chunks(),
+                    ]
+                ),
+                pa.array(
+                    np.concatenate(
+                        [
+                            ca.column("base").to_numpy(),
+                            cb.column("base").to_numpy() + offset,
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+                pa.concat_arrays(
+                    [
+                        ca.column("n_turns").combine_chunks(),
+                        cb.column("n_turns").combine_chunks(),
+                    ]
+                ),
+            ],
+            names=["conv_id", "base", "n_turns"],
+        )
+        mf.atomic_write_parquet(
+            merged_conv, os.path.join(out_dir, "id_map", "conv_offsets.parquet")
+        )
+        return False
+    task = ray.remote(num_cpus=1)(_rebase_offsets_slice)
+    i, refs = 0, []
+    for p in sl_a:
+        shutil.copyfile(
+            p,
+            os.path.join(out_dir, "id_map", f"conv_offsets-{i:05d}.parquet"),
+        )
+        i += 1
+    for p in sl_b:
+        refs.append(
+            task.remote(
+                p,
+                offset,
+                os.path.join(out_dir, "id_map", f"conv_offsets-{i:05d}.parquet"),
+            )
+        )
+        i += 1
+    ray.get(refs)
+    return True
+
+
 def merge_indexes(dir_a: str, dir_b: str, out_dir: str) -> dict:
     """Merge two complete, config-identical, range-ordered indexes
     into ``out_dir``; returns the merged manifest."""
@@ -225,46 +337,10 @@ def merge_indexes(dir_a: str, dir_b: str, out_dir: str) -> dict:
     offset = ma["doc_count"]
     doc_count = offset + mb["doc_count"]
 
-    # conv offsets: validate range order, concat, rebase B
-    ca = pq.read_table(os.path.join(dir_a, "id_map", "conv_offsets.parquet"))
-    cb = pq.read_table(os.path.join(dir_b, "id_map", "conv_offsets.parquet"))
-    if ca.num_rows == 0 or cb.num_rows == 0:
-        raise ValueError("merge_indexes: empty input index")
-    if not str(ca.column("conv_id")[-1].as_py()) < str(cb.column("conv_id")[0].as_py()):
-        raise ValueError(
-            "merge_indexes: B's conv_ids must sort strictly after A's "
-            "(enumeration order must be 'A then B')"
-        )
-    merged_conv = pa.Table.from_arrays(
-        [
-            pa.concat_arrays(
-                [
-                    ca.column("conv_id").combine_chunks(),
-                    cb.column("conv_id").combine_chunks(),
-                ]
-            ),
-            pa.array(
-                np.concatenate(
-                    [
-                        ca.column("base").to_numpy(),
-                        cb.column("base").to_numpy() + offset,
-                    ]
-                ),
-                type=pa.int64(),
-            ),
-            pa.concat_arrays(
-                [
-                    ca.column("n_turns").combine_chunks(),
-                    cb.column("n_turns").combine_chunks(),
-                ]
-            ),
-        ],
-        names=["conv_id", "base", "n_turns"],
-    )
-    os.makedirs(os.path.join(out_dir, "id_map"), exist_ok=True)
-    mf.atomic_write_parquet(
-        merged_conv, os.path.join(out_dir, "id_map", "conv_offsets.parquet")
-    )
+    # conv offsets: validate range order, concat/copy, rebase B
+    # (slice-aware: sharded-layout inputs merge slice-by-slice in Ray
+    # tasks without driver materialization)
+    _merge_conv_offsets(dir_a, dir_b, out_dir, offset, "merge_indexes")
 
     boundary = offset // S  # first merged shard that receives B docs
     n_shards_a = (offset + S - 1) // S
@@ -504,44 +580,16 @@ def merge_positional_indexes(dir_a: str, dir_b: str, out_dir: str) -> dict:
     offset = ma["doc_count"]
     doc_count = offset + mb["doc_count"]
 
-    ca = pq.read_table(os.path.join(dir_a, "id_map", "conv_offsets.parquet"))
-    cb = pq.read_table(os.path.join(dir_b, "id_map", "conv_offsets.parquet"))
-    if not str(ca.column("conv_id")[-1].as_py()) < str(cb.column("conv_id")[0].as_py()):
-        raise ValueError(
-            "merge_positional_indexes: B's conv_ids must sort strictly "
-            "after A's"
-        )
-    merged_conv = pa.Table.from_arrays(
-        [
-            pa.concat_arrays(
-                [
-                    ca.column("conv_id").combine_chunks(),
-                    cb.column("conv_id").combine_chunks(),
-                ]
-            ),
-            pa.array(
-                np.concatenate(
-                    [
-                        ca.column("base").to_numpy(),
-                        cb.column("base").to_numpy() + offset,
-                    ]
-                ),
-                type=pa.int64(),
-            ),
-            pa.concat_arrays(
-                [
-                    ca.column("n_turns").combine_chunks(),
-                    cb.column("n_turns").combine_chunks(),
-                ]
-            ),
-        ],
-        names=["conv_id", "base", "n_turns"],
+    # each side's id_map may live in the index it reused offsets from
+    # (manifest conv_offsets_dir, positional.py) rather than locally
+    sliced = _merge_conv_offsets(
+        ma.get("conv_offsets_dir") or dir_a,
+        mb.get("conv_offsets_dir") or dir_b,
+        out_dir,
+        offset,
+        "merge_positional_indexes",
     )
-    os.makedirs(os.path.join(out_dir, "id_map"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
-    mf.atomic_write_parquet(
-        merged_conv, os.path.join(out_dir, "id_map", "conv_offsets.parquet")
-    )
 
     boundary = offset // S
     n_shards_a = max(1, (offset + S - 1) // S)
@@ -577,6 +625,9 @@ def merge_positional_indexes(dir_a: str, dir_b: str, out_dir: str) -> dict:
         n_terms=int(n_terms),
         n_postings=int(ma["n_postings"]) + int(mb["n_postings"]),
         n_positions=int(ma["n_positions"]) + int(mb["n_positions"]),
+        # the merged id_map lives in out_dir (slice layout when either
+        # input was sharded); never inherit A's conv_offsets_dir
+        conv_offsets_dir=out_dir if sliced else None,
         wall_sec=round(time.monotonic() - t0, 3),
     )
     with open(os.path.join(out_dir, "pos_manifest.json"), "w") as f:

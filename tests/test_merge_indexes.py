@@ -186,3 +186,78 @@ def test_positional_merge_byte_identical(ray_session, tmp_path, shard_docs, n_a,
         df_, nf = pf.phrase(phrase)
         dm, nm = pm.phrase(phrase)
         assert df_.tolist() == dm.tolist() and nf.tolist() == nm.tolist()
+
+
+def test_merge_sharded_id_map_layout(ray_session, tmp_path, monkeypatch):
+    """Merging indexes built with the SLICE id_map layout
+    (GRAFT_CONV_MAP=sharded): A's slices copy verbatim, B's rebase in
+    Ray tasks, the merged id_map stays sliced, the dual reader
+    resolves it, and search results match the broadcast-layout merge
+    over the same input."""
+    rows = _docs(0, 56, seed=11)
+    src_a = _write(tmp_path, rows[:28], "sa")
+    src_b = _write(tmp_path, rows[28:], "sb")
+    ia, ib = str(tmp_path / "sia"), str(tmp_path / "sib")
+    monkeypatch.setenv("GRAFT_CONV_MAP", "sharded")
+    monkeypatch.setenv("GRAFT_CONV_BUCKETS", "3")
+    build_index(src_a, ia, CFG, num_parts=3, shard_docs=16, resume=False)
+    build_index(src_b, ib, CFG, num_parts=3, shard_docs=16, resume=False)
+    monkeypatch.delenv("GRAFT_CONV_MAP")
+    monkeypatch.delenv("GRAFT_CONV_BUCKETS")
+    merged = str(tmp_path / "sm")
+    man = merge_indexes(ia, ib, merged)
+    assert man["doc_count"] == 56
+    id_map = os.listdir(os.path.join(merged, "id_map"))
+    assert any(f.startswith("conv_offsets-") for f in id_map)
+    assert "conv_offsets.parquet" not in id_map
+
+    ia2, ib2 = str(tmp_path / "bia"), str(tmp_path / "bib")
+    build_index(src_a, ia2, CFG, num_parts=3, shard_docs=16, resume=False)
+    build_index(src_b, ib2, CFG, num_parts=3, shard_docs=16, resume=False)
+    m2 = str(tmp_path / "bm")
+    merge_indexes(ia2, ib2, m2)
+
+    from retriv_ray.index.build import read_conv_offsets
+
+    assert read_conv_offsets(merged).equals(read_conv_offsets(m2))
+    rs, rb = RaySparseRetriever(merged, CFG), RaySparseRetriever(m2, CFG)
+    for q in ["red green", "blue", "teal purple olive"]:
+        assert rs.search(q, cutoff=10) == rb.search(q, cutoff=10)
+
+
+def test_positional_merge_sharded_id_map(ray_session, tmp_path, monkeypatch):
+    """Positional merge over slice-layout id_maps: merged manifest
+    records conv_offsets_dir, phrase results and reverse id mapping
+    match the broadcast-layout merge."""
+    from retriv_ray.index.merge import merge_positional_indexes
+    from retriv_ray.index.positional import PositionalIndex, build_positional_index
+
+    rows = _docs(0, 48, seed=13)
+    src_a = _write(tmp_path, rows[:24], "psa")
+    src_b = _write(tmp_path, rows[24:], "psb")
+    ia, ib = str(tmp_path / "psia"), str(tmp_path / "psib")
+    monkeypatch.setenv("GRAFT_CONV_MAP", "sharded")
+    monkeypatch.setenv("GRAFT_CONV_BUCKETS", "3")
+    build_positional_index(src_a, ia, CFG, num_parts=3, shard_docs=16)
+    build_positional_index(src_b, ib, CFG, num_parts=3, shard_docs=16)
+    monkeypatch.delenv("GRAFT_CONV_MAP")
+    monkeypatch.delenv("GRAFT_CONV_BUCKETS")
+    merged = str(tmp_path / "psm")
+    man = merge_positional_indexes(ia, ib, merged)
+    assert man["doc_count"] == 48
+    assert man["conv_offsets_dir"] == merged
+
+    ia2, ib2 = str(tmp_path / "pbia"), str(tmp_path / "pbib")
+    build_positional_index(src_a, ia2, CFG, num_parts=3, shard_docs=16)
+    build_positional_index(src_b, ib2, CFG, num_parts=3, shard_docs=16)
+    m2 = str(tmp_path / "pbm")
+    merge_positional_indexes(ia2, ib2, m2)
+
+    ps, pb = PositionalIndex(merged), PositionalIndex(m2)
+    for phrase in (["red", "green"], ["blue"], ["teal", "purple"]):
+        ds_, ns = ps.phrase(phrase)
+        db_, nb_ = pb.phrase(phrase)
+        assert ds_.tolist() == db_.tolist() and ns.tolist() == nb_.tolist()
+        cs, ts = ps.to_original_ids(ds_)
+        cb, tb = pb.to_original_ids(db_)
+        assert cs.tolist() == cb.tolist() and ts.tolist() == tb.tolist()
