@@ -300,33 +300,62 @@ def rollup_counts(
     ALL = "<all>"
 
     def partial(batch: pa.Table) -> pa.Table:
-        import collections
-
-        vals = batch.column(value_col).to_numpy()
-        cols = [
-            [("" if v is None else str(v)) for v in batch.column(k).to_pylist()]
+        # Arrow-group once at the finest level, then roll the TINY
+        # grouped table up one level at a time: per-batch work is
+        # O(rows) in C++ kernels plus O(distinct combos) per level —
+        # replaces the per-row Python defaultdict walk over all levels
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.string()) for _ in keys]
+            + [pa.array([], type=pa.int64())] * 2,
+            names=keys + ["n", "value_sum"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        key_arrs = [
+            pc.fill_null(pc.cast(batch.column(k), pa.string()), "")
             for k in keys
         ]
-        agg: collections.defaultdict = collections.defaultdict(
-            lambda: [0, 0]
+        t = pa.Table.from_arrays(
+            key_arrs + [pc.cast(batch.column(value_col), pa.int64())],
+            names=keys + ["v"],
         )
-        n = batch.num_rows
-        for i in range(n):
-            full = tuple(c[i] for c in cols)
-            v = int(vals[i])
-            for lvl in range(len(keys) + 1):
-                key = full[: len(keys) - lvl] + (ALL,) * lvl
-                a = agg[key]
-                a[0] += 1
-                a[1] += v
-        ks = list(agg.keys())
-        arrays = [
-            pa.array([k[j] for k in ks], type=pa.string())
-            for j in range(len(keys))
-        ]
-        arrays.append(pa.array([agg[k][0] for k in ks], type=pa.int64()))
-        arrays.append(pa.array([agg[k][1] for k in ks], type=pa.int64()))
-        return pa.Table.from_arrays(arrays, names=keys + ["n", "value_sum"])
+        plain = (
+            pa.TableGroupBy(t, keys)
+            .aggregate([("v", "count"), ("v", "sum")])
+            .rename_columns(keys + ["n", "value_sum"])
+        )
+        levels = []
+        for lvl in range(len(keys) + 1):
+            kept = keys[: len(keys) - lvl]
+            if lvl:
+                prev = plain.select(kept + ["n", "value_sum"]) if kept else plain
+                if kept:
+                    plain = (
+                        pa.TableGroupBy(prev, kept)
+                        .aggregate([("n", "sum"), ("value_sum", "sum")])
+                        .rename_columns(kept + ["n", "value_sum"])
+                    )
+                else:
+                    plain = pa.Table.from_arrays(
+                        [
+                            pa.array(
+                                [pc.sum(prev.column("n")).as_py()],
+                                type=pa.int64(),
+                            ),
+                            pa.array(
+                                [pc.sum(prev.column("value_sum")).as_py()],
+                                type=pa.int64(),
+                            ),
+                        ],
+                        names=["n", "value_sum"],
+                    )
+            padded = plain
+            for k in keys[len(kept):]:
+                padded = padded.append_column(
+                    k, pa.array([ALL] * padded.num_rows, type=pa.string())
+                )
+            levels.append(padded.select(keys + ["n", "value_sum"]))
+        return pa.concat_tables(levels)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
