@@ -446,6 +446,75 @@ def read_conv_offsets(index_dir: str) -> pa.Table:
     return pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in parts])
 
 
+def read_conv_offsets_range(index_dir: str, doc_lo: int, doc_hi: int) -> pa.Table:
+    """conv_offsets rows whose doc range [base, base+n_turns) overlaps
+    [doc_lo, doc_hi) — over either id_map layout, pruned by parquet
+    row-group ``base`` statistics so a shard-ranged serving actor
+    reads O(its slice) of the map, not the corpus (bases are globally
+    ascending and contiguous across slices, so a row's range end is
+    the NEXT row's base). Includes the conversation straddling
+    ``doc_lo``."""
+    d = os.path.join(index_dir, "id_map")
+    single = os.path.join(d, "conv_offsets.parquet")
+    if os.path.exists(single):
+        paths = [single]
+    else:
+        paths = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.startswith("conv_offsets-") and f.endswith(".parquet")
+        ]
+        if not paths:
+            raise FileNotFoundError(single)
+    # (file, row_group, min_base) in global order; group g covers
+    # [min_g, min_{g+1}) — prune those entirely outside the window
+    units: list = []
+    prunable = True
+    for p in paths:
+        f = pq.ParquetFile(p)
+        try:
+            ci = f.schema_arrow.get_field_index("base")
+        except Exception:
+            ci = 1
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(ci).statistics
+            if st is None or st.min is None:
+                prunable = False
+                break
+            units.append((p, rg, int(st.min)))
+        if not prunable:
+            break
+    if prunable and units:
+        keep: list = []
+        for i, (p, rg, lo) in enumerate(units):
+            end = units[i + 1][2] if i + 1 < len(units) else None
+            if lo >= doc_hi:
+                break
+            if end is not None and end <= doc_lo:
+                continue
+            keep.append((p, rg))
+        tabs = []
+        open_files: dict = {}
+        for p, rg in keep:
+            f = open_files.get(p)
+            if f is None:
+                f = open_files[p] = pq.ParquetFile(p)
+            tabs.append(f.read_row_group(rg))
+        t = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pq.ParquetFile(paths[0]).schema_arrow.empty_table()
+        )
+    else:  # stats unavailable: fall back to the full read
+        t = read_conv_offsets(index_dir)
+    if t.num_rows == 0:
+        return t
+    base = t.column("base").to_numpy()
+    lo_idx = max(0, int(np.searchsorted(base, doc_lo, side="right")) - 1)
+    hi_idx = int(np.searchsorted(base, doc_hi, side="left"))
+    return t.slice(lo_idx, hi_idx - lo_idx)
+
+
 class ConvMapResolver:
     """Worker-side conv_id -> doc-base lookup over EITHER conv-map
     layout: the broadcast ObjectRef of (conv_ids, bases) arrays, or

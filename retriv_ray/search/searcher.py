@@ -239,9 +239,20 @@ class LoadedIndex:
             float(self.relative_doc_lens.min()) if self.local_count else 0.0
         )
 
-        from retriv_ray.index.build import read_conv_offsets
+        # reverse id map: shard-ranged views load only the conv rows
+        # overlapping their doc window (row-group-stat pruned — the
+        # per-actor conv-map memory is sized to the slice, like
+        # doc_lens above and MetadataIndex(shard_range=))
+        if shard_range is not None:
+            from retriv_ray.index.build import read_conv_offsets_range
 
-        im = read_conv_offsets(index_dir)
+            im = read_conv_offsets_range(
+                index_dir, self.doc_base, self.doc_base + self.local_count
+            )
+        else:
+            from retriv_ray.index.build import read_conv_offsets
+
+            im = read_conv_offsets(index_dir)
         self.conv_ids = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
         self.conv_bases = im.column("base").to_numpy()
 

@@ -148,3 +148,79 @@ def test_sharded_filtered_equals_monolithic(built):
     pd.testing.assert_frame_equal(got.astype(casts), expected.astype(casts))
     # the filter actually bit: f0 results are user turns only
     assert (got.q_id == "f0").any()
+
+
+def test_shard_view_conv_map_is_sliced(built):
+    """A shard view's reverse id map holds only the conv rows
+    overlapping its doc window (read_conv_offsets_range), and
+    to_original_ids matches the monolithic view on every local id."""
+    from retriv_ray.index.build import read_conv_offsets
+
+    index_dir, cfg, _ = built
+    full = read_conv_offsets(index_dir)
+    r_all = RaySparseRetriever(index_dir, cfg)
+    r_sh = RaySparseRetriever(index_dir, cfg, shard_range=(1, 1))
+    assert len(r_sh.index.conv_bases) < len(r_all.index.conv_bases)
+    assert len(r_all.index.conv_bases) == full.num_rows
+    # the straddling conv is included: first kept base <= doc_base
+    assert r_sh.index.conv_bases[0] <= r_sh.index.doc_base
+    local = np.arange(r_sh.index.local_count, dtype=np.int64)
+    c_s, t_s = r_sh.index.to_original_ids(local)
+    c_a, t_a = r_all.index.to_original_ids(local + r_sh.index.doc_base)
+    np.testing.assert_array_equal(c_s, c_a)
+    np.testing.assert_array_equal(t_s, t_a)
+
+
+def test_read_conv_offsets_range_prunes_row_groups(ray_session, tmp_path):
+    """Row-group-stat pruning over a multi-group single-file id_map
+    and a sliced id_map returns exactly the overlapping window."""
+    import os
+
+    import pyarrow as pa
+
+    from retriv_ray.index.build import (
+        read_conv_offsets,
+        read_conv_offsets_range,
+    )
+
+    n = 200
+    base = np.arange(n, dtype=np.int64) * 3  # 3 turns per conv
+    tbl = pa.table(
+        {
+            "conv_id": [f"c{i:05d}" for i in range(n)],
+            "base": base,
+            "n_turns": np.full(n, 3, dtype=np.int64),
+        }
+    )
+    d1 = tmp_path / "single" / "id_map"
+    os.makedirs(d1)
+    pq.write_table(tbl, str(d1 / "conv_offsets.parquet"), row_group_size=16)
+    idx1 = str(tmp_path / "single")
+
+    d2 = tmp_path / "sliced" / "id_map"
+    os.makedirs(d2)
+    for i in range(4):
+        pq.write_table(
+            tbl.slice(i * 50, 50),
+            str(d2 / f"conv_offsets-{i:05d}.parquet"),
+            row_group_size=16,
+        )
+    idx2 = str(tmp_path / "sliced")
+
+    for idx in (idx1, idx2):
+        # window straddles conv boundaries: docs [100, 400) -> convs
+        # 33 (base 99, straddles 100) .. 133 (base 399)
+        out = read_conv_offsets_range(idx, 100, 400)
+        b = out.column("base").to_numpy()
+        assert b[0] <= 100 and b[-1] < 400
+        assert (b[1:] > 100).all() or len(b) == 1
+        full = read_conv_offsets(idx)
+        fb = full.column("base").to_numpy()
+        lo = max(0, int(np.searchsorted(fb, 100, side="right")) - 1)
+        hi = int(np.searchsorted(fb, 400, side="left"))
+        assert out.equals(full.slice(lo, hi - lo))
+        # degenerate windows
+        assert read_conv_offsets_range(idx, 0, 1).num_rows == 1
+        assert (
+            read_conv_offsets_range(idx, (n - 1) * 3, n * 3).num_rows == 1
+        )
