@@ -56,12 +56,25 @@ def build_metadata(source, index_dir: str, schema: Dict[str, str]) -> None:
     if bad:
         raise ValueError(f"unsupported kinds: {bad}")
     fields = list(schema)
+    import os as _os
+
     from retriv_ray.index.build import read_conv_offsets
 
-    im = read_conv_offsets(index_dir)
-    convs = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
-    bases = im.column("base").to_numpy()
-    ref = ray.put((convs, bases))
+    # same dual-mode consumption as the index builds: a sharded-layout
+    # id_map ships as a bucketed handle (map-side hash join inside
+    # assign — no whole-map broadcast); the single-parquet layout is
+    # below the broadcast limit by construction and ships whole
+    if _os.path.exists(
+        _os.path.join(index_dir, "id_map", "conv_offsets.parquet")
+    ):
+        im = read_conv_offsets(index_dir)
+        convs = np.asarray(im.column("conv_id").to_pylist(), dtype=object)
+        bases = im.column("base").to_numpy()
+        ref = ray.put((convs, bases))
+    else:
+        from retriv_ray.index.build import sharded_handle_from_slices
+
+        ref, _dc = sharded_handle_from_slices(index_dir)
 
     cols = sorted(set(fields) | {"conv_id", "turn_idx"})
     if isinstance(source, (str, list)):
@@ -69,11 +82,15 @@ def build_metadata(source, index_dir: str, schema: Dict[str, str]) -> None:
     else:
         ds = source.select_columns(cols)
 
+    from retriv_ray.index.build import ConvMapResolver
+
     def assign(batch: pa.Table) -> pa.Table:
-        cv, bs = ray.get(ref)
+        res = getattr(assign, "_res", None)
+        if res is None:
+            res = assign._res = ConvMapResolver(ref)
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        doc_ids = bs[np.searchsorted(cv, conv)] + turn
+        doc_ids = res.doc_bases(conv) + turn
         arrays = [pa.array(doc_ids, type=pa.int64())]
         names = ["doc_id"]
         for f in fields:

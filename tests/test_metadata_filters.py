@@ -149,3 +149,43 @@ def test_metadata_index_standalone(built):
     m = MetadataIndex(built.index_dir)
     assert m.doc_count == 6
     assert m.schema == SCHEMA_META
+
+
+def test_build_metadata_over_sharded_id_map(ray_session, tmp_path, monkeypatch):
+    """build_metadata over a sharded-layout id_map (bucketed handle,
+    no whole-map broadcast) writes doc_id assignments identical to the
+    broadcast layout."""
+    t = _table()
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    cfg = SparseConfig(tokenizer="whitespace", stemmer=None, stopwords=None)
+
+    idx_b = str(tmp_path / "idx_b")
+    build_index(src, idx_b, cfg, num_parts=2, shard_docs=4, resume=False)
+    build_metadata(src, idx_b, {"role": "keyword", "turn_idx": "number"})
+
+    monkeypatch.setenv("GRAFT_CONV_MAP", "sharded")
+    monkeypatch.setenv("GRAFT_CONV_BUCKETS", "2")
+    idx_s = str(tmp_path / "idx_s")
+    build_index(src, idx_s, cfg, num_parts=2, shard_docs=4, resume=False)
+    monkeypatch.delenv("GRAFT_CONV_MAP")
+    monkeypatch.delenv("GRAFT_CONV_BUCKETS")
+    assert not os.path.exists(
+        os.path.join(idx_s, "id_map", "conv_offsets.parquet")
+    )
+    build_metadata(src, idx_s, {"role": "keyword", "turn_idx": "number"})
+
+    def _load(idx):
+        d = os.path.join(idx, "metadata")
+        parts = sorted(
+            os.path.join(d, p) for p in os.listdir(d) if p.endswith(".parquet")
+        )
+        tb = pa.concat_tables([pq.read_table(p) for p in parts])
+        return tb.sort_by("doc_id")
+
+    assert _load(idx_b).equals(_load(idx_s))
+
+    mb = MetadataIndex(idx_b).filter_doc_ids("role", "must", "assistant", operator="eq")
+    ms = MetadataIndex(idx_s).filter_doc_ids("role", "must", "assistant", operator="eq")
+    np.testing.assert_array_equal(np.sort(mb), np.sort(ms))
+    assert len(mb) == 3
