@@ -128,7 +128,6 @@ class MetadataIndex:
             for p in os.listdir(out_dir)
             if p.endswith(".parquet")
         )
-        t = pa.concat_tables([pq.read_table(p) for p in parts])
         self.doc_base = 0
         if shard_range is not None:
             import pyarrow.compute as pc
@@ -138,12 +137,40 @@ class MetadataIndex:
             s0, s1 = shard_range
             self.doc_base = s0 * salt_docs
             hi = min((s1 + 1) * salt_docs, man.doc_count)
+            # row-group doc_id stats prune the read to this slice's
+            # files/groups BEFORE any bytes load (files aren't doc-
+            # ordered, but per-group min/max bounds don't need order);
+            # the exact filter below finishes the job
+            tabs = []
+            schema_arrow = None
+            for p in parts:
+                f = pq.ParquetFile(p)
+                schema_arrow = schema_arrow or f.schema_arrow
+                try:
+                    ci = f.schema_arrow.get_field_index("doc_id")
+                except Exception:
+                    ci = 0
+                for rg in range(f.metadata.num_row_groups):
+                    st = f.metadata.row_group(rg).column(ci).statistics
+                    if (
+                        st is None
+                        or st.min is None
+                        or (st.max >= self.doc_base and st.min < hi)
+                    ):
+                        tabs.append(f.read_row_group(rg))
+            t = (
+                pa.concat_tables(tabs)
+                if tabs
+                else schema_arrow.empty_table()
+            )
             col = t.column("doc_id")
             t = t.filter(
                 pc.and_(
                     pc.greater_equal(col, self.doc_base), pc.less(col, hi)
                 )
             )
+        else:
+            t = pa.concat_tables([pq.read_table(p) for p in parts])
         ids_np = t.column("doc_id").to_numpy() - self.doc_base
         order = np.argsort(ids_np, kind="stable")
         self.doc_count = t.num_rows
