@@ -55,6 +55,19 @@ BOOLEAN_QUERIES = {
     "b2": {"should": ["window stream"], "must_not": ["customer"]},
     "b3": {"must": ["hash"], "should": ["merge filter join"]},
 }
+MSM_QUERIES = {  # Lucene minimum_should_match semantics
+    "m1": {"should": ["merge filter join"], "minimum_should_match": 2},
+    "m2": {
+        "must": ["hash"],
+        "should": ["merge filter join"],
+        "minimum_should_match": 1,
+    },
+    "m3": {
+        "should": ["window stream"],
+        "must_not": ["customer"],
+        "minimum_should_match": 2,
+    },
+}
 PHRASE_QUERIES = {
     "p1": "table scan",
     "p2": "batch batch",  # overlapping-occurrence stress
@@ -386,6 +399,22 @@ def _q_boolean_search(sf_dir: str):
     from retriv_ray.search.boolean import boolean_search_table
 
     t = boolean_search_table(_index(sf_dir), BOOLEAN_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_should")],
+        names=["q_id", "doc_id", "n_should"],
+    )
+
+
+def _q_boolean_msm(sf_dir: str):
+    """Boolean retrieval with Lucene minimum_should_match: at least k
+    distinct should-terms per doc, composing with must / must_not."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.boolean import boolean_search_table
+
+    t = boolean_search_table(_index(sf_dir), MSM_QUERIES)
     docs = conv_to_doc_id(t.column("conv_id").to_pylist())
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_should")],
@@ -1923,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
+        "boolean_msm": _q_boolean_msm,
         "query_string": _q_query_string,
         "line_dedup": _q_line_dedup,
         "facet_stats": _q_facet_stats,
@@ -2689,6 +2719,35 @@ def oracle_sql() -> dict[str, str]:
               WHERE EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'hash'))
             SELECT q_id, doc_id, n_should
             FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+            ORDER BY q_id, doc_id
+        """,
+        "boolean_msm": f"""
+            WITH {_BASE_CTES},
+            m1 AS (
+              SELECT 'm1' AS q_id, d.doc_id,
+                (SELECT count(DISTINCT term) FROM tf
+                 WHERE doc_id = d.doc_id AND term IN ('merge','filter','join'))::BIGINT AS n_should
+              FROM documents d
+              WHERE (SELECT count(DISTINCT term) FROM tf
+                     WHERE doc_id = d.doc_id AND term IN ('merge','filter','join')) >= 2),
+            m2 AS (
+              SELECT 'm2' AS q_id, d.doc_id,
+                (SELECT count(DISTINCT term) FROM tf
+                 WHERE doc_id = d.doc_id AND term IN ('merge','filter','join'))::BIGINT AS n_should
+              FROM documents d
+              WHERE EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'hash')
+                AND (SELECT count(DISTINCT term) FROM tf
+                     WHERE doc_id = d.doc_id AND term IN ('merge','filter','join')) >= 1),
+            m3 AS (
+              SELECT 'm3' AS q_id, d.doc_id,
+                (SELECT count(DISTINCT term) FROM tf
+                 WHERE doc_id = d.doc_id AND term IN ('window','stream'))::BIGINT AS n_should
+              FROM documents d
+              WHERE (SELECT count(DISTINCT term) FROM tf
+                     WHERE doc_id = d.doc_id AND term IN ('window','stream')) >= 2
+                AND NOT EXISTS (SELECT 1 FROM tf WHERE doc_id = d.doc_id AND term = 'customer'))
+            SELECT q_id, doc_id, n_should
+            FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
             ORDER BY q_id, doc_id
         """,
         "facet_stats": f"""

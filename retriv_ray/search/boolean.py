@@ -49,9 +49,16 @@ def boolean_candidates(
     must: Sequence[str] = (),
     should: Sequence[str] = (),
     must_not: Sequence[str] = (),
+    minimum_should_match: int = 0,
 ) -> tuple:
     """(doc_ids ascending, n_should per doc) for one boolean query
-    against a :class:`retriv_ray.search.searcher.LoadedIndex`."""
+    against a :class:`retriv_ray.search.searcher.LoadedIndex`.
+
+    ``minimum_should_match`` (Lucene msm): with should-terms present,
+    keep only docs matching at least that many DISTINCT should-terms —
+    on top of the must intersection when there is one, as the
+    candidate-set cut when there is not (msm=0 keeps the default
+    behavior: should only annotates/unions)."""
     must = list(dict.fromkeys(must))
     should = list(dict.fromkeys(should))
     must_not = list(dict.fromkeys(must_not))
@@ -76,6 +83,9 @@ def boolean_candidates(
             pos[pos >= len(ids)] = max(len(ids) - 1, 0)
             if len(ids):
                 n_should += (ids[pos] == cand).astype(np.int64)
+    if should and minimum_should_match > 0:
+        keep = n_should >= minimum_should_match
+        cand, n_should = cand[keep], n_should[keep]
     return cand, n_should
 
 
@@ -102,6 +112,7 @@ def boolean_search_table(
             must_not=[
                 t for phrase in spec.get("must_not", []) for t in pre(phrase)
             ],
+            minimum_should_match=int(spec.get("minimum_should_match", 0)),
         )
         convs, turns = retriever.index.to_original_ids(cand)
         q_col.extend([q_id] * len(cand))

@@ -103,3 +103,29 @@ def test_boolean_dedups_terms(retriever):
     a, na = boolean_candidates(retriever.index, should=["red", "red"])
     b, nb = boolean_candidates(retriever.index, should=["red"])
     assert np.array_equal(a, b) and np.array_equal(na, nb)
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not,msm",
+    [
+        ([], ["red", "green", "blue"], [], 2),
+        ([], ["red", "green", "blue"], [], 3),
+        (["purple"], ["red", "green", "blue"], [], 2),
+        ([], ["green", "purple"], ["yellow"], 2),
+        ([], ["red", "nosuchterm"], [], 2),  # absent term can't count
+        ([], ["red", "green"], [], 0),  # msm=0 keeps default behavior
+    ],
+)
+def test_minimum_should_match(retriever, must, should, must_not, msm):
+    cand, n_should = boolean_candidates(
+        retriever.index,
+        must=must,
+        should=should,
+        must_not=must_not,
+        minimum_should_match=msm,
+    )
+    convs, _ = retriever.index.to_original_ids(cand)
+    got = [(int(c[1:]), int(n)) for c, n in zip(convs, n_should)]
+    want = [(i, n) for i, n in _brute(must, should, must_not) if n >= msm]
+    assert got == want
+    assert (n_should >= msm).all()
