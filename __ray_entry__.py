@@ -125,6 +125,8 @@ BM25F_TITLE_TOKENS = 5  # field split: first 5 tokens = title, rest = body
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1024  # power of two: the quantizing multiply is exact
+SEMDEDUP_TE4 = 4000  # cosine threshold 0.40 (drops ~5% of sf embeddings)
+SEMDEDUP_SCALE = 64  # power of two; dim*scale^2 within the int64 bound
 MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.4}
 MIXTURE_BUDGET = 3000
 DELETED_DOC_IDS = [3, 7, 23, 99, 154, 200, 201, 202]
@@ -1353,6 +1355,22 @@ def _q_kmeans_assign(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: integer-exact k-means clustering, then within each
+    cluster drop every vector with a >= 0.40-cosine smaller-id
+    neighbor — the cosine test runs fully in int64 cross-multiplied
+    form so the kept set is bit-identical in SQL (ops/cluster.py)."""
+    from retriv_ray.ops.cluster import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings(sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold_e4=SEMDEDUP_TE4,
+        scale=SEMDEDUP_SCALE,
+    )
+
+
 def _q_star_revenue(sf_dir: str):
     import ray.data
 
@@ -2032,6 +2050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": _q_profile_columns,
         "group_centroids": _q_group_centroids,
         "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
         "bm25f_topk": _q_bm25f_topk,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
@@ -3797,6 +3816,69 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, c_id, d2,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
           FROM a2) WHERE rn = 1 ORDER BY vec_id
+    """
+    # SemDeDup: the same 2-round integer k-means CTE at the dedup
+    # quantization scale, then a NOT EXISTS over the in-cluster
+    # integer cross-multiplied cosine test (HUGEINT: dot^2 * 1e8 vs
+    # te4^2 * |a|^2 * |b|^2 — mirrors ops/cluster.py semantic_dedup
+    # bit for bit, no float anywhere)
+    out["semantic_dedup"] = f"""
+        WITH qv AS (
+          SELECT vec_id, u.i AS dim,
+                 floor({SEMDEDUP_SCALE} * embedding[u.i]::DOUBLE)::BIGINT AS q
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS u(i)),
+        seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}),
+        c0 AS (SELECT vec_id AS c_id, dim, q AS c FROM qv
+               WHERE vec_id IN (SELECT vec_id FROM seeds)),
+        a1 AS (
+          SELECT qv.vec_id, c0.c_id,
+                 sum((qv.q - c0.c) * (qv.q - c0.c))::BIGINT AS d2
+          FROM qv JOIN c0 ON c0.dim = qv.dim
+          GROUP BY qv.vec_id, c0.c_id),
+        asg1 AS (
+          SELECT vec_id, c_id FROM (
+            SELECT vec_id, c_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+            FROM a1) WHERE rn = 1),
+        sums1 AS (
+          SELECT g.c_id, qv.dim, sum(qv.q)::BIGINT AS s, count(*)::BIGINT AS n
+          FROM asg1 g JOIN qv ON qv.vec_id = g.vec_id
+          GROUP BY g.c_id, qv.dim),
+        c1 AS (
+          SELECT c0.c_id, c0.dim,
+            coalesce(((s.s - ((s.s % s.n) + s.n) % s.n) / s.n)::BIGINT, c0.c) AS c
+          FROM c0 LEFT JOIN sums1 s ON s.c_id = c0.c_id AND s.dim = c0.dim),
+        a2 AS (
+          SELECT qv.vec_id, c1.c_id,
+                 sum((qv.q - c1.c) * (qv.q - c1.c))::BIGINT AS d2
+          FROM qv JOIN c1 ON c1.dim = qv.dim
+          GROUP BY qv.vec_id, c1.c_id),
+        asg AS (
+          SELECT vec_id, c_id AS cluster FROM (
+            SELECT vec_id, c_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+            FROM a2) WHERE rn = 1),
+        norms AS (
+          SELECT vec_id, sum(q * q)::BIGINT AS nn FROM qv GROUP BY vec_id),
+        dups AS (
+          SELECT DISTINCT x.vec_id
+          FROM asg x JOIN asg y
+            ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+          JOIN norms na ON na.vec_id = x.vec_id
+          JOIN norms nb ON nb.vec_id = y.vec_id
+          JOIN (
+            SELECT p.vec_id AS a, r.vec_id AS b,
+                   sum(p.q * r.q)::BIGINT AS dot
+            FROM qv p JOIN qv r ON r.dim = p.dim AND r.vec_id < p.vec_id
+            GROUP BY p.vec_id, r.vec_id) d
+            ON d.a = x.vec_id AND d.b = y.vec_id
+          WHERE d.dot > 0
+            AND d.dot::HUGEINT * d.dot * 100000000 >=
+                {SEMDEDUP_TE4}::HUGEINT * {SEMDEDUP_TE4} * na.nn * nb.nn)
+        SELECT vec_id, cluster FROM asg
+        WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        ORDER BY vec_id
     """
     # GROUP BY ROLLUP parity with '<all>' sentinels for rolled-up
     # positions (ops/windows.py rollup_counts)
