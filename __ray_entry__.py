@@ -79,6 +79,15 @@ PROXIMITY_QUERIES = {
     "x2": ("window", "stream", 2),
     "x3": ("data", "data", 4),  # same-term: self-pairs excluded
 }
+# two-phase rescoring: (query_text, proximity term pair, window);
+# final = bm25 + RESCORE_BOOST * ln(1 + n_pairs) over the top
+# RESCORE_FIRST_N BM25 candidates (search/rescore.py)
+RESCORE_QUERIES = {
+    "r1": ("table scan join", "hash", "join", 3),
+    "r2": ("window batch stream", "window", "stream", 2),
+}
+RESCORE_FIRST_N = 50
+RESCORE_BOOST = 0.5
 PREFIX_QUERIES = {"w1": "s", "w2": "c", "w3": "qu"}
 # (term, max_edit_distance); expansions exercise 1-term, multi-term
 # and empty sets over the sf vocabulary ("par"~2 -> {a, part, spark})
@@ -690,6 +699,35 @@ def _q_proximity_search(sf_dir: str):
     return pa.Table.from_arrays(
         [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_pairs")],
         names=["q_id", "doc_id", "n_pairs"],
+    )
+
+
+def _q_rescore_topk(sf_dir: str):
+    """Two-phase ranking (Lucene rescorer pattern): BM25
+    top-RESCORE_FIRST_N candidates, then a proximity boost
+    (+ boost * ln(1 + within-window pair count) from the positional
+    index) reranks the window to the final cutoff
+    (search/rescore.py)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        documents_positional_index,
+    )
+    from retriv_ray.search.rescore import rescore_topk
+
+    t = rescore_topk(
+        _index(sf_dir),
+        documents_positional_index(sf_dir),
+        RESCORE_QUERIES,
+        first_n=RESCORE_FIRST_N,
+        boost=RESCORE_BOOST,
+        cutoff=CUTOFF,
+    )
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), t.column("rank"), pa.array(docs, type=pa.int64())],
+        names=["q_id", "rank", "doc_id"],
     )
 
 
@@ -1982,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "proximity_search": _q_proximity_search,
+        "rescore_topk": _q_rescore_topk,
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "spell_suggest": _q_spell_suggest,
@@ -2071,6 +2110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _Q_VALUES = " , ".join(
     f"('{q_id}', '{text}')" for q_id, text in TOPK_QUERIES.items()
+)
+_RESCORE_VALUES = " , ".join(
+    f"('{q}', '{t}', '{a}', '{bt}', {w})"
+    for q, (t, a, bt, w) in sorted(RESCORE_QUERIES.items())
 )
 _QTERMS = (
     "qterms AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term "
@@ -2713,6 +2756,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, doc_id, n_pairs FROM (
               SELECT * FROM x1 UNION ALL SELECT * FROM x2 UNION ALL SELECT * FROM x3)
             ORDER BY q_id, doc_id
+        """,
+        # two-phase rescore: BM25 top-FIRST_N candidate window, then
+        # fscore = bm25 + boost * ln(1 + proximity pair count); ranks
+        # only (float64 both sides, ties -> doc_id asc)
+        "rescore_topk": f"""
+            WITH {_BASE_CTES},
+            rq(q_id, qtext, ta, tb, w) AS (VALUES {_RESCORE_VALUES}),
+            rqt AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                    FROM rq),
+            bm25 AS (
+              SELECT qt.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) )
+                  AS score
+              FROM rqt qt
+              JOIN tf ON tf.term = qt.term
+              JOIN df ON df.term = qt.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY qt.q_id, tf.doc_id),
+            cand AS (SELECT q_id, doc_id, score FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, doc_id) AS rn
+              FROM bm25) WHERE rn <= {RESCORE_FIRST_N}),
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            prox AS (
+              SELECT rq.q_id, a.doc_id, count(*)::BIGINT AS n_pairs
+              FROM rq
+              JOIN pos a ON a.term = rq.ta
+              JOIN pos b ON b.doc_id = a.doc_id AND b.term = rq.tb
+               AND b.pos BETWEEN a.pos - rq.w AND a.pos + rq.w
+              GROUP BY rq.q_id, a.doc_id),
+            final AS (
+              SELECT c.q_id, c.doc_id,
+                c.score + {RESCORE_BOOST}
+                          * ln(1 + coalesce(p.n_pairs, 0)) AS fscore
+              FROM cand c
+              LEFT JOIN prox p ON p.q_id = c.q_id AND p.doc_id = c.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY fscore DESC, doc_id) AS rank
+              FROM final)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "boolean_search": f"""
             WITH {_BASE_CTES},

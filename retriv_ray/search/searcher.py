@@ -962,6 +962,19 @@ class RaySparseRetriever:
 
         return explain(self, query, doc_id)
 
+    def rescore(
+        self, queries, positional, first_n: int = 50,
+        boost: float = 0.5, cutoff: int = 10,
+    ) -> pa.Table:
+        """Two-phase ranking: BM25 top-``first_n`` candidates, then a
+        proximity boost from ``positional`` (a PositionalIndex over
+        the same corpus/config) reranks to ``cutoff``
+        (search/rescore.py). ``queries`` is
+        {q_id: (query_text, term_a, term_b, window)}."""
+        from retriv_ray.search.rescore import rescore_topk
+
+        return rescore_topk(self, positional, queries, first_n, boost, cutoff)
+
 
 def _orig_key(k):
     """Result key -> qrels key string: turn-0 docs (the single-turn
