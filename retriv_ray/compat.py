@@ -200,6 +200,106 @@ class SparseRetriever:
             return self.index(pq.read_table(path).to_pylist(), callback)
         raise AssertionError("Only JSONL, CSV, TSV, and parquet are supported.")
 
+    def add(self, collection: Iterable[dict], callback: Optional[Callable] = None):
+        """Incrementally add documents to an existing index — beyond
+        the reference, which can only rebuild from scratch
+        (sparse_retriever.py:201-226 overwrites). A delta index is
+        built over ONLY the new docs and merged with the live one
+        (index/merge.py merge_indexes — byte-identical to a full
+        rebuild, validated by tests/test_merge_indexes.py), so the
+        cost is O(new docs) + the merge's boundary re-encode, not
+        O(corpus). New internal ids continue the enumeration order,
+        exactly as if the docs had been in the original collection.
+
+        Requires ``min_df == 1`` (global-df pruning is not
+        incrementally mergeable; merge_indexes raises otherwise).
+        Duplicate original ids are rejected.
+        """
+        from retriv_ray.index.merge import merge_indexes
+
+        eng = self._require()
+        root = index_path(self.index_name)
+        n0 = self._docs.num_rows
+        seen = set(self._docs.column("id").to_pylist())
+        ids, texts, extras = [], [], []
+        for doc in collection:
+            if callback is not None:
+                doc = callback(doc)
+            oid = str(doc["id"])
+            if oid in seen:
+                raise ValueError(f"add(): duplicate document id {oid!r}")
+            seen.add(oid)
+            ids.append(oid)
+            texts.append(doc["text"])
+            extras.append(
+                {k: v for k, v in doc.items() if k not in ("id", "text")}
+            )
+        m = len(ids)
+        if m == 0:
+            return self
+        conv = [f"{i:012d}" for i in range(n0, n0 + m)]
+        new_tbl = pa.Table.from_arrays(
+            [
+                pa.array(conv, type=pa.string()),
+                pa.array(ids, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+                pa.array(
+                    [json.dumps(e) if e else "" for e in extras],
+                    type=pa.string(),
+                ),
+            ],
+            names=["conv_id", "id", "text", "extra"],
+        )
+        delta_root = os.path.join(root, "_delta")
+        shutil.rmtree(delta_root, ignore_errors=True)
+        os.makedirs(delta_root, exist_ok=True)
+        turns = pa.Table.from_arrays(
+            [
+                new_tbl.column("conv_id"),
+                pa.array(np.zeros(m, dtype=np.int32)),
+                new_tbl.column("text"),
+            ],
+            names=["conv_id", "turn_idx", "text"],
+        )
+        src = os.path.join(delta_root, "turns.parquet")
+        pq.write_table(turns, src)
+        # layout must match for the merge: reuse the live manifest's
+        # num_parts / shard_docs
+        man = eng.index.manifest
+        build_index(
+            src,
+            os.path.join(delta_root, "index"),
+            self.cfg,
+            num_parts=man.num_parts,
+            shard_docs=man.salt_docs,
+        )
+        merged = os.path.join(root, "_merged")
+        shutil.rmtree(merged, ignore_errors=True)
+        merge_indexes(
+            os.path.join(root, "index"),
+            os.path.join(delta_root, "index"),
+            merged,
+        )
+        # tombstones (conv-keyed) of the live index stay valid — A's
+        # conv ids and doc ids are unchanged by the merge
+        from retriv_ray.index.tombstones import _tombstone_path
+
+        ts = _tombstone_path(os.path.join(root, "index"))
+        if os.path.exists(ts):
+            dst = _tombstone_path(merged)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(ts, dst)
+        old = os.path.join(root, "_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(os.path.join(root, "index"), old)
+        os.rename(merged, os.path.join(root, "index"))
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(delta_root, ignore_errors=True)
+        self._docs = pa.concat_tables([self._docs, new_tbl])
+        pq.write_table(self._docs, os.path.join(root, "docs.parquet"))
+        self._engine = RaySparseRetriever(os.path.join(root, "index"), self.cfg)
+        return self
+
     # -- loading / deletion -------------------------------------------
     @staticmethod
     def load(index_name: str = "new-index") -> "SparseRetriever":

@@ -153,3 +153,74 @@ def test_bsearch_parquet_with_docs(sr, tmp_path, broadcast_max):
         assert got.text.tolist() == [d["text"] for d in want]
         for a, b in zip(got.score.tolist(), [d["score"] for d in want]):
             assert isclose(a, b, rel_tol=1e-6)
+
+
+# -- incremental add ------------------------------------------------------
+
+
+def test_add_matches_full_rebuild(ray_session):
+    base = SHANE[:4]
+    extra = [
+        {"id": "doc_4", "text": "Shane Shane Connelly Connelly"},
+        {"id": "doc_5", "text": "Shane Shane Shane Connelly Connelly Connelly"},
+    ]
+    inc = SparseRetriever(
+        index_name="compat-add-inc",
+        tokenizer="whitespace", stemmer="english", stopwords="english",
+        hyperparams=dict(b=0.75, k1=1.2),
+    )
+    inc.index(base)
+    inc.add(extra)
+    full = SparseRetriever(
+        index_name="compat-add-full",
+        tokenizer="whitespace", stemmer="english", stopwords="english",
+        hyperparams=dict(b=0.75, k1=1.2),
+    )
+    full.index(SHANE)
+    try:
+        for q in ("shane", "connelly", "shane connelly"):
+            a = inc.search(q, return_docs=False, cutoff=10)
+            b = full.search(q, return_docs=False, cutoff=10)
+            assert list(a) == list(b)
+            for k in a:
+                assert isclose(a[k], b[k], rel_tol=1e-6)
+        # added docs retrievable with their original ids + stored text
+        hits = inc.search("connelly", return_docs=True, cutoff=10)
+        got = {h["id"]: h["text"] for h in hits}
+        assert got["doc_5"] == SHANE[5]["text"]
+    finally:
+        SparseRetriever.delete("compat-add-inc")
+        SparseRetriever.delete("compat-add-full")
+
+
+def test_add_duplicate_id_rejected(ray_session):
+    sr = SparseRetriever(index_name="compat-add-dup", stemmer=None, stopwords=None)
+    sr.index(SHANE[:2])
+    try:
+        with pytest.raises(ValueError, match="duplicate"):
+            sr.add([{"id": "doc_0", "text": "again"}])
+    finally:
+        SparseRetriever.delete("compat-add-dup")
+
+
+def test_add_empty_collection_is_noop(ray_session):
+    sr = SparseRetriever(index_name="compat-add-empty", stemmer=None, stopwords=None)
+    sr.index(SHANE[:3])
+    try:
+        before = sr.search("shane", return_docs=False)
+        sr.add([])
+        assert sr.search("shane", return_docs=False) == before
+    finally:
+        SparseRetriever.delete("compat-add-empty")
+
+
+def test_add_persists_through_load(ray_session):
+    sr = SparseRetriever(index_name="compat-add-load", stemmer=None, stopwords=None)
+    sr.index(SHANE[:3])
+    sr.add(SHANE[3:])
+    try:
+        re = SparseRetriever.load("compat-add-load")
+        hits = re.search("connelly", return_docs=True, cutoff=10)
+        assert {h["id"] for h in hits} >= {"doc_3", "doc_4", "doc_5"}
+    finally:
+        SparseRetriever.delete("compat-add-load")
