@@ -1336,6 +1336,18 @@ def _q_distinct_users_daily(sf_dir: str):
     return distinct_users_daily(_events(sf_dir))
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct users per event type — the 100 TB path
+    for cardinality (exchange moves <= 2^p register rows per key per
+    block, merge = max). Integer-exact HLL contract, so the DuckDB
+    twin reproduces the estimate bit for bit (ops/sketch.py)."""
+    from retriv_ray.ops.sketch import approx_distinct
+
+    return approx_distinct(
+        _events(sf_dir), key_col="event_type", value_col="user_id", p=8
+    )
+
+
 def _q_group_centroids(sf_dir: str):
     from retriv_ray.ops.ann import group_centroids
 
@@ -2098,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "rolling_time_events": _q_rolling_time_events,
         "distinct_users_daily": _q_distinct_users_daily,
+        "approx_distinct": _q_approx_distinct,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
         "order_priority_join": _q_order_priority_join,
@@ -4067,6 +4080,13 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
+    # HyperLogLog distinct estimate (ops/sketch.py): the SQL twin is
+    # generated by the library itself so op and oracle share ONE spec
+    from retriv_ray.ops.sketch import approx_distinct_sql
+
+    out["approx_distinct"] = approx_distinct_sql(
+        "events", "event_type", "user_id", p=8
+    )
     # quantile outlier trim (ops/textstats.py quantile_filter):
     # cutoffs via the exact histogram rank-select, binary-fraction q
     out["quantile_filter"] = """

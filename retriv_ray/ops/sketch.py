@@ -1,0 +1,172 @@
+"""Mergeable sketches — the 100 TB path for cardinality statistics.
+
+Exact per-key distinct counts (``ops.windows.distinct_users_daily``)
+shuffle every (key, value) pair; at 10^12 rows that is the corpus.
+A HyperLogLog sketch (Flajolet et al. 2007) replaces the exchange
+with <= m register rows per key per block and merges by ``max`` —
+associative, commutative, idempotent, so ANY partitioning gives the
+same registers.
+
+Determinism contract (what makes the driver SQL oracle possible):
+every step is integer-exact and pinned to the repo-wide hash
+convention —
+
+    h    = md5 low-8-bytes little-endian of str(value)   (= DuckDB
+           ``md5_number_lower``)
+    reg  = h % m                 (m = 2^p registers)
+    w    = (h >> p) & (2^32 - 1) (32 bits above the index)
+    rho  = 33 - bit_length(w)    (w = 0 -> 33)
+    M[reg] = max rho
+
+    S    = sum over ALL m registers of 2^(33 - M[reg])   (exact int;
+           empty registers have M = 0 and contribute 2^33)
+    raw_e2   = (alpha_e6 * m^2 * 2^33) // (10^4 * S)     (floor(100*E))
+    alpha_e6 = floor(10^6 * 0.7213 / (1 + 1.079 / m))
+
+with the standard small-range correction: if any register is empty
+(V > 0) and raw_e2 <= 250*m, the estimate is linear counting
+``floor(100 * m * ln(m / V))`` instead (one libm ``ln`` of a ratio of
+integers — the same float64-parity assumption the BM25 oracles rely
+on). No large-range correction (64-bit hash space; collisions are
+negligible below ~10^12 distinct values). Relative error of standard
+HLL is ~1.04/sqrt(m): p=8 -> ~6.5%, p=12 -> ~1.6%.
+
+Shuffle shape: ONE groupby(key) whose input is per-batch partial
+registers — at most min(m, batch-distinct) rows per (key, batch) —
+and whose per-group fold touches <= m rows. The driver holds nothing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from retriv_ray.ops.dedup import _md5_low64_many
+
+
+def _alpha_e6(m: int) -> int:
+    return int(math.floor(1e6 * 0.7213 / (1.0 + 1.079 / m)))
+
+
+def _rho32(h: np.ndarray, p: int) -> np.ndarray:
+    """rho = 33 - bit_length((h >> p) & 0xFFFFFFFF), vectorized.
+    w < 2^32 is exact in float64, so frexp gives bit_length directly."""
+    w = (h >> np.uint64(p)) & np.uint64(0xFFFFFFFF)
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    # frexp: w = frac * 2^exp with frac in [0.5, 1) -> exp == bit_length
+    bl[nz] = np.frexp(w[nz].astype(np.float64))[1]
+    return 33 - bl
+
+
+def approx_distinct(
+    ds,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 8,
+):
+    """Per-key approximate distinct count: (key_col, distinct_e2)
+    where ``distinct_e2 = floor(100 * estimate)`` under the exact
+    integer HLL contract in the module docstring. One groupby(key)
+    shuffle of partial (key, reg, rho) registers."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"p={p} out of range [4, 16]")
+    m = 1 << p
+    a_e6 = _alpha_e6(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(value_col).to_pylist()
+        h = _md5_low64_many([str(v) for v in vals])
+        reg = (h % np.uint64(m)).astype(np.int64)
+        rho = _rho32(h, p)
+        kcodes = pa.array(keys).dictionary_encode()
+        kc = kcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # max rho per (key, reg): lexsort then run-length reduce
+        order = np.lexsort((-rho, reg, kc))
+        kc_s, reg_s, rho_s = kc[order], reg[order], rho[order]
+        first = np.concatenate(
+            ([True], (kc_s[1:] != kc_s[:-1]) | (reg_s[1:] != reg_s[:-1]))
+        ) if len(kc_s) else np.empty(0, dtype=bool)
+        idx = np.flatnonzero(first)
+        dict_vals = kcodes.dictionary
+        return pa.Table.from_arrays(
+            [
+                dict_vals.take(pa.array(kc_s[idx])),
+                pa.array(reg_s[idx]),
+                pa.array(rho_s[idx]),
+            ],
+            names=[key_col, "reg", "rho"],
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        reg = group.column("reg").to_numpy()
+        rho = group.column("rho").to_numpy()
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        v = int((regs == 0).sum())
+        # exact integers (python int: numerator exceeds int64)
+        s = int(np.sum(np.int64(1) << (33 - regs)))
+        raw_e2 = (a_e6 * m * m * (1 << 33)) // (10**4 * s)
+        if v > 0 and raw_e2 <= 250 * m:
+            est_e2 = int(math.floor(100.0 * m * math.log(m / v)))
+        else:
+            est_e2 = int(raw_e2)
+        return pa.Table.from_arrays(
+            [
+                group.column(key_col).slice(0, 1),
+                pa.array([est_e2], type=pa.int64()),
+            ],
+            names=[key_col, "distinct_e2"],
+        )
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def approx_distinct_sql(
+    table: str, key_col: str, value_col: str, p: int = 8
+) -> str:
+    """The DuckDB twin of :func:`approx_distinct` — same integer HLL
+    contract, HUGEINT for the one product that exceeds int64. Kept
+    beside the op so the two specs can't drift apart."""
+    m = 1 << p
+    a_e6 = _alpha_e6(m)
+    return f"""
+        WITH h AS (
+          SELECT {key_col} AS k,
+                 md5_number_lower({value_col}::VARCHAR)::HUGEINT AS h
+          FROM {table}),
+        regs AS (
+          SELECT k, (h % {m})::BIGINT AS reg,
+                 max(CASE WHEN ((h // {m}) % 4294967296) = 0 THEN 33
+                     ELSE 33 - length(format('{{:b}}',
+                          ((h // {m}) % 4294967296)::BIGINT)) END) AS rho
+          FROM h GROUP BY k, reg),
+        agg AS (
+          SELECT k,
+                 sum((1::BIGINT << (33 - rho))::HUGEINT) AS s_used,
+                 count(*) AS n_regs
+          FROM regs GROUP BY k),
+        fin AS (
+          SELECT k,
+                 s_used + ({m} - n_regs)::HUGEINT * (1::BIGINT << 33) AS s,
+                 {m} - n_regs AS v
+          FROM agg),
+        est AS (
+          SELECT k, v,
+                 ({a_e6}::HUGEINT * {m} * {m} * (1::BIGINT << 33))
+                   // (10000::HUGEINT * s) AS raw_e2
+          FROM fin)
+        SELECT k AS {key_col},
+               CASE WHEN v > 0 AND raw_e2 <= {250 * m}
+                    THEN floor(100.0 * {m} * ln({m}.0 / v))::BIGINT
+                    ELSE raw_e2::BIGINT END AS distinct_e2
+        FROM est ORDER BY {key_col}
+    """

@@ -1,0 +1,86 @@
+"""HyperLogLog approx_distinct (ops/sketch.py): partitioning
+invariance, DuckDB-twin parity, accuracy, contract edges."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from retriv_ray.ops.sketch import approx_distinct, approx_distinct_sql
+
+
+def _make_ds(keys, vals, blocks):
+    import ray.data
+
+    t = pa.table({"k": keys, "v": vals})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _events(n=4000, n_keys=3, card=(5, 150, 900), seed=1):
+    rng = np.random.default_rng(seed)
+    keys, vals = [], []
+    for i in range(n):
+        ki = int(rng.integers(n_keys))
+        keys.append(f"t{ki}")
+        vals.append(int(rng.integers(card[ki])))
+    return keys, vals
+
+
+@pytest.mark.parametrize("blocks", [1, 5, 13])
+def test_partitioning_invariant(ray_session, blocks):
+    keys, vals = _events()
+    one = (
+        approx_distinct(_make_ds(keys, vals, 1), key_col="k", value_col="v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    many = (
+        approx_distinct(_make_ds(keys, vals, blocks), key_col="k", value_col="v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert one.equals(many)
+
+
+def test_matches_duckdb_twin(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    keys, vals = _events(seed=7)
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.table({"k": keys, "v": vals}), p)
+    mine = (
+        approx_distinct(_make_ds(keys, vals, 4), key_col="k", value_col="v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{p}')")
+    theirs = con.execute(approx_distinct_sql("ev", "k", "v")).df()
+    assert list(mine["k"]) == list(theirs["k"])
+    assert list(mine["distinct_e2"]) == list(theirs["distinct_e2"])
+
+
+@pytest.mark.parametrize("p,tol", [(8, 0.20), (12, 0.08)])
+def test_accuracy_vs_exact(ray_session, p, tol):
+    keys, vals = _events(n=20000, card=(50, 500, 5000), seed=3)
+    out = approx_distinct(
+        _make_ds(keys, vals, 4), key_col="k", value_col="v", p=p
+    ).to_pandas()
+    exact = {}
+    for k, v in zip(keys, vals):
+        exact.setdefault(k, set()).add(v)
+    for _, row in out.iterrows():
+        est = row["distinct_e2"] / 100.0
+        true = len(exact[row["k"]])
+        assert abs(est - true) / true < tol, (row["k"], est, true)
+
+
+def test_small_range_linear_counting(ray_session):
+    # 3 distinct values -> nearly all registers empty -> the linear
+    # counting branch; estimate must be within 1 of exact
+    out = approx_distinct(
+        _make_ds(["a"] * 30, [1, 2, 3] * 10, 2), key_col="k", value_col="v"
+    ).to_pandas()
+    assert abs(out["distinct_e2"][0] / 100.0 - 3) < 1.0
+
+
+def test_p_validation(ray_session):
+    with pytest.raises(ValueError, match="p="):
+        approx_distinct(_make_ds(["a"], [1], 1), key_col="k", value_col="v", p=2)
