@@ -1298,16 +1298,19 @@ def _q_quantile_filter(sf_dir: str):
 
 def _q_customers_without_orders(sf_dir: str):
     # anti join restricted to URGENT orders so the result is non-empty
-    # on the synthetic tables (every customer has SOME order)
+    # on the synthetic tables (every customer has SOME order); runs
+    # the bloom-bypass path — left rows missing the right-key bloom
+    # skip the exchange, false positives fall through to the exact
+    # shuffle anti join (ops/relational.py bloom_anti_join)
     import ray.data
 
-    from retriv_ray.ops.relational import shuffle_anti_join
+    from retriv_ray.ops.relational import bloom_anti_join
 
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderpriority"],
     ).filter(expr="o_orderpriority == '1-URGENT'")
-    return shuffle_anti_join(
+    return bloom_anti_join(
         ray.data.read_parquet(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_name", "c_mktsegment"],

@@ -535,3 +535,116 @@ def order_priority_stats(orders, lineitem, date_lo: str, date_hi: str):
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter map-side pruning for anti joins
+# ---------------------------------------------------------------------------
+
+
+def _bloom_indices(h1: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """[n, k] bit indices via double hashing (Kirsch-Mitzenmacher):
+    idx_i = (h1 + i * h2) % m with h2 derived from h1 by a fixed
+    odd-constant mix — one md5 per value total."""
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def _bloom_words_from_keys(keys, m_bits: int, k: int) -> np.ndarray:
+    from retriv_ray.ops.dedup import _md5_low64_many
+
+    words = np.zeros(m_bits // 64 + 1, dtype=np.uint64)
+    if len(keys):
+        h1 = _md5_low64_many([str(v) for v in keys])
+        idx = _bloom_indices(h1, m_bits, k).reshape(-1)
+        np.bitwise_or.at(
+            words, idx // 64, np.uint64(1) << (idx % 64).astype(np.uint64)
+        )
+    return words
+
+
+def build_bloom(ds, col: str, m_bits: int = 1 << 22, k: int = 4):
+    """Bloom filter of a Dataset column as an object-store ref of a
+    packed uint64 bit array. Per-block partial filters are OR-merged
+    in a binary task tree, so the driver never holds more than the
+    final filter and merge depth is log2(blocks) — the shape that
+    still works when the filter is gigabytes and blocks are thousands.
+    """
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def partial(t: pa.Table) -> np.ndarray:
+        return _bloom_words_from_keys(t.column(col).to_pylist(), m_bits, k)
+
+    @ray.remote(num_cpus=1)
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.bitwise_or(a, b)
+
+    refs = [partial.remote(r) for r in ds.materialize().to_arrow_refs()]
+    if not refs:
+        return ray.put(np.zeros(m_bits // 64 + 1, dtype=np.uint64))
+    while len(refs) > 1:
+        nxt = [
+            merge.remote(refs[i], refs[i + 1])
+            for i in range(0, len(refs) - 1, 2)
+        ]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    return refs[0]
+
+
+def bloom_anti_join(
+    left,
+    right,
+    on: str,
+    right_on: Optional[str] = None,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    num_partitions: Optional[int] = None,
+):
+    """LEFT ANTI join with a bloom-filter map-side bypass: left rows
+    whose key misses a bloom filter of the right keys are DEFINITELY
+    unmatched (no false negatives) and ship straight to the output —
+    they never enter the exchange. Only the maybe-matched rows (true
+    matches + the ~0.6%-per-4-hash false positives at 10 bits/key) go
+    through the exact :func:`shuffle_anti_join`.
+
+    Result-identical to ``shuffle_anti_join(left, right, on)`` under
+    any filter size (false positives are re-checked exactly); the
+    filter only changes how many left rows pay the shuffle. For the
+    decontamination / dedup-filter shape (drop set << corpus) that is
+    almost all of them. Size ``m_bits`` at ~10 bits per distinct right
+    key; the filter broadcasts once via the object store.
+    """
+    rkey = right_on or on
+    bref = build_bloom(right, rkey, m_bits=m_bits, k=k)
+
+    def split(batch: pa.Table, want_hit: bool) -> pa.Table:
+        import ray
+
+        from retriv_ray.ops.dedup import _md5_low64_many
+
+        words = ray.get(bref)
+        vals = batch.column(on).to_pylist()
+        if not vals:
+            return batch
+        h1 = _md5_low64_many([str(v) for v in vals])
+        idx = _bloom_indices(h1, m_bits, k)
+        bits = (words[idx // 64] >> (idx % 64).astype(np.uint64)) & np.uint64(1)
+        hit = bits.all(axis=1)
+        return batch.filter(pa.array(hit if want_hit else ~hit))
+
+    definite = left.map_batches(
+        lambda b: split(b, want_hit=False), batch_format="pyarrow"
+    )
+    maybe = left.map_batches(
+        lambda b: split(b, want_hit=True), batch_format="pyarrow"
+    )
+    checked = shuffle_anti_join(
+        maybe, right, on, right_on=rkey, num_partitions=num_partitions
+    )
+    return definite.union(checked)

@@ -288,3 +288,62 @@ def test_shuffle_anti_join_matches_not_exists(ray_session, nparts):
     assert list(got["id"]) == list(want["id"])
     assert list(got["name"]) == list(want["name"])
     assert set(got.columns) == {"id", "name"}
+
+
+# -- bloom-filter anti join ------------------------------------------------
+
+
+def _anti_ref(lk, rk):
+    rs = set(rk)
+    return sorted(v for v in lk if v not in rs)
+
+
+@pytest.mark.parametrize("m_bits", [64, 1 << 14])  # tiny -> all-FP, normal
+def test_bloom_anti_join_matches_shuffle(ray_session, m_bits):
+    import ray.data
+
+    from retriv_ray.ops.relational import bloom_anti_join, shuffle_anti_join
+
+    rng = np.random.default_rng(5)
+    lk = rng.integers(0, 400, size=1200).tolist()
+    rk = rng.integers(0, 120, size=300).tolist()
+    left = ray.data.from_arrow(pa.table({"k": lk, "x": list(range(1200))}))
+    right = ray.data.from_arrow(pa.table({"k": rk}))
+    out = bloom_anti_join(
+        left.repartition(5), right.repartition(3), "k", m_bits=m_bits
+    ).to_pandas()
+    base = shuffle_anti_join(
+        left.repartition(5), right.repartition(3), "k"
+    ).to_pandas()
+    assert sorted(out["k"]) == _anti_ref(lk, rk) == sorted(base["k"])
+    assert sorted(out["x"]) == sorted(base["x"])
+
+
+def test_bloom_anti_join_empty_right(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.relational import bloom_anti_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    out = bloom_anti_join(left, right, "k").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3]
+
+
+def test_bloom_definite_path_bypasses_join(ray_session):
+    # with a well-sized filter and disjoint keys, (almost) every left
+    # row must take the definite path — verified by checking the
+    # exact-join input is (near) empty via the bloom split itself
+    import ray
+
+    from retriv_ray.ops.relational import _bloom_indices, _bloom_words_from_keys
+
+    words = _bloom_words_from_keys([str(v) for v in range(100)], 1 << 14, 4)
+    import numpy as np
+    from retriv_ray.ops.dedup import _md5_low64_many
+
+    probe = _md5_low64_many([str(v) for v in range(10_000, 11_000)])
+    idx = _bloom_indices(probe, 1 << 14, 4)
+    bits = (words[idx // 64] >> (idx % 64).astype(np.uint64)) & np.uint64(1)
+    fp = bits.all(axis=1).mean()
+    assert fp < 0.05  # ~163 bits/key here; FP must be rare
