@@ -1408,6 +1408,16 @@ def _q_kmeans_assign(sf_dir: str):
     )
 
 
+def _q_knn_join(sf_dir: str):
+    """kNN self-join (the kNN-graph primitive): every vector's top-5
+    cosine neighbors via block-pair tasks over object-store refs —
+    each pair computed once, both directions emitted, groupby merge
+    (ops/ann.py knn_join)."""
+    from retriv_ray.ops.ann import knn_join
+
+    return knn_join(_embeddings(sf_dir), k=5, block_rows=128)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: integer-exact k-means clustering, then within each
     cluster drop every vector with a >= 0.40-cosine smaller-id
@@ -2105,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_centroids": _q_group_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
+        "knn_join": _q_knn_join,
         "bm25f_topk": _q_bm25f_topk,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
@@ -3922,6 +3933,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, c_id, d2,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
           FROM a2) WHERE rn = 1 ORDER BY vec_id
+    """
+    # kNN self-join: full O(n^2) cosine in SQL, rank-only compare
+    # (float64 both sides, ties -> neighbor id asc, self excluded)
+    out["knn_join"] = """
+        WITH sims AS (
+          SELECT a.vec_id AS q, b.vec_id AS v,
+                 list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) AS sim
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id)
+        SELECT q AS vec_id, rank, v AS nbr_id FROM (
+          SELECT q, v,
+            row_number() OVER (PARTITION BY q ORDER BY sim DESC, v) AS rank
+          FROM sims)
+        WHERE rank <= 5 ORDER BY vec_id, rank
     """
     # SemDeDup: the same 2-round integer k-means CTE at the dedup
     # quantization scale, then a NOT EXISTS over the in-cluster

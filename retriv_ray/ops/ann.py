@@ -552,3 +552,183 @@ def group_centroids(
         .aggregate(Sum("n", alias_name="n"), Sum("sum_e6", alias_name="sum_e6"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# kNN join (kNN graph): top-k neighbors for EVERY vector
+# ---------------------------------------------------------------------------
+
+KNN_JOIN_MAX_ROWS = 2_000_000
+
+
+def knn_join(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    block_rows: int = 8192,
+    n_tables: int = 16,
+    n_bits: int = 6,
+    seed: int = 11,
+):
+    """kNN self-join: (vec_id, rank, nbr_id) — each vector's top-``k``
+    cosine neighbors, self excluded, ties by ascending neighbor id.
+    The kNN-graph primitive under SemDeDup-style curation, graph
+    clustering, and label propagation.
+
+    ``method='exact'``: block-pair tasks over object-store refs (the
+    ``embedding_near_dup`` plan) — each (i <= j) pair emits BOTH
+    directions' per-row partial top-k, so every pair's similarity is
+    computed once; a groupby(vec_id) merge finishes. O(n²/2) compute
+    is inherent; the guard at ``KNN_JOIN_MAX_ROWS`` points to 'lsh'.
+
+    ``method='lsh'``: random-hyperplane buckets (``n_tables`` tables
+    of ``n_bits``), per-bucket partial top-k, cross-table dedup at the
+    final merge. Streaming and corpus-scale, but approximate: a true
+    neighbor is found only if it shares >= 1 bucket
+    (P = 1 - (1 - (1 - theta/pi)^n_bits)^n_tables); the exact path is
+    its oracle on samples.
+    """
+    import ray
+    import ray.data
+
+    base = ds.select_columns([id_col, vec_col])
+    if method == "exact":
+        mat = base.materialize()
+        n = mat.count()
+        if n == 0:
+            return ray.data.from_arrow(_knn_table([], [], []))
+        if n > KNN_JOIN_MAX_ROWS:
+            raise ValueError(
+                f"knn_join(method='exact') on {n} rows schedules "
+                f"~{(n // block_rows + 1) ** 2 // 2} block-pair tasks; "
+                "use method='lsh' or raise ops.ann.KNN_JOIN_MAX_ROWS"
+            )
+        num_blocks = max(1, -(-n // block_rows))
+        refs = list(mat.repartition(num_blocks).materialize().to_arrow_refs())
+
+        @ray.remote
+        def block_pair(ti: pa.Table, tj: pa.Table, same: bool) -> pa.Table:
+            ids_i = ti.column(id_col).to_numpy()
+            ids_j = tj.column(id_col).to_numpy()
+            if not len(ids_i) or not len(ids_j):
+                return _knn_table([], [], [])
+            mi = _normalize(_batch_matrix(ti, vec_col))
+            mj = _normalize(_batch_matrix(tj, vec_col))
+            sims = mi @ mj.T
+            qs, vs, ss = _row_partial_topk(sims, ids_i, ids_j, k + 1)
+            if not same:
+                q2, v2, s2 = _row_partial_topk(sims.T, ids_j, ids_i, k + 1)
+                qs, vs, ss = (
+                    np.concatenate([qs, q2]),
+                    np.concatenate([vs, v2]),
+                    np.concatenate([ss, s2]),
+                )
+            return _knn_table(qs, vs, ss)
+
+        out_refs = [
+            block_pair.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs))
+            for j in range(i, len(refs))
+        ]
+        parts = ray.data.from_arrow_refs(out_refs)
+        dedup_needed = False
+    elif method == "lsh":
+        powers = 1 << np.arange(n_bits, dtype=np.int64)
+        planes = [None]
+
+        def keys(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy()
+            m = _batch_matrix(batch, vec_col)
+            if planes[0] is None:  # seeded: identical in every task
+                r = np.random.default_rng(seed)
+                planes[0] = r.standard_normal((n_tables, n_bits, m.shape[1]))
+            vec = batch.column(vec_col)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            out = []
+            for t in range(n_tables):
+                sig = ((m @ planes[0][t].T) > 0) @ powers
+                out.append(
+                    pa.Table.from_arrays(
+                        [
+                            pa.array(np.full(len(ids), t, dtype=np.int64)),
+                            pa.array(sig.astype(np.int64)),
+                            pa.array(ids.astype(np.int64)),
+                            vec,
+                        ],
+                        names=["tbl", "key", id_col, vec_col],
+                    )
+                )
+            return pa.concat_tables(out)
+
+        def bucket_topk(group: pa.Table) -> pa.Table:
+            ids = group.column(id_col).to_numpy()
+            if len(ids) < 2:
+                return _knn_table([], [], [])
+            m = _normalize(_batch_matrix(group, vec_col))
+            sims = m @ m.T
+            return _knn_table(*_row_partial_topk(sims, ids, ids, k + 1))
+
+        parts = (
+            base.map_batches(keys, batch_format="pyarrow")
+            .groupby(["tbl", "key"])
+            .map_groups(bucket_topk, batch_format="pyarrow")
+        )
+        dedup_needed = True  # the same pair can surface in many tables
+    else:
+        raise ValueError(f"unknown method {method!r} (expected 'exact' or 'lsh')")
+
+    def merge(group: pa.Table) -> pa.Table:
+        q = group.column("q")[0].as_py()
+        v = group.column("v").to_numpy()
+        s = group.column("s").to_numpy()
+        keep = v != q
+        v, s = v[keep], s[keep]
+        if dedup_needed and len(v):
+            # the same (q, v) pair surfaces in many buckets; keep one
+            # occurrence per v (best sim — BLAS tiling can jitter the
+            # last float64 bit across bucket shapes) before ranking
+            ov = np.lexsort((-s, v))
+            v1, s1 = v[ov], s[ov]
+            first = np.concatenate(([True], v1[1:] != v1[:-1]))
+            v, s = v1[first], s1[first]
+        order = np.lexsort((v, -s))
+        v = v[order][:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(v), q, dtype=np.int64)),
+                pa.array(np.arange(1, len(v) + 1, dtype=np.int64)),
+                pa.array(v),
+            ],
+            names=[id_col, "rank", "nbr_id"],
+        )
+
+    return parts.groupby("q").map_groups(merge, batch_format="pyarrow")
+
+
+def _row_partial_topk(sims: np.ndarray, q_ids, c_ids, kk: int):
+    """Per-row partial top-``kk`` of a [Q, C] sims block -> flat
+    (q, v, s) arrays."""
+    Q, C = sims.shape
+    kk = min(kk, C)
+    if kk < C:
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    else:
+        idx = np.broadcast_to(np.arange(C), (Q, C)).copy()
+    qs = np.repeat(np.asarray(q_ids, dtype=np.int64), idx.shape[1])
+    vs = np.asarray(c_ids, dtype=np.int64)[idx.reshape(-1)]
+    ss = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+    return qs, vs, ss
+
+
+def _knn_table(qs, vs, ss) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.asarray(qs, dtype=np.int64)),
+            pa.array(np.asarray(vs, dtype=np.int64)),
+            pa.array(np.asarray(ss, dtype=np.float64)),
+        ],
+        names=["q", "v", "s"],
+    )
