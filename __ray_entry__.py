@@ -487,6 +487,22 @@ def _q_response_pairs(sf_dir: str):
     )
 
 
+def _q_conversation_filter(sf_dir: str):
+    """Dialog-level quality gate: keep conversations by turn count,
+    token budget and role balance — integer counts only, one
+    combiner-first conv-keyed shuffle; the corpus text never moves
+    (ops/conversations.py:conversation_filter)."""
+    from retriv_ray.ops.conversations import conversation_filter
+
+    return conversation_filter(
+        _docs_as_conversation_turns(sf_dir),
+        min_turns=4,
+        max_turns=50,
+        min_tokens=25,
+        require_both_roles=True,
+    )
+
+
 def _q_conversation_windows(sf_dir: str):
     """Context assembly: overlapping 3-turn windows at stride 2 per
     conversation, short conversations kept whole
@@ -1870,6 +1886,38 @@ def _q_more_like_this(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def _q_top_hits(sf_dir: str):
+    """ES top_hits sub-aggregation: per-lang top-3 BM25 hits for each
+    facet query — one kernel run per bucket through the subset path,
+    never a corpus pass (search/facets.py:top_hits)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.facets import top_hits
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    parts = []
+    for q_id in sorted(FACET_QUERIES):
+        t = top_hits(r, FACET_QUERIES[q_id], "lang", n=3)
+        docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array([q_id] * t.num_rows, type=pa.string()),
+                    t.column("value"),
+                    t.column("rank"),
+                    pa.array(docs, type=pa.int64()),
+                ],
+                names=["q_id", "lang", "rank", "doc_id"],
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def _q_facet_counts(sf_dir: str):
     """Elasticsearch-style terms aggregation: per facet-field value
     counts over each query's matching set (union of query-term
@@ -2041,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "response_pairs": _q_response_pairs,
         "conversation_windows": _q_conversation_windows,
+        "conversation_filter": _q_conversation_filter,
         "bigram_lm": _q_bigram_lm,
         "phrase_search": _q_phrase_search,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
@@ -2051,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": _q_spell_suggest,
         "autocomplete": _q_autocomplete,
         "facet_counts": _q_facet_counts,
+        "top_hits": _q_top_hits,
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
         "regex_search": _q_regex_search,
@@ -2631,6 +2681,31 @@ def oracle_sql() -> dict[str, str]:
               FROM fcq q JOIN tf ON tf.term = q.term)
             SELECT q_id, field, value, n_docs FROM ({_facet_arms})
             ORDER BY q_id, field, value
+        """,
+        # ES top_hits: per (query, lang bucket) top-3 by BM25; rank
+        # only (float64 both sides, ties -> doc_id asc)
+        "top_hits": f"""
+            WITH {_BASE_CTES},
+            fcq AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                    FROM (VALUES {_facet_values}) AS q(q_id, qtext)),
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) )
+                  AS score
+              FROM fcq q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, lang, rank, doc_id FROM (
+              SELECT sc.q_id, d.lang::VARCHAR AS lang, sc.doc_id,
+                row_number() OVER (PARTITION BY sc.q_id, d.lang
+                                   ORDER BY sc.score DESC, sc.doc_id) AS rank
+              FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+            WHERE rank <= 3 ORDER BY q_id, lang, rank
         """,
         "autocomplete": f"""
             WITH {_BASE_CTES},
@@ -3215,6 +3290,36 @@ def oracle_sql() -> dict[str, str]:
                                   AND u.turn_idx = a.user_turn_idx
             WHERE a.role = 'assistant' AND a.user_turn_idx IS NOT NULL
             ORDER BY a.conv_id, assistant_turn_idx
+        """,
+        # dialog quality gate: same deterministic turn derivation,
+        # integer counts only, filter thresholds inline
+        "conversation_filter": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            lines AS (SELECT doc_id AS conv_id, pos // 5 AS turn_idx,
+                             string_agg(term, ' ' ORDER BY pos) AS text
+                      FROM pos GROUP BY doc_id, pos // 5),
+            turns AS (SELECT conv_id, turn_idx,
+                             CASE WHEN md5_number_lower(text) % 3 < 2
+                                  THEN 'user' ELSE 'assistant' END AS role,
+                             text
+                      FROM lines),
+            cstats AS (
+              SELECT conv_id,
+                count(*)::BIGINT AS n_turns,
+                sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_user_turns,
+                sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_assistant_turns,
+                sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+              FROM turns GROUP BY conv_id)
+            SELECT conv_id, n_turns, n_user_turns, n_assistant_turns,
+                   total_tokens
+            FROM cstats
+            WHERE n_turns BETWEEN 4 AND 50 AND total_tokens >= 25
+              AND n_user_turns > 0 AND n_assistant_turns > 0
+            ORDER BY conv_id
         """,
         "conversation_windows": f"""
             WITH {_BASE_CTES},

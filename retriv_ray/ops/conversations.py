@@ -155,3 +155,90 @@ def conversation_windows(
         )
 
     return ds.groupby(conv_col).map_groups(windows, batch_format="pyarrow")
+
+
+def conversation_filter(
+    ds,
+    min_turns: int = 2,
+    max_turns: int = 10_000,
+    min_tokens: int = 1,
+    max_tokens: int = 1 << 30,
+    require_both_roles: bool = True,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+):
+    """Conversation-level quality gate for transcript corpora (the
+    dialog analogue of the Gopher document rules): keep conversations
+    with ``min_turns <= n_turns <= max_turns``, whitespace-token total
+    within ``[min_tokens, max_tokens]``, and — when
+    ``require_both_roles`` — at least one 'user' AND one 'assistant'
+    turn. Returns (conv_id, n_turns, n_user_turns, n_assistant_turns,
+    total_tokens) for the kept conversations; every emitted column is
+    an integer count, so the op is bit-exact under any partitioning
+    and SQL-checkable.
+
+    Shuffle shape: a per-batch combiner reduces each block to one
+    partial-count row per conversation present (5 ints), then one
+    tiny groupby(conv).sum + filter — the corpus text never moves.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        conv = batch.column(conv_col)
+        role = batch.column(role_col)
+        ntok = pc.cast(
+            pc.count_substring_regex(
+                pc.cast(batch.column(text_col), pa.string()), pattern=r"\S+"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        enc = conv.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        is_user = pc.equal(role, "user").to_numpy(zero_copy_only=False)
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        turns = np.bincount(codes, minlength=k)
+        users = np.bincount(codes, weights=is_user, minlength=k)
+        assts = np.bincount(codes, weights=is_asst, minlength=k)
+        toks = np.bincount(codes, weights=ntok, minlength=k)
+        return pa.Table.from_arrays(
+            [
+                enc.dictionary,
+                pa.array(turns.astype(np.int64)),
+                pa.array(users.astype(np.int64)),
+                pa.array(assts.astype(np.int64)),
+                pa.array(toks.astype(np.int64)),
+            ],
+            names=[conv_col, "n_turns", "n_user", "n_asst", "n_tok"],
+        )
+
+    agg = (
+        ds.select_columns([conv_col, role_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_user", alias_name="n_user_turns"),
+            Sum("n_asst", alias_name="n_assistant_turns"),
+            Sum("n_tok", alias_name="total_tokens"),
+        )
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.column("n_turns").to_numpy()
+        u = batch.column("n_user_turns").to_numpy()
+        a = batch.column("n_assistant_turns").to_numpy()
+        k_ = batch.column("total_tokens").to_numpy()
+        m = (
+            (t >= min_turns)
+            & (t <= max_turns)
+            & (k_ >= min_tokens)
+            & (k_ <= max_tokens)
+        )
+        if require_both_roles:
+            m &= (u > 0) & (a > 0)
+        return batch.filter(pa.array(m))
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -261,3 +261,65 @@ def significant_terms(
         ],
         names=["term", "df_fg", "df", "lift_e4"],
     )
+
+
+def top_hits(
+    retriever,
+    query: Union[str, Dict],
+    facet_field: str,
+    n: int = 3,
+    metadata=None,
+) -> pa.Table:
+    """Elasticsearch ``top_hits`` sub-aggregation: for EVERY value of
+    a keyword/id/bool/keywords facet field, the query's top-``n``
+    BM25 hits restricted to that bucket — (value, rank, conv_id,
+    turn_idx, doc_id), values sorted, empty buckets omitted. Unlike
+    field collapsing (which dedups the GLOBAL top-k), every bucket
+    gets its own full ranking even when none of its docs reach the
+    global top.
+
+    Scale notes: one scoring-kernel run per facet value through the
+    subset path (the J4 restriction) — per-bucket cost is bounded by
+    the query terms' postings, never a corpus pass; buckets are
+    independent, so serving fleets parallelize by value, and in
+    doc-range-sharded serving each shard ranks its slice with the
+    per-bucket merge identical to the global top-k merge. For
+    high-cardinality fields, restrict to the top buckets of
+    :func:`facet_counts` first."""
+    md = metadata if metadata is not None else retriever.metadata
+    kind = md.schema.get(facet_field)
+    if kind is None:
+        raise ValueError(f"Field `{facet_field}` not in schema")
+    if kind == "number":
+        raise ValueError(
+            f"Field `{facet_field}` is numeric — bucket over ranges instead"
+        )
+    text = query["text"] if isinstance(query, dict) else query
+    terms = retriever.query_terms(text)
+    post = md.postings[facet_field]
+    v_col: List[str] = []
+    r_col: List[int] = []
+    d_parts: List[np.ndarray] = []
+    for value in sorted(post, key=str):
+        if not terms:
+            break
+        subset = np.asarray(post[value], dtype=np.int64)
+        ids, _scores = retriever._score(terms, n, subset=subset)
+        if not len(ids):
+            continue
+        v = str(value).lower() if isinstance(value, bool) else str(value)
+        v_col.extend([v] * len(ids))
+        r_col.extend(range(1, len(ids) + 1))
+        d_parts.append(ids.astype(np.int64))
+    docs = np.concatenate(d_parts) if d_parts else np.empty(0, dtype=np.int64)
+    convs, turns = retriever.index.to_original_ids(docs)
+    return pa.Table.from_arrays(
+        [
+            pa.array(v_col, type=pa.string()),
+            pa.array(np.asarray(r_col, dtype=np.int64)),
+            pa.array(np.asarray(convs, dtype=object), type=pa.string()),
+            pa.array(turns.astype(np.int32), type=pa.int32()),
+            pa.array(docs),
+        ],
+        names=["value", "rank", "conv_id", "turn_idx", "doc_id"],
+    )

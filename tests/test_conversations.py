@@ -1,6 +1,7 @@
 """Conversation training-data ops (ops/conversations.py) vs brute
 force: response-pair extraction and turn-window assembly."""
 
+import pyarrow as pa
 import pytest
 
 from retriv_ray.ops.conversations import conversation_windows, response_pairs
@@ -82,3 +83,61 @@ def test_conversation_windows_drop_short(turns_ds):
 def test_conversation_windows_validates(turns_ds):
     with pytest.raises(ValueError):
         conversation_windows(turns_ds, n_turns=0)
+
+
+# -- conversation_filter ----------------------------------------------------
+
+
+def _turns_table(convs):
+    """convs: {conv_id: [(role, text), ...]}"""
+    c, t, r, x = [], [], [], []
+    for cid, turns in convs.items():
+        for i, (role, text) in enumerate(turns):
+            c.append(cid)
+            t.append(i)
+            r.append(role)
+            x.append(text)
+    return pa.table(
+        {"conv_id": c, "turn_idx": pa.array(t, type=pa.int32()),
+         "role": r, "text": x}
+    )
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_conversation_filter_rules(ray_session, blocks):
+    import ray.data
+
+    from retriv_ray.ops.conversations import conversation_filter
+
+    convs = {
+        1: [("user", "a b c"), ("assistant", "d e"), ("user", "f")],  # keep
+        2: [("user", "one two")],                        # too few turns
+        3: [("user", "a"), ("user", "b"), ("user", "c")],  # no assistant
+        4: [("user", "x y"), ("assistant", "")],        # 2 turns, 2 tokens
+        5: [("assistant", "a b c d"), ("user", "e f"), ("assistant", "g")],
+    }
+    ds = ray.data.from_arrow(_turns_table(convs)).repartition(blocks)
+    out = (
+        conversation_filter(
+            ds, min_turns=2, max_turns=10, min_tokens=3,
+            require_both_roles=True,
+        )
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert list(out["conv_id"]) == [1, 5]
+    row1 = out[out.conv_id == 1].iloc[0]
+    assert (row1.n_turns, row1.n_user_turns, row1.n_assistant_turns,
+            row1.total_tokens) == (3, 2, 1, 6)
+
+
+def test_conversation_filter_roles_optional(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.conversations import conversation_filter
+
+    convs = {7: [("user", "a b"), ("user", "c d")]}
+    ds = ray.data.from_arrow(_turns_table(convs))
+    out = conversation_filter(
+        ds, min_turns=2, require_both_roles=False
+    ).to_pandas()
+    assert list(out["conv_id"]) == [7]
