@@ -371,7 +371,12 @@ def _mp_full_worker(units, q, evt):
             .column("conv_id")
         )
         convs.update(col.to_pylist())
-    tp._conv = (
+    # the stand-in map lives on the RESOLVER (conv-map caching moved
+    # into ConvMapResolver when the sharded id_map layout landed);
+    # patching the resolver keeps this probe Ray-free — a forked
+    # child that fell through to ray.get() would auto-init Ray and
+    # block forever on the inherited driver socket
+    tp._resolver._conv = (
         np.asarray(sorted(convs), dtype=object),
         np.arange(max(1, len(convs)), dtype=np.int64)[: len(convs)] * 64,
     )
