@@ -265,6 +265,58 @@ def _q_bm25_topk(sf_dir: str):
     return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
 
 
+def _q_rank_eval(sf_dir: str):
+    """Distributed rank evaluation (retriv_ray/eval.py:rank_eval_ds):
+    per-query MRR / nDCG@k / recall@k as exact integers over the BM25
+    run vs deterministic qrels (rel = count of distinct query terms
+    in the doc, kept when >= 2) — one q_id-keyed co-group, order-free
+    integer DCG terms."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from retriv_ray.eval import rank_eval_ds
+    from retriv_ray.pipelines.documents import topk_table
+
+    run = ray.data.from_arrow(topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    qitems = sorted(TOPK_QUERIES.items())
+
+    def to_qrels(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.cast(batch.column("text"), pa.string()), r"\s+"
+        )
+        flat = pc.list_flatten(split).combine_chunks()
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy()
+        out_q, out_d, out_r = [], [], []
+        for q_id, text in qitems:
+            rel = np.zeros(batch.num_rows, dtype=np.int64)
+            for t in sorted(set(text.split())):
+                m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+                pres = np.zeros(batch.num_rows, dtype=bool)
+                pres[parent[m]] = True
+                rel += pres
+            keep = rel >= 2
+            out_q.extend([q_id] * int(keep.sum()))
+            out_d.append(ids[keep])
+            out_r.append(rel[keep])
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.string()),
+                pa.array(np.concatenate(out_d) if out_d else []),
+                pa.array(np.concatenate(out_r) if out_r else []),
+            ],
+            names=["q_id", "doc_id", "rel"],
+        )
+
+    qrels = docs.map_batches(to_qrels, batch_format="pyarrow")
+    return rank_eval_ds(run, qrels, k=CUTOFF)
+
+
 def _q_deleted_bm25_topk(sf_dir: str):
     """Tombstone-masked serving: delete a handful of conversations,
     search with the ORIGINAL corpus statistics (Lucene deleted-docs
@@ -2079,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_bm25_topk": _q_pruned_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_topk": _q_bm25_topk,
+        "rank_eval": _q_rank_eval,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
         "boolean_msm": _q_boolean_msm,
@@ -3155,6 +3208,65 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
               FROM scores)
             WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        # rank_eval: exact-integer MRR / nDCG@k / recall@k of the bm25
+        # run vs qrels (rel = distinct query terms present, >= 2);
+        # per-hit DCG terms are floor(1e9 * (2^rel-1)/log2(rank+1))
+        # integers so the sums are order-free in BOTH engines
+        "rank_eval": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id),
+            run AS (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+                  AS rank
+              FROM scores),
+            qrels AS (
+              SELECT q.q_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS rel
+              FROM qterms q JOIN tf ON tf.term = q.term
+              GROUP BY q.q_id, tf.doc_id
+              HAVING count(DISTINCT tf.term) >= 2),
+            joined AS (
+              SELECT r.q_id, r.rank, coalesce(qr.rel, 0) AS rel
+              FROM run r
+              LEFT JOIN qrels qr ON qr.q_id = r.q_id AND qr.doc_id = r.doc_id
+              WHERE r.rank <= {CUTOFF}),
+            hits AS (
+              SELECT q_id, min(rank) AS fr, count(*)::BIGINT AS nhit,
+                sum(floor(1000000000 * (pow(2, rel) - 1)
+                          / log2(rank + 1)))::BIGINT AS dcg
+              FROM joined WHERE rel > 0 GROUP BY q_id),
+            nrel AS (SELECT q_id, count(*)::BIGINT AS n_rel FROM qrels GROUP BY q_id),
+            ideal AS (
+              SELECT q_id,
+                sum(floor(1000000000 * (pow(2, rel) - 1)
+                          / log2(pos + 1)))::BIGINT AS idcg
+              FROM (SELECT q_id, rel,
+                      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC)
+                        AS pos
+                    FROM qrels)
+              WHERE pos <= {CUTOFF} GROUP BY q_id)
+            SELECT n.q_id,
+              coalesce(1000000 // h.fr, 0)::BIGINT AS rr_e6,
+              (CASE WHEN coalesce(i.idcg, 0) > 0
+                    THEN (coalesce(h.dcg, 0) * 1000000) // i.idcg
+                    ELSE 0 END)::BIGINT AS ndcg_e6,
+              ((coalesce(h.nhit, 0) * 1000000) // n.n_rel)::BIGINT AS recall_e6,
+              n.n_rel
+            FROM nrel n
+            LEFT JOIN hits h ON h.q_id = n.q_id
+            LEFT JOIN ideal i ON i.q_id = n.q_id
+            ORDER BY n.q_id
         """,
         # hard_negatives: the bm25 ranking's rows 2..CUTOFF+1 (top-1 is
         # the designated positive), rank renumbered down by one

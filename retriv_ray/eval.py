@@ -86,3 +86,134 @@ def evaluate(qrels: Qrels, run: Run, metric: str = "ndcg") -> float:
         else:
             raise ValueError(f"unknown metric {metric!r}")
     return float(np.mean(scores)) if scores else 0.0
+
+
+def rank_eval_ds(
+    run,
+    qrels,
+    k: int = 10,
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+):
+    """Distributed rank evaluation: per-query MRR / nDCG@k / recall@k
+    over a run Dataset (q_id, rank, doc_id) and a qrels Dataset
+    (q_id, doc_id, rel int>0). Returns one row per qrels query —
+    (q_id, rr_e6, ndcg_e6, recall_e6, n_rel) — every column an exact
+    integer, so the result is bit-identical under any partitioning
+    and SQL-checkable at millions of queries.
+
+    Exactness contract (what makes order-free aggregation exact):
+    each ranked hit contributes the INTEGER
+    ``floor(1e9 * (2^rel - 1) / log2(rank + 1))`` to DCG (one float
+    expression -> floor, identical in SQL); the ideal DCG sums the
+    same terms over the relevance-sorted prefix. Integer sums are
+    order-independent; ``ndcg_e6 = (dcg * 1e6) // idcg``.
+    ``rr_e6 = 1e6 // first_relevant_rank`` (0 when no hit in top-k),
+    ``recall_e6 = (hits@k * 1e6) // n_rel``.
+
+    Shuffle shape: ONE q_id-keyed co-group of the side-tagged union
+    (run rows filtered to rank <= k BEFORE the exchange, qrels rows
+    as-is) — per-group size is k + |qrels_q|; the driver holds
+    nothing. Queries absent from the run score 0 (ranx behavior);
+    run-only queries (no qrels) are omitted like ranx skips them.
+    """
+    import pyarrow as pa
+
+    def _dcg_term_e9(rel: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        # floor(1e9 * (2^rel - 1) / log2(pos + 1)) as int64, elementwise
+        val = (np.power(2.0, rel.astype(np.float64)) - 1.0) / np.log2(
+            pos.astype(np.float64) + 1.0
+        )
+        return np.floor(1e9 * val).astype(np.int64)
+
+    union_schema = pa.schema(
+        [
+            (q_col, pa.string()),
+            (doc_col, pa.int64()),
+            ("x", pa.int64()),  # side 0: rank; side 1: rel
+            ("side", pa.int8()),
+        ]
+    )
+
+    def tag_run(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.less_equal(batch.column(rank_col), k))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(q_col), pa.string()),
+                pc.cast(batch.column(doc_col), pa.int64()),
+                pc.cast(batch.column(rank_col), pa.int64()),
+                pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def tag_qrels(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(q_col), pa.string()),
+                pc.cast(batch.column(doc_col), pa.int64()),
+                pc.cast(batch.column(rel_col), pa.int64()),
+                pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def per_query(group: pa.Table) -> pa.Table:
+        q = group.column(q_col)[0].as_py()
+        side = group.column("side").to_numpy()
+        docs = group.column(doc_col).to_numpy()
+        x = group.column("x").to_numpy()
+        rel_map_docs = docs[side == 1]
+        rel_map_gain = x[side == 1]
+        pos_mask = rel_map_gain > 0
+        rel_map_docs, rel_map_gain = (
+            rel_map_docs[pos_mask],
+            rel_map_gain[pos_mask],
+        )
+        n_rel = len(rel_map_docs)
+        if n_rel == 0:
+            # run-only query: no qrels -> omitted (ranx skips it)
+            return pa.Table.from_arrays(
+                [pa.array([], type=t) for t in
+                 (pa.string(), pa.int64(), pa.int64(), pa.int64(), pa.int64())],
+                names=[q_col, "rr_e6", "ndcg_e6", "recall_e6", "n_rel"],
+            )
+        ranks = x[side == 0]
+        rdocs = docs[side == 0]
+        order = np.argsort(ranks, kind="stable")
+        ranks, rdocs = ranks[order], rdocs[order]
+        so = np.argsort(rel_map_docs, kind="stable")
+        smap_d, smap_g = rel_map_docs[so], rel_map_gain[so]
+        at = np.searchsorted(smap_d, rdocs)
+        ok = (at < n_rel) & (smap_d[np.minimum(at, n_rel - 1)] == rdocs)
+        gains = np.where(ok, smap_g[np.minimum(at, n_rel - 1)], 0)
+        hit = gains > 0
+        rr_e6 = int(10**6 // ranks[hit][0]) if hit.any() else 0
+        dcg = int(_dcg_term_e9(gains[hit], ranks[hit]).sum()) if hit.any() else 0
+        ideal = np.sort(smap_g)[::-1][: min(k, n_rel)]
+        idcg = int(
+            _dcg_term_e9(ideal, np.arange(1, len(ideal) + 1)).sum()
+        )
+        ndcg_e6 = (dcg * 10**6) // idcg if idcg > 0 else 0
+        recall_e6 = (int(hit.sum()) * 10**6) // n_rel
+        return pa.Table.from_arrays(
+            [
+                pa.array([q], type=pa.string()),
+                pa.array([rr_e6], type=pa.int64()),
+                pa.array([ndcg_e6], type=pa.int64()),
+                pa.array([recall_e6], type=pa.int64()),
+                pa.array([n_rel], type=pa.int64()),
+            ],
+            names=[q_col, "rr_e6", "ndcg_e6", "recall_e6", "n_rel"],
+        )
+
+    tagged = run.map_batches(tag_run, batch_format="pyarrow").union(
+        qrels.map_batches(tag_qrels, batch_format="pyarrow")
+    )
+    return tagged.groupby(q_col).map_groups(per_query, batch_format="pyarrow")

@@ -151,3 +151,80 @@ def test_rrf_fuse_ds_matches_dict_path(ray_session):
         rows_q = sorted(got_by_q[q_id], key=lambda r: r["rank"])
         assert [r["doc_id"] for r in rows_q] == list(want)
         assert [r["score_e6"] for r in rows_q] == list(want.values())
+
+
+# -- distributed rank_eval_ds ------------------------------------------------
+
+
+def _re_tables():
+    import pyarrow as pa
+
+    run = pa.table(
+        {
+            "q_id": ["a"] * 4 + ["b"] * 3,
+            "rank": [1, 2, 3, 4, 1, 2, 3],
+            "doc_id": [10, 11, 12, 13, 20, 21, 22],
+        }
+    )
+    qrels = pa.table(
+        {
+            "q_id": ["a", "a", "a", "b", "c"],
+            "doc_id": [11, 13, 99, 20, 30],
+            "rel": [2, 1, 3, 1, 2],
+        }
+    )
+    return run, qrels
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_rank_eval_ds_exact_values(ray_session, blocks):
+    import math
+
+    import ray.data
+
+    from retriv_ray.eval import rank_eval_ds
+
+    run, qrels = _re_tables()
+    out = (
+        rank_eval_ds(
+            ray.data.from_arrow(run).repartition(blocks),
+            ray.data.from_arrow(qrels).repartition(blocks),
+            k=3,
+        )
+        .to_pandas().sort_values("q_id").set_index("q_id")
+    )
+    # q a: hits at rank 2 (rel 2); rank-4 hit is outside k=3
+    t = lambda rel, pos: math.floor(1e9 * (2**rel - 1) / math.log2(pos + 1))
+    dcg_a = t(2, 2)
+    idcg_a = t(3, 1) + t(2, 2) + t(1, 3)
+    assert out.loc["a", "rr_e6"] == 10**6 // 2
+    assert out.loc["a", "ndcg_e6"] == dcg_a * 10**6 // idcg_a
+    assert out.loc["a", "recall_e6"] == 10**6 // 3
+    assert out.loc["a", "n_rel"] == 3
+    # q b: perfect hit at rank 1 of the single relevant doc
+    assert out.loc["b", "rr_e6"] == 10**6
+    assert out.loc["b", "ndcg_e6"] == 10**6
+    assert out.loc["b", "recall_e6"] == 10**6
+    # q c: qrels-only query -> all-zero metrics, still present
+    assert out.loc["c", "rr_e6"] == 0 and out.loc["c", "recall_e6"] == 0
+    assert set(out.index) == {"a", "b", "c"}
+
+
+def test_rank_eval_ds_matches_driver_eval(ray_session):
+    import ray.data
+
+    from retriv_ray.eval import evaluate, rank_eval_ds
+
+    run, qrels = _re_tables()
+    out = rank_eval_ds(
+        ray.data.from_arrow(run), ray.data.from_arrow(qrels), k=3
+    ).to_pandas()
+    run_d = {}
+    for q, r, d in zip(run["q_id"].to_pylist(), run["rank"].to_pylist(), run["doc_id"].to_pylist()):
+        run_d.setdefault(q, {})[str(d)] = 1000.0 - r
+    qrels_d = {}
+    for q, d, g in zip(qrels["q_id"].to_pylist(), qrels["doc_id"].to_pylist(), qrels["rel"].to_pylist()):
+        qrels_d.setdefault(q, {})[str(d)] = g
+    mrr_ds = out["rr_e6"].sum() / 1e6 / len(out)
+    mrr_drv = evaluate(qrels_d, run_d, "mrr@3")
+    assert abs(mrr_ds - mrr_drv) < 1e-5
