@@ -1238,6 +1238,24 @@ def _q_clean_text(sf_dir: str):
     return clean_text(_docs(sf_dir))
 
 
+def _q_resumable_write(sf_dir: str):
+    """Resumable partitioned sink driven end-to-end: clean_text's
+    output lands in fixed md5-key-hash buckets written atomically with
+    _DONE markers (ops/io.py) — a re-run (including the driver calling
+    this twice) skips every completed bucket and reads back identical
+    rows. Oracle: the clean_text SQL (the sink must be lossless)."""
+    from retriv_ray.ops.io import read_resumable, resumable_write_parquet
+    from retriv_ray.ops.prep import clean_text
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(p)}|{os.path.getmtime(p)}|{os.path.getsize(p)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp", f"retriv_ray_sink_{key}")
+    resumable_write_parquet(clean_text(_docs(sf_dir)), out, "doc_id", n_buckets=16)
+    return read_resumable(out)
+
+
 def _q_split_by_hash(sf_dir: str):
     from retriv_ray.ops.prep import split_by_hash
 
@@ -2193,6 +2211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "dedup_filter": _q_dedup_filter,
         "clean_text": _q_clean_text,
+        "resumable_write": _q_resumable_write,
         "split_by_hash": _q_split_by_hash,
         "chunk_documents": _q_chunk_documents,
         "pack_token_stream": _q_pack_token_stream,
@@ -3645,6 +3664,9 @@ def oracle_sql() -> dict[str, str]:
                    '\s+', ' ', 'g')) AS clean
         FROM documents ORDER BY doc_id
     """
+    # the resumable sink must be lossless: reading the bucketed
+    # layout back equals the transform it persisted
+    out["resumable_write"] = out["clean_text"]
     out["dedup_filter"] = f"""
         WITH pairs AS ({_NGRAM_JACCARD_SQL})
         SELECT d.doc_id FROM documents d

@@ -1,0 +1,84 @@
+"""Resumable partitioned parquet sink (ops/io.py)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from retriv_ray.ops.io import (
+    read_resumable,
+    resumable_write_parquet,
+)
+
+
+def _ds(n=500, blocks=4):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "val": [f"v{i}" for i in range(n)],
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_roundtrip_and_layout(ray_session, tmp_path):
+    out = str(tmp_path / "out")
+    s = resumable_write_parquet(_ds(), out, "doc_id", n_buckets=8)
+    assert s["skipped"] == 0 and s["rows"] == 500
+    back = read_resumable(out).to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(range(500))
+    assert sorted(os.listdir(out))[0] == "bucket-00000"
+    assert all(
+        os.path.exists(os.path.join(out, d, "_DONE"))
+        for d in os.listdir(out)
+        if d.startswith("bucket-")
+    )
+
+
+def test_resume_skips_done_buckets(ray_session, tmp_path):
+    out = str(tmp_path / "out")
+    resumable_write_parquet(_ds(), out, "doc_id", n_buckets=8)
+    # tamper with one completed bucket: a resumed run must NOT touch it
+    victim = os.path.join(out, "bucket-00003")
+    sentinel = pq.read_table(os.path.join(victim, "part.parquet")).slice(0, 1)
+    pq.write_table(sentinel, os.path.join(victim, "part.parquet"))
+    # delete two buckets entirely (simulate the job dying mid-write)
+    import shutil
+
+    for i in (1, 6):
+        shutil.rmtree(os.path.join(out, f"bucket-{i:05d}"))
+    s = resumable_write_parquet(_ds(), out, "doc_id", n_buckets=8)
+    assert s["written"] == 2 and s["skipped"] == 6
+    # the tampered bucket kept its sentinel row -> proven untouched
+    assert pq.read_table(os.path.join(victim, "part.parquet")).num_rows == 1
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_bucket_contents_partition_independent(ray_session, tmp_path, blocks):
+    a = str(tmp_path / f"a{blocks}")
+    resumable_write_parquet(
+        _ds(blocks=blocks), a, "doc_id", n_buckets=5,
+        sort_within_bucket="doc_id",
+    )
+    b = str(tmp_path / f"b{blocks}")
+    resumable_write_parquet(
+        _ds(blocks=3), b, "doc_id", n_buckets=5, sort_within_bucket="doc_id"
+    )
+    for i in range(5):
+        ta = pq.read_table(os.path.join(a, f"bucket-{i:05d}", "part.parquet"))
+        tb = pq.read_table(os.path.join(b, f"bucket-{i:05d}", "part.parquet"))
+        assert ta.equals(tb), i
+
+
+def test_read_requires_completed_buckets(ray_session, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_resumable(str(tmp_path))
+
+
+def test_validates_buckets(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="n_buckets"):
+        resumable_write_parquet(_ds(), str(tmp_path / "x"), "doc_id", n_buckets=0)
