@@ -1238,6 +1238,30 @@ def _q_clean_text(sf_dir: str):
     return clean_text(_docs(sf_dir))
 
 
+def _q_approx_topk(sf_dir: str):
+    """Heavy hitters with explicit error bounds (ops/sketch.py
+    approx_topk): per-block exact counts, only the capacity-heaviest
+    values enter the exchange, truncation loss carried as a bound
+    column. The driver runs it with capacity >= any block's distinct
+    count, where the contract guarantees exact GROUP BY equality and
+    all-zero bounds (the capped behavior is pinned by tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.sketch import approx_topk
+
+    def toks(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.cast(batch.column("text"), pa.string()), r"\s+"
+        )
+        flat = pc.list_flatten(split)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.Table.from_arrays([flat], names=["term"])
+
+    tok_ds = _docs(sf_dir).map_batches(toks, batch_format="pyarrow")
+    return approx_topk(tok_ds, "term", k=15, capacity=100_000)
+
+
 def _q_resumable_write(sf_dir: str):
     """Resumable partitioned sink driven end-to-end: clean_text's
     output lands in fixed md5-key-hash buckets written atomically with
@@ -2212,6 +2236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_filter": _q_dedup_filter,
         "clean_text": _q_clean_text,
         "resumable_write": _q_resumable_write,
+        "approx_topk": _q_approx_topk,
         "split_by_hash": _q_split_by_hash,
         "chunk_documents": _q_chunk_documents,
         "pack_token_stream": _q_pack_token_stream,
@@ -3667,6 +3692,14 @@ def oracle_sql() -> dict[str, str]:
     # the resumable sink must be lossless: reading the bucketed
     # layout back equals the transform it persisted
     out["resumable_write"] = out["clean_text"]
+    # heavy hitters at oracle capacity == exact GROUP BY, zero bounds
+    out["approx_topk"] = f"""
+        WITH {_BASE_CTES}
+        SELECT term, count(*)::BIGINT AS est_count,
+               0::BIGINT AS max_undercount
+        FROM toks GROUP BY term
+        ORDER BY est_count DESC, term LIMIT 15
+    """
     out["dedup_filter"] = f"""
         WITH pairs AS ({_NGRAM_JACCARD_SQL})
         SELECT d.doc_id FROM documents d

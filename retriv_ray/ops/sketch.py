@@ -170,3 +170,116 @@ def approx_distinct_sql(
                     ELSE raw_e2::BIGINT END AS distinct_e2
         FROM est ORDER BY {key_col}
     """
+
+
+def approx_topk(
+    ds,
+    col: str,
+    k: int = 10,
+    capacity: int = 4096,
+    weight_col: str = None,
+):
+    """Approximate heavy hitters with an EXPLICIT error bound: the
+    top-``k`` values of ``col`` by (weighted) count, where each block
+    contributes only its ``capacity`` locally-heaviest values to the
+    exchange — the Misra-Gries/SpaceSaving bound made distributed.
+    Exact ``top_ngrams``-style counting ships EVERY distinct value
+    once per block; at 10^12 rows with a Zipf tail that is the
+    shuffle. This op caps the exchange at ``capacity`` rows per block
+    and carries the truncation loss as data:
+
+    returns (value, est_count, max_undercount) — ``est_count`` is the
+    sum of the value's SURVIVING per-block counts (never an
+    overcount), and ``max_undercount`` is the sum over blocks of the
+    largest count that block dropped, i.e. a per-value bound on how
+    much ``est_count`` can be below the true count (the standard MG
+    merge bound). ``est_count + max_undercount >= true >= est_count``.
+    With ``capacity`` >= any block's distinct-value count nothing is
+    dropped, every bound is 0 and the result equals the exact GROUP
+    BY — which is what the driver oracle pins; the capped behavior is
+    pinned by tests.
+
+    Shuffle shape: per-block exact count (np.unique) -> local
+    top-``capacity`` by (count desc, value asc) + ONE sentinel row
+    carrying the block's drop bound -> a single groupby(value) sum ->
+    top-``k`` by (est desc, value asc) plus the global bound folded
+    from the sentinels. The output is deterministic for a fixed
+    blocking; est/bounds depend on blocking only through WHICH rows
+    were dropped (document the blocking when reporting bounds).
+    """
+    import pyarrow.compute as pc
+
+    if k < 1 or capacity < 1:
+        raise ValueError("k and capacity must be >= 1")
+    SENTINEL = "\x00__mg_dropped__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        if weight_col is not None:
+            w = batch.column(weight_col).to_numpy().astype(np.int64)
+        else:
+            w = np.ones(len(vals), dtype=np.int64)
+        enc = pa.array(vals, type=pa.string()).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes, weights=w, minlength=len(enc.dictionary)).astype(
+            np.int64
+        )
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        order = np.lexsort((uniq, -counts))
+        keep, drop = order[:capacity], order[capacity:]
+        out_v = uniq[keep].tolist()
+        out_c = counts[keep]
+        out_b = np.zeros(len(keep), dtype=np.int64)
+        if len(drop):
+            # one sentinel row: the block's worst-case per-value loss
+            out_v.append(SENTINEL)
+            out_c = np.append(out_c, 0)
+            out_b = np.append(out_b, counts[drop].max())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_v, type=pa.string()),
+                pa.array(out_c),
+                pa.array(out_b),
+            ],
+            names=[col, "est_count", "bound"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(
+            Sum("est_count", alias_name="est_count"),
+            Sum("bound", alias_name="bound"),
+        )
+        .materialize()  # reused: sentinel probe + ranking
+    )
+    sent = agg.map_batches(
+        lambda t: t.filter(pc.equal(t.column(col), SENTINEL)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: at most one sentinel row survives the groupby
+    global_bound = int(sent[0]["bound"]) if sent else 0
+
+    def topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch.column(col), SENTINEL))
+        vals = np.asarray(batch.column(col).to_pylist(), dtype=object)
+        est = batch.column("est_count").to_numpy()
+        order = np.lexsort((vals, -est))[: k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(vals[order].tolist(), type=pa.string()),
+                pa.array(est[order]),
+                pa.array(np.full(len(order), global_bound, dtype=np.int64)),
+            ],
+            names=[col, "est_count", "max_undercount"],
+        )
+
+    # per-block partial top-k bounds the final exchange; the global
+    # ranking needs all survivors together for the cut, so the final
+    # top-k runs over the (capacity x blocks)-bounded aggregate
+    return (
+        agg.map_batches(topk, batch_format="pyarrow")
+        .sort(["est_count", col], descending=[True, False])
+        .limit(k)
+    )

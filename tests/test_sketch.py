@@ -84,3 +84,66 @@ def test_small_range_linear_counting(ray_session):
 def test_p_validation(ray_session):
     with pytest.raises(ValueError, match="p="):
         approx_distinct(_make_ds(["a"], [1], 1), key_col="k", value_col="v", p=2)
+
+
+# -- Misra-Gries approx_topk -------------------------------------------------
+
+
+def _zipf_tokens(n=6000, seed=2):
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(1.3, size=n)
+    return [f"tok{min(int(r), 400):03d}" for r in ranks]
+
+
+def test_approx_topk_exact_when_capacity_suffices(ray_session):
+    from collections import Counter
+
+    from retriv_ray.ops.sketch import approx_topk
+
+    toks = _zipf_tokens()
+    ds = _make_ds(toks, list(range(len(toks))), 5).drop_columns(["v"])
+    out = approx_topk(ds, "k", k=8, capacity=100_000).to_pandas()
+    ref = sorted(Counter(toks).items(), key=lambda p: (-p[1], p[0]))[:8]
+    assert list(zip(out["k"], out["est_count"])) == ref
+    assert (out["max_undercount"] == 0).all()
+
+
+def test_approx_topk_bound_honest_under_truncation(ray_session):
+    from collections import Counter
+
+    from retriv_ray.ops.sketch import approx_topk
+
+    toks = _zipf_tokens(n=8000, seed=5)
+    ds = _make_ds(toks, list(range(len(toks))), 6).drop_columns(["v"])
+    out = approx_topk(ds, "k", k=10, capacity=20).to_pandas()
+    true = Counter(toks)
+    for _, row in out.iterrows():
+        t = true[row["k"]]
+        assert row["est_count"] <= t <= row["est_count"] + row["max_undercount"], (
+            row["k"], row["est_count"], row["max_undercount"], t,
+        )
+    # the heavy head must survive a tight capacity
+    head = sorted(true.items(), key=lambda p: (-p[1], p[0]))[:3]
+    assert {v for v, _ in head} <= set(out["k"])
+
+
+def test_approx_topk_weighted(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.sketch import approx_topk
+
+    t = pa.table({"k": ["a", "b", "a", "c"], "w": [5, 2, 1, 10]})
+    out = approx_topk(
+        ray.data.from_arrow(t), "k", k=2, capacity=10, weight_col="w"
+    ).to_pandas()
+    assert list(zip(out["k"], out["est_count"])) == [("c", 10), ("a", 6)]
+
+
+def test_approx_topk_validates(ray_session):
+    from retriv_ray.ops.sketch import approx_topk
+
+    ds = _make_ds(["a"], [1], 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        approx_topk(ds, "k", k=0)
