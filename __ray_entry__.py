@@ -30,7 +30,10 @@ Implemented pipelines (SURVEY.md §2 + training-data operators):
   collapsing, BM25F weighted fields, hybrid sparse+dense fusion,
   per-term score explanation (value-exact), integer-exact Lloyd
   k-means over embeddings, Lucene-style query strings (boolean
-  structure over term/phrase/prefix/fuzzy/field leaves, query_string)
+  structure over term/phrase/prefix/fuzzy/field leaves, query_string),
+  function_score exp decay (decay_topk), sort-by-field retrieval
+  (sort_by_field), bucket ranking by max BM25 (grouped_topk),
+  per-doc term vectors (term_vectors)
 """
 
 from __future__ import annotations
@@ -157,6 +160,15 @@ QS_SYNONYMS = {"vector": ["row", "column"]}
 CUTOFF = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
+# function_score exp decay on a numeric field (search/decay.py):
+# multiplier = DECAY_RATE ** (|n_chars - origin| / scale)
+DECAY_FIELD = "n_chars"
+DECAY_ORIGIN = 400.0
+DECAY_SCALE = 150.0
+DECAY_RATE = 0.5
+SORT_FIELD = "n_chars"  # sort-by-field retrieval (search/fieldsort.py)
+GROUP_FIELD = "source"  # bucket ranking by max BM25 (search/groupscore.py)
+TERMVEC_DOC_IDS = [3, 17, 54, 128, 311]  # _termvectors subset
 
 _STOPS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by','be','are')"
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2163,6 +2175,133 @@ def _q_bm25_full_chain(sf_dir: str):
     return topk_table(r, TOPK_QUERIES, CUTOFF)
 
 
+def _q_decay_topk(sf_dir: str):
+    """function_score exp decay (search/decay.py): every matching
+    doc's BM25 score is multiplied by
+    DECAY_RATE ** (|n_chars - origin| / scale) before the top-k cut
+    (ES function_score semantics, not a window rescorer)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.decay import decay_queries
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    t = decay_queries(
+        r, TOPK_QUERIES, DECAY_FIELD, DECAY_ORIGIN, DECAY_SCALE,
+        DECAY_RATE, cutoff=CUTOFF,
+    )
+    convs, _ = r.index.to_original_ids(t.column("doc_id").to_numpy())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            pa.array(conv_to_doc_id(convs), type=pa.int64()),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
+def _q_sort_by_field(sf_dir: str):
+    """ES sort: the query's matching set ordered by n_chars desc
+    (doc_id tie-break) instead of relevance (search/fieldsort.py)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.fieldsort import sort_queries
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    t = sort_queries(r, TOPK_QUERIES, SORT_FIELD, cutoff=CUTOFF)
+    convs, _ = r.index.to_original_ids(t.column("doc_id").to_numpy())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            pa.array(conv_to_doc_id(convs), type=pa.int64()),
+            pa.array(
+                t.column("value").to_numpy().astype("int64"), type=pa.int64()
+            ),
+        ],
+        names=["q_id", "rank", "doc_id", "value"],
+    )
+
+
+def _q_grouped_topk(sf_dir: str):
+    """Bucket ranking by aggregated relevance (search/groupscore.py):
+    sources ranked by the max BM25 score of their docs; each bucket
+    reports its best (score desc, doc_id) document."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import (
+        conv_to_doc_id,
+        ensure_documents_metadata,
+    )
+    from retriv_ray.search.groupscore import grouped_queries
+
+    r = _index(sf_dir)
+    ensure_documents_metadata(sf_dir, r)
+    t = grouped_queries(r, TOPK_QUERIES, GROUP_FIELD, "max", cutoff=CUTOFF)
+    convs, _ = r.index.to_original_ids(t.column("doc_id").to_numpy())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            t.column("value"),
+            pa.array(conv_to_doc_id(convs), type=pa.int64()),
+        ],
+        names=["q_id", "rank", "value", "doc_id"],
+    )
+
+
+def _q_term_vectors(sf_dir: str):
+    """ES _termvectors (search/termvectors.py): per-doc (term, tf, df)
+    for a requested doc subset — a streaming actor-pool tokenize +
+    lazy TermStats df probe, never touching posting lists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.termvectors import term_vectors_ds
+
+    r = _index(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(expr=f"doc_id in {TERMVEC_DOC_IDS}")
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"d{i:012d}" for i in ids], type=pa.string()),
+                pa.array(np.zeros(len(ids), dtype=np.int32)),
+                batch.column("text"),
+            ],
+            names=["conv_id", "turn_idx", "text"],
+        )
+
+    tv = term_vectors_ds(r, docs.map_batches(to_turns, batch_format="pyarrow"))
+    t = pa.Table.from_pandas(tv.to_pandas())  # bounded: subset docs only
+    doc_ids = conv_to_doc_id(t.column("conv_id").to_pylist())
+    out = pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.int64()),
+            pc.cast(t.column("term"), pa.string()),
+            pc.cast(t.column("tf"), pa.int64()),
+            pc.cast(t.column("df"), pa.int64()),
+        ],
+        names=["doc_id", "term", "tf", "df"],
+    )
+    return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "vocabulary": _q_vocabulary,
@@ -2202,6 +2341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_top1": _q_explain_top1,
         "hybrid_topk": _q_hybrid_topk,
         "collapse_topk": _q_collapse_topk,
+        "decay_topk": _q_decay_topk,
+        "sort_by_field": _q_sort_by_field,
+        "grouped_topk": _q_grouped_topk,
+        "term_vectors": _q_term_vectors,
         "range_facets": _q_range_facets,
         "significant_terms": _q_significant_terms,
         "index_stats": _q_index_stats,
@@ -2619,6 +2762,70 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY q_id ORDER BY r) AS rank
               FROM grp WHERE vr <= {COLLAPSE_PER_VALUE})
             WHERE rank <= {COLLAPSE_CUTOFF} ORDER BY q_id, rank
+        """,
+        "decay_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            dec AS (
+              SELECT sc.q_id, sc.doc_id,
+                sc.score * pow({DECAY_RATE},
+                              abs(d.n_chars - {DECAY_ORIGIN}) / {DECAY_SCALE})
+                  AS fs
+              FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
+              FROM dec)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "sort_by_field": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            cand AS (
+              SELECT DISTINCT q.q_id, tf.doc_id
+              FROM qterms q JOIN tf ON tf.term = q.term)
+            SELECT q_id, rank, doc_id, value FROM (
+              SELECT c.q_id, c.doc_id, d.n_chars::BIGINT AS value,
+                row_number() OVER (PARTITION BY c.q_id
+                                   ORDER BY d.n_chars DESC, c.doc_id) AS rank
+              FROM cand c JOIN documents d ON d.doc_id = c.doc_id)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "grouped_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            ranked AS (
+              SELECT sc.q_id, d.{GROUP_FIELD}::VARCHAR AS value, sc.doc_id,
+                sc.score,
+                row_number() OVER (PARTITION BY sc.q_id, d.{GROUP_FIELD}
+                                   ORDER BY sc.score DESC, sc.doc_id) AS vr
+              FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+            SELECT q_id, rank, value, doc_id FROM (
+              SELECT q_id, value, doc_id,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, value) AS rank
+              FROM ranked WHERE vr = 1)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "term_vectors": f"""
+            WITH {_BASE_CTES}
+            SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, df.df::BIGINT AS df
+            FROM tf JOIN df ON df.term = tf.term
+            WHERE tf.doc_id IN ({", ".join(str(i) for i in TERMVEC_DOC_IDS)})
+            ORDER BY tf.doc_id, tf.term
         """,
         "hybrid_topk": f"""
             WITH {_BASE_CTES}, {_QTERMS},

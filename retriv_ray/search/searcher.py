@@ -975,6 +975,45 @@ class RaySparseRetriever:
 
         return rescore_topk(self, positional, queries, first_n, boost, cutoff)
 
+    def decay_search(
+        self, query: str, field: str, origin: float, scale: float,
+        decay: float = 0.5, q_id: str = "q", cutoff: int = 10,
+    ) -> pa.Table:
+        """function_score exp-decay ranking over a numeric metadata
+        field (search/decay.py)."""
+        from retriv_ray.search.decay import decay_topk
+
+        return decay_topk(
+            self, query, field, origin, scale, decay, q_id, cutoff
+        )
+
+    def sort_by_field(
+        self, query: str, field: str, q_id: str = "q",
+        descending: bool = True, cutoff: int = 10,
+    ) -> pa.Table:
+        """Matching docs ordered by a numeric metadata field instead
+        of relevance (search/fieldsort.py)."""
+        from retriv_ray.search.fieldsort import sort_topk
+
+        return sort_topk(self, query, field, q_id, descending, cutoff)
+
+    def grouped_search(
+        self, query: str, field: str, mode: str = "max",
+        q_id: str = "q", cutoff: int = 10,
+    ) -> pa.Table:
+        """Rank metadata-value groups by aggregated BM25
+        (search/groupscore.py)."""
+        from retriv_ray.search.groupscore import grouped_topk
+
+        return grouped_topk(self, query, field, mode, q_id, cutoff)
+
+    def term_vectors(self, docs_ds, **kwargs):
+        """Streaming per-doc (term, tf, df) statistics for a subset
+        Dataset of transcript rows (search/termvectors.py)."""
+        from retriv_ray.search.termvectors import term_vectors_ds
+
+        return term_vectors_ds(self, docs_ds, **kwargs)
+
 
 def _orig_key(k):
     """Result key -> qrels key string: turn-0 docs (the single-turn
