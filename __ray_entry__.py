@@ -115,6 +115,14 @@ REGEX_QUERIES = {
     "r3": "qu(ery|een)",
     "r4": "zz+",  # no match -> no rows
 }
+WILDCARD_QUERIES = {
+    "w1": "*usto*",   # infix, trigram-accelerated
+    "w2": "s?an*",    # '?' + short runs -> full-scan fallback
+    "w3": "*dow*",    # infix
+    "w4": "tab*",     # prefix with a 3-byte literal run
+    "w5": "*zzqqj*",  # absent trigram -> no rows
+}
+LM_MU = 2000.0
 MLT_DOC_IDS = [0, 7, 42]
 MLT_TERMS = 5
 FACET_QUERIES = {"fc1": "table scan join", "fc2": "spark big data"}
@@ -1923,6 +1931,49 @@ def _q_regex_search(sf_dir: str):
     )
 
 
+def _q_wildcard_search(sf_dir: str):
+    """Lucene WildcardQuery over a vocabulary trigram index: literal
+    runs >= 3 bytes intersect trigram posting lists, candidates are
+    RE2-verified, then per-doc distinct matching-term counts
+    (search/wildcard.py). Oracle = LIKE with the same whole-term
+    semantics."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.wildcard import wildcard_search_table
+
+    t = wildcard_search_table(_index(sf_dir), WILDCARD_QUERIES)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [t.column("q_id"), pa.array(docs, type=pa.int64()), t.column("n_terms")],
+        names=["q_id", "doc_id", "n_terms"],
+    )
+
+
+def _q_lm_dirichlet_topk(sf_dir: str):
+    """LM-Dirichlet query likelihood (Zhai-Lafferty; Lucene
+    LMDirichletSimilarity) over the same index — every ln() term
+    floor-quantized to 1e-6 BEFORE summation so the int64 total is
+    order-free and the SQL twin reproduces it exactly
+    (search/lm.py)."""
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+    from retriv_ray.search.lm import lm_dirichlet_table
+
+    t = lm_dirichlet_table(_index(sf_dir), TOPK_QUERIES, CUTOFF, LM_MU)
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            pa.array(docs, type=pa.int64()),
+            t.column("score_e6"),
+        ],
+        names=["q_id", "rank", "doc_id", "score_e6"],
+    )
+
+
 def _q_search_after(sf_dir: str):
     """Cursor pagination: page 2 of each BM25 ranking fetched
     statelessly via the (score, doc_id) cursor of page 1's last hit
@@ -2338,6 +2389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         "search_after": _q_search_after,
         "regex_search": _q_regex_search,
+        "wildcard_search": _q_wildcard_search,
+        "lm_dirichlet_topk": _q_lm_dirichlet_topk,
         "explain_top1": _q_explain_top1,
         "hybrid_topk": _q_hybrid_topk,
         "collapse_topk": _q_collapse_topk,
@@ -2528,6 +2581,12 @@ def oracle_sql() -> dict[str, str]:
     hws, hwd = HYBRID_WEIGHTS
     _regex_values = " , ".join(
         f"('{q}', '{p}')" for q, p in REGEX_QUERIES.items()
+    )
+    from retriv_ray.search.wildcard import wildcard_to_like
+
+    _wildcard_values = " , ".join(
+        f"('{q}', '{wildcard_to_like(p)}')"
+        for q, p in WILDCARD_QUERIES.items()
     )
     _facet_values = " , ".join(
         f"('{q}', '{t}')" for q, t in FACET_QUERIES.items()
@@ -2921,6 +2980,48 @@ def oracle_sql() -> dict[str, str]:
             FROM rx JOIN tf ON regexp_full_match(tf.term, rx.pat)
             GROUP BY rx.q_id, tf.doc_id
             ORDER BY q_id, doc_id
+        """,
+        "wildcard_search": f"""
+            WITH {_BASE_CTES},
+            wc(q_id, pat) AS (VALUES {_wildcard_values})
+            SELECT wc.q_id, tf.doc_id,
+                   count(DISTINCT tf.term)::BIGINT AS n_terms
+            FROM wc JOIN tf ON tf.term LIKE wc.pat ESCAPE '!'
+            GROUP BY wc.q_id, tf.doc_id
+            ORDER BY q_id, doc_id
+        """,
+        "lm_dirichlet_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+            tot AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+            nq AS (SELECT q.q_id, count(*)::BIGINT AS nq
+                   FROM qterms q JOIN df ON df.term = q.term
+                   GROUP BY q.q_id),
+            per_term AS (
+              SELECT q.q_id, tf.doc_id,
+                     floor(1000000 * ln(1 + tf.tf
+                       / ({LM_MU} * (cf.cf / t.total))))::BIGINT AS c
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN cf ON cf.term = q.term
+              CROSS JOIN tot t),
+            scores AS (
+              SELECT p.q_id, p.doc_id,
+                     (sum(p.c)
+                      + n.nq * floor(1000000
+                          * ln({LM_MU} / (dl.dl + {LM_MU})))::BIGINT
+                     )::BIGINT AS score_e6
+              FROM per_term p
+              JOIN dl ON dl.doc_id = p.doc_id
+              JOIN nq n ON n.q_id = p.q_id
+              GROUP BY p.q_id, p.doc_id, n.nq, dl.dl)
+            SELECT q_id, rank, doc_id, score_e6 FROM (
+              SELECT q_id, doc_id, score_e6,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_e6 DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF}
+            ORDER BY q_id, rank
         """,
         "search_after": f"""
             WITH {_BASE_CTES}, {_QTERMS},

@@ -907,6 +907,23 @@ class RaySparseRetriever:
 
         return regex_search_table(self, queries)
 
+    def wildcard_search(self, queries) -> pa.Table:
+        """{q_id: ``*``/``?`` wildcard} -> per-doc distinct
+        matching-term counts, trigram-index accelerated
+        (search/wildcard.py)."""
+        from retriv_ray.search.wildcard import wildcard_search_table
+
+        return wildcard_search_table(self, queries)
+
+    def lm_search(
+        self, queries, cutoff: int = 100, mu: float = 2000.0
+    ) -> pa.Table:
+        """{q_id: text} -> LM-Dirichlet rankings over the same index
+        (search/lm.py; score_e6 integer-quantized)."""
+        from retriv_ray.search.lm import lm_dirichlet_table
+
+        return lm_dirichlet_table(self, queries, cutoff, mu)
+
     def facets(self, query, fields) -> pa.Table:
         """Per facet-value doc counts over the query's matching set
         (search/facets.py)."""
