@@ -1463,6 +1463,28 @@ def _q_rolling_time_events(sf_dir: str):
     return rolling_time_stats(_events(sf_dir), window_seconds=3600)
 
 
+def _q_composite_agg(sf_dir: str):
+    """ES composite aggregation: TWO cursor pages of 40 buckets over
+    (event_type, user_id) — the map-side cursor filter + per-block
+    first-size combiner bound the exchange at size x blocks rows per
+    page (ops/relational.py:composite_agg). Concatenating the pages
+    must equal the oracle's first 80 buckets, which proves the cursor
+    hand-off is exact."""
+    import pyarrow as pa
+
+    from retriv_ray.ops.relational import composite_agg
+
+    ev = _events(sf_dir)
+    p1, after = composite_agg(
+        ev, ["event_type", "user_id"], size=40, value_col="value"
+    )
+    p2, _ = composite_agg(
+        ev, ["event_type", "user_id"], size=40, after=after,
+        value_col="value",
+    )
+    return pa.concat_tables([p1, p2])
+
+
 def _q_distinct_users_daily(sf_dir: str):
     from retriv_ray.ops.windows import distinct_users_daily
 
@@ -2467,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "rolling_time_events": _q_rolling_time_events,
         "distinct_users_daily": _q_distinct_users_daily,
+        "composite_agg": _q_composite_agg,
         "approx_distinct": _q_approx_distinct,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
@@ -4683,6 +4706,17 @@ def oracle_sql() -> dict[str, str]:
     """
     # exact grouped COUNT(DISTINCT) (ops/windows.py
     # distinct_users_daily): combiner-deduped triples, one shuffle
+    out["composite_agg"] = """
+        WITH b AS (
+          SELECT event_type::VARCHAR AS event_type,
+                 user_id::VARCHAR AS user_id,
+                 count(*)::BIGINT AS n,
+                 sum(CAST(floor(value * 100) AS BIGINT))::BIGINT
+                   AS value_cents
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, user_id, n, value_cents FROM b
+        ORDER BY event_type, user_id LIMIT 80
+    """
     out["distinct_users_daily"] = """
         SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s,
                count(DISTINCT user_id)::BIGINT AS n_users

@@ -648,3 +648,116 @@ def bloom_anti_join(
         maybe, right, on, right_on=rkey, num_partitions=num_partitions
     )
     return definite.union(checked)
+
+
+def composite_agg(
+    ds,
+    sources,
+    size: int = 100,
+    after=None,
+    value_col=None,
+):
+    """One page of an ES ``composite`` aggregation: the first ``size``
+    buckets of GROUP BY ``sources`` in ascending composite-key order,
+    strictly AFTER the ``after`` cursor (a tuple of key values from
+    the previous page's last bucket, or None for page one). Returns
+    ``(page_table, next_after)`` — feed ``next_after`` back in to
+    stream the next page; None when the key space is exhausted.
+
+    This is the resumable aggregation for huge-cardinality group-bys
+    (ES's replacement for deep terms-agg pagination): a consumer pages
+    through billions of buckets with O(size) driver memory per page.
+
+    Scale plan (why this beats re-running a full groupby per page):
+    the cursor filter applies MAP-SIDE before any exchange, so page N
+    moves only rows with key > cursor; each block then pre-aggregates
+    and keeps only its LOCAL first ``size`` buckets — correct because
+    bucket membership in the page is decided by KEY ORDER, not by
+    counts: a key among the global first ``size`` is among every
+    block's local first ``size``, so no partial count for a surviving
+    bucket is ever dropped (unlike count-ordered terms aggs, which is
+    what `approx_topk` is for). The exchange is bounded at
+    size x num_blocks pre-aggregated rows regardless of input size.
+
+    ``value_col`` (optional, double) adds ``value_cents`` =
+    sum(floor(value * 100)) — floor, not round, so the int64 sum is
+    tie-free and order-free for the SQL oracle. Key columns are cast
+    to string with NULL -> '' (documented sentinel; ES orders nulls
+    first too).
+    """
+    from ray.data.aggregate import Sum
+
+    sources = list(sources)
+    aft = list(after) if after is not None else None
+    metric_cols = ["n"] + (["value_cents"] if value_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.string()) for _ in sources]
+            + [pa.array([], type=pa.int64()) for _ in metric_cols],
+            names=sources + metric_cols,
+        )
+        if batch.num_rows == 0:
+            return empty
+        keys = [
+            pc.fill_null(pc.cast(batch.column(k), pa.string()), "")
+            for k in sources
+        ]
+        if aft is not None:
+            # vectorized strict tuple compare: key > after
+            gt = pc.greater(keys[0], aft[0])
+            eq = pc.equal(keys[0], aft[0])
+            for k_arr, a in zip(keys[1:], aft[1:]):
+                gt = pc.or_(gt, pc.and_(eq, pc.greater(k_arr, a)))
+                eq = pc.and_(eq, pc.equal(k_arr, a))
+            sel = gt
+        else:
+            sel = None
+        cols = keys
+        names = list(sources)
+        aggs = [([], "count_all")]
+        if value_col:
+            cols = cols + [
+                pc.cast(
+                    pc.floor(pc.multiply(batch.column(value_col), 100.0)),
+                    pa.int64(),
+                )
+            ]
+            names = names + ["v"]
+            aggs = [("v", "count"), ("v", "sum")]
+        t = pa.Table.from_arrays(cols, names=names)
+        if sel is not None:
+            t = t.filter(sel)
+        if t.num_rows == 0:
+            return empty
+        grouped = pa.TableGroupBy(t, sources).aggregate(aggs)
+        grouped = grouped.rename_columns(sources + metric_cols)
+        order = pc.sort_indices(
+            grouped, sort_keys=[(k, "ascending") for k in sources]
+        )
+        return grouped.take(order[:size]).select(sources + metric_cols)
+
+    page = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(sources)
+        .aggregate(*[Sum(c, alias_name=c) for c in metric_cols])
+        .sort(sources)
+        .limit(size)
+    )
+    df = page.to_pandas()
+    if df.empty:  # Ray drops the schema on an all-empty aggregate
+        tbl = pa.Table.from_arrays(
+            [pa.array([], type=pa.string()) for _ in sources]
+            + [pa.array([], type=pa.int64()) for _ in metric_cols],
+            names=sources + metric_cols,
+        )
+    else:
+        tbl = pa.Table.from_pandas(df, preserve_index=False).select(
+            sources + metric_cols
+        )
+    next_after = (
+        tuple(tbl.column(k)[-1].as_py() for k in sources)
+        if tbl.num_rows == size
+        else None
+    )
+    return tbl, next_after

@@ -347,3 +347,64 @@ def test_bloom_definite_path_bypasses_join(ray_session):
     bits = (words[idx // 64] >> (idx % 64).astype(np.uint64)) & np.uint64(1)
     fp = bits.all(axis=1).mean()
     assert fp < 0.05  # ~163 bits/key here; FP must be rare
+
+
+# -- composite aggregation ---------------------------------------------------
+
+
+def _composite_fixture_ds():
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table(
+        {
+            "a": [f"g{int(v):02d}" for v in rng.integers(0, 12, n)],
+            "b": rng.integers(0, 40, n),
+            "value": rng.normal(10, 5, n),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(7), t
+
+
+def test_composite_agg_pages_match_duckdb(ray_session):
+    import duckdb
+
+    from retriv_ray.ops.relational import composite_agg
+
+    ds, t = _composite_fixture_ds()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT a::VARCHAR AS a, b::VARCHAR AS b, count(*)::BIGINT AS n,
+                  sum(CAST(floor(value * 100) AS BIGINT))::BIGINT
+                    AS value_cents
+           FROM t GROUP BY a, b ORDER BY a, b"""
+    ).fetch_arrow_table()
+    pages, after = [], None
+    for _ in range(100):
+        page, after = composite_agg(
+            ds, ["a", "b"], size=37, after=after, value_col="value"
+        )
+        pages.append(page)
+        if after is None:
+            break
+    got = pa.concat_tables(pages)
+    assert got.num_rows == want.num_rows
+    assert got.to_pydict() == want.to_pydict()
+    # page boundaries are strict: no bucket appears twice
+    keys = list(zip(got.column("a").to_pylist(), got.column("b").to_pylist()))
+    assert len(keys) == len(set(keys))
+
+
+def test_composite_agg_count_only_and_empty_cursor(ray_session):
+    from retriv_ray.ops.relational import composite_agg
+
+    ds, t = _composite_fixture_ds()
+    page, after = composite_agg(ds, ["a"], size=100)
+    assert after is None and page.num_rows == 12
+    assert page.column_names == ["a", "n"]
+    assert sum(page.column("n").to_pylist()) == t.num_rows
+    # cursor past the end -> empty page
+    page2, after2 = composite_agg(ds, ["a"], size=5, after=("zzz",))
+    assert page2.num_rows == 0 and after2 is None
