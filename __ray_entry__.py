@@ -1953,6 +1953,54 @@ def _q_regex_search(sf_dir: str):
     )
 
 
+def _q_federated_global_topk(sf_dir: str):
+    """dfs_query_then_fetch federation: TWO independent indexes
+    (documents split by doc_id % 2) score with MERGED global stats —
+    the oracle is the unchanged single-corpus BM25 SQL, proving
+    cross-index global-stats serving is exactly single-index
+    semantics (search/federated.py)."""
+    from retriv_ray.pipelines.documents import (
+        ORACLE_BM25,
+        documents_split_indexes,
+    )
+    from retriv_ray.search.federated import federated_msearch
+
+    parts = documents_split_indexes(sf_dir, ORACLE_BM25, 2)
+    t = federated_msearch(parts, TOPK_QUERIES, CUTOFF, mode="global")
+    return _fed_to_docids(t)
+
+
+def _q_federated_local_topk(sf_dir: str):
+    """query_then_fetch federation (the ES default): each split index
+    scores with its OWN df/doc_count/avgdl; the oracle recomputes
+    per-corpus stats with corpus = doc_id % 2."""
+    from retriv_ray.pipelines.documents import (
+        ORACLE_BM25,
+        documents_split_indexes,
+    )
+    from retriv_ray.search.federated import federated_msearch
+
+    parts = documents_split_indexes(sf_dir, ORACLE_BM25, 2)
+    t = federated_msearch(parts, TOPK_QUERIES, CUTOFF, mode="local")
+    return _fed_to_docids(t)
+
+
+def _fed_to_docids(t):
+    import pyarrow as pa
+
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+
+    docs = conv_to_doc_id(t.column("conv_id").to_pylist())
+    return pa.Table.from_arrays(
+        [
+            t.column("q_id"),
+            t.column("rank"),
+            pa.array(docs, type=pa.int64()),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_wildcard_search(sf_dir: str):
     """Lucene WildcardQuery over a vocabulary trigram index: literal
     runs >= 3 bytes intersect trigram posting lists, candidates are
@@ -2413,6 +2461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": _q_regex_search,
         "wildcard_search": _q_wildcard_search,
         "lm_dirichlet_topk": _q_lm_dirichlet_topk,
+        "federated_global_topk": _q_federated_global_topk,
+        "federated_local_topk": _q_federated_local_topk,
         "explain_top1": _q_explain_top1,
         "hybrid_topk": _q_hybrid_topk,
         "collapse_topk": _q_collapse_topk,
@@ -3003,6 +3053,59 @@ def oracle_sql() -> dict[str, str]:
             FROM rx JOIN tf ON regexp_full_match(tf.term, rx.pat)
             GROUP BY rx.q_id, tf.doc_id
             ORDER BY q_id, doc_id
+        """,
+        # federated global stats == single-corpus semantics: the
+        # oracle is literally the bm25_topk SQL
+        "federated_global_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        "federated_local_topk": f"""
+            WITH {_QTERMS},
+            d2 AS (SELECT doc_id, doc_id % 2 AS corp,
+                          list_filter({_TOKS}, x -> x <> '') AS toks
+                   FROM documents),
+            toks AS (SELECT corp, doc_id, unnest(toks) AS term FROM d2),
+            tf AS (SELECT corp, doc_id, term, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY 1, 2, 3),
+            df AS (SELECT corp, term, count(*)::DOUBLE AS df
+                   FROM tf GROUP BY 1, 2),
+            dl AS (SELECT corp, doc_id, len(toks)::DOUBLE AS dl FROM d2),
+            stats AS (SELECT corp, count(*)::DOUBLE AS n,
+                             sum(len(toks))::DOUBLE / count(*)::DOUBLE
+                               AS avgdl
+                      FROM d2 GROUP BY corp),
+            scores AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q
+              JOIN tf ON tf.term = q.term
+              JOIN df ON df.corp = tf.corp AND df.term = q.term
+              JOIN dl ON dl.corp = tf.corp AND dl.doc_id = tf.doc_id
+              JOIN stats s ON s.corp = tf.corp
+              GROUP BY q.q_id, tf.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+              FROM scores)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
         """,
         "wildcard_search": f"""
             WITH {_BASE_CTES},

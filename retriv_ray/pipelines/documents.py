@@ -87,6 +87,45 @@ def documents_index(sf_dir: str, cfg: SparseConfig) -> RaySparseRetriever:
     return r
 
 
+def documents_split_indexes(
+    sf_dir: str, cfg: SparseConfig, n_splits: int = 2
+):
+    """Build-or-load ``n_splits`` cached indexes over the documents
+    table split by ``doc_id % n_splits`` — the federated-search
+    fixture (each split is an independent full index build)."""
+    import pyarrow.compute as pc
+
+    out = []
+    for part in range(n_splits):
+        key_src = (
+            f"{os.path.abspath(sf_dir)}|split{part}/{n_splits}|"
+            f"{sorted(cfg.to_json().items())}"
+        )
+        key = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+        hit = _RETRIEVERS.get((sf_dir, key))
+        if hit is not None:
+            out.append(hit)
+            continue
+        index_dir = os.path.join(CACHE_ROOT, key)
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+
+            def keep(batch: pa.Table, _p=part) -> pa.Table:
+                ids = pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("conv_id"), 1, 13),
+                    pa.int64(),
+                ).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % n_splits == _p))
+
+            src = documents_as_transcripts(sf_dir).map_batches(
+                keep, batch_format="pyarrow"
+            )
+            build_index(src, index_dir, cfg, num_parts=4)
+        r = RaySparseRetriever(index_dir, cfg)
+        _RETRIEVERS[(sf_dir, key)] = r
+        out.append(r)
+    return out
+
+
 def documents_transcript_parquet(sf_dir: str) -> str:
     """Write-once transcript-shaped parquet copy of documents.parquet
     (the positional build reads parquet path sources directly)."""
