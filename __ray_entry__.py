@@ -1953,6 +1953,50 @@ def _q_regex_search(sf_dir: str):
     )
 
 
+def _q_resharded_postings(sf_dir: str):
+    """Fleet-resize path: reshard the 4-part documents index to 6
+    term-hash parts WITHOUT touching the corpus (pure metadata row
+    move, index/reshard.py) and read POSTING_TERMS postings from the
+    resharded index. Oracle: the same SQL as ``postings`` — the
+    reshard must be indistinguishable from a full build at 6 parts
+    (segment files are byte-identical by test)."""
+    import pyarrow as pa
+
+    from retriv_ray.index.reshard import reshard_index
+    from retriv_ray.pipelines.documents import (
+        CACHE_ROOT,
+        ORACLE_BM25,
+        conv_to_doc_id,
+        documents_index,
+    )
+    from retriv_ray.search.searcher import RaySparseRetriever
+
+    src = _index(sf_dir)  # cached 4-part build
+    key = hashlib.sha1(
+        f"reshard6|{src.index_dir}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(CACHE_ROOT, f"resharded_{key}")
+    if not os.path.exists(os.path.join(out_dir, "manifest.json")):
+        reshard_index(src.index_dir, out_dir, 6)
+    r = RaySparseRetriever(out_dir, ORACLE_BM25)
+    t_out, d_out, f_out = [], [], []
+    for term in POSTING_TERMS:
+        d, f = r.index.get_postings(term)
+        convs, _ = r.index.to_original_ids(d)
+        orig = conv_to_doc_id(convs)
+        t_out.extend([term] * len(d))
+        d_out.extend(orig.tolist())
+        f_out.extend(f.astype(np.int64).tolist())
+    return pa.Table.from_arrays(
+        [
+            pa.array(t_out, type=pa.string()),
+            pa.array(d_out, type=pa.int64()),
+            pa.array(f_out, type=pa.int64()),
+        ],
+        names=["term", "doc_id", "tf"],
+    )
+
+
 def _q_federated_global_topk(sf_dir: str):
     """dfs_query_then_fetch federation: TWO independent indexes
     (documents split by doc_id % 2) score with MERGED global stats —
@@ -2429,6 +2473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lens": _q_doc_lens,
         "postings": _q_postings,
         "merged_postings": _q_merged_postings,
+        "resharded_postings": _q_resharded_postings,
         "deleted_bm25_topk": _q_deleted_bm25_topk,
         "pruned_bm25_topk": _q_pruned_bm25_topk,
         "bm25_and_topk": _q_bm25_and_topk,
@@ -4064,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
     out["pruned_bm25_topk"] = out["bm25_topk"]
     # merged half+half index must reproduce the whole-corpus postings
     out["merged_postings"] = out["postings"]
+    out["resharded_postings"] = out["postings"]
     # conjunctive (AND) BM25: only docs containing every query term
     out["bm25_and_topk"] = f"""
         WITH {_BASE_CTES}, {_QTERMS},
