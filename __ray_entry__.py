@@ -1503,6 +1503,20 @@ def _q_approx_distinct(sf_dir: str):
     )
 
 
+def _q_approx_count(sf_dir: str):
+    """Count-min sketch point counts (ops/sketch.py approx_count):
+    the 100 TB path for "how often does THIS value occur" — the
+    exchange moves <= d*w counter rows per block through one
+    groupby((row, cell)).sum, merge = +. Deliberately narrow w=64 so
+    hash collisions are exercised at sf0.01; the DuckDB twin is
+    generated from the same md5 + affine-row-hash constants, so every
+    (possibly overcounted) estimate matches bit for bit."""
+    from retriv_ray.ops.sketch import approx_count
+
+    probes = [str(u) for u in range(20)] + ["999999999"]
+    return approx_count(_events(sf_dir), "user_id", probes, d=4, w=64)
+
+
 def _q_group_centroids(sf_dir: str):
     from retriv_ray.ops.ann import group_centroids
 
@@ -2586,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": _q_distinct_users_daily,
         "composite_agg": _q_composite_agg,
         "approx_distinct": _q_approx_distinct,
+        "approx_count": _q_approx_count,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
         "order_priority_join": _q_order_priority_join,
@@ -4877,6 +4892,14 @@ def oracle_sql() -> dict[str, str]:
 
     out["approx_distinct"] = approx_distinct_sql(
         "events", "event_type", "user_id", p=8
+    )
+    # count-min sketch point counts: SQL twin generated from the same
+    # constants as the Ray op (one spec, two engines)
+    from retriv_ray.ops.sketch import approx_count_sql
+
+    out["approx_count"] = approx_count_sql(
+        "events", "user_id",
+        [str(u) for u in range(20)] + ["999999999"], d=4, w=64,
     )
     # quantile outlier trim (ops/textstats.py quantile_filter):
     # cutoffs via the exact histogram rank-select, binary-fraction q

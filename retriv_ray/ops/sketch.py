@@ -283,3 +283,139 @@ def approx_topk(
         .sort(["est_count", col], descending=[True, False])
         .limit(k)
     )
+
+
+# -- count-min sketch --------------------------------------------------------
+
+# fixed odd 32-bit row constants (Carter-Wegman style derivation from
+# ONE md5 per value: row hash j = (h * A[j] + B[j]) mod 2^64, then
+# % w). One md5 + d integer ops per row beats d md5 calls, and the
+# wrap-around is exact in BOTH engines (numpy uint64 wraps mod 2^64;
+# DuckDB computes in HUGEINT and takes % 2^64 explicitly).
+_CMS_A = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
+          0x165667B1, 0xD3A2646D)
+_CMS_B = (0x5BD1E995, 0x1B873593, 0xCC9E2D51, 0xE6546B64,
+          0x85EBCA6B, 0xC2B2AE35)
+_U64 = 1 << 64
+
+
+def approx_count(ds, value_col: str, probes, d: int = 4, w: int = 1024):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) point-count
+    estimates for the ``probes``: (value, est) with the one-sided
+    guarantee ``true <= est <= true + overcount`` (E[overcount] <=
+    N/w per row, min over d rows). Returns a pa.Table ordered by
+    value.
+
+    The 100 TB path for "how often does THIS value occur" when the
+    full GROUP BY is too wide: the exchange moves at most d*w counter
+    rows per block (d, w fixed — e.g. 4x4096 = 16k rows) through ONE
+    groupby((row, cell)).sum, and counters merge by + under any
+    partitioning. Integer-exact end to end — one md5 per value (the
+    repo hash convention) and d affine row hashes mod 2^64 — so the
+    DuckDB twin (:func:`approx_count_sql`, generated from the same
+    constants) reproduces every estimate bit for bit.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from retriv_ray.ops.dedup import _md5_low64_many
+
+    if d > len(_CMS_A):
+        raise ValueError(f"d <= {len(_CMS_A)} supported")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.int64())] * 3,
+            names=["row", "cell", "c"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        vals = pc.cast(batch.column(value_col), pa.string()).to_pylist()
+        h = _md5_low64_many(vals)
+        rows, cells, counts = [], [], []
+        for j in range(d):
+            hj = (h * np.uint64(_CMS_A[j]) + np.uint64(_CMS_B[j])) % np.uint64(
+                w
+            )
+            cell, c = np.unique(hj, return_counts=True)
+            rows.append(np.full(len(cell), j, dtype=np.int64))
+            cells.append(cell.astype(np.int64))
+            counts.append(c.astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(rows)),
+                pa.array(np.concatenate(cells)),
+                pa.array(np.concatenate(counts)),
+            ],
+            names=["row", "cell", "c"],
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "cell"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    table = {}
+    for r, cl, c in zip(agg["row"], agg["cell"], agg["c"]):
+        table[(int(r), int(cl))] = int(c)
+    out_v, out_e = [], []
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for v in sorted(probes, key=str):
+            hv = _md5_low64_many([str(v)])[0]
+            est = min(
+                table.get(
+                    (
+                        j,
+                        int(
+                            (hv * np.uint64(_CMS_A[j]) + np.uint64(_CMS_B[j]))
+                            % np.uint64(w)
+                        ),
+                    ),
+                    0,
+                )
+                for j in range(d)
+            )
+            out_v.append(str(v))
+            out_e.append(est)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_v, type=pa.string()),
+            pa.array(out_e, type=pa.int64()),
+        ],
+        names=["value", "est"],
+    )
+
+
+def approx_count_sql(
+    table: str, value_col: str, probes, d: int = 4, w: int = 1024
+) -> str:
+    """The DuckDB twin of :func:`approx_count` — same md5 + affine row
+    hashes, same min-over-rows, generated from the same constants."""
+    probe_values = " , ".join(f"('{v}')" for v in sorted(probes, key=str))
+    rows_j = " , ".join(f"({j})" for j in range(d))
+
+    def cell_expr(src: str) -> str:
+        return (
+            f"(((md5_number_lower({src})::HUGEINT * "
+            f"CASE r.j {' '.join(f'WHEN {j} THEN {_CMS_A[j]}' for j in range(d))} END"
+            f" + CASE r.j {' '.join(f'WHEN {j} THEN {_CMS_B[j]}' for j in range(d))} END)"
+            f" % {_U64}::HUGEINT) % {w})::BIGINT"
+        )
+
+    return f"""
+        WITH rows_(j) AS (VALUES {rows_j}),
+        cells AS (
+          SELECT r.j AS row_, {cell_expr(f"t.{value_col}::VARCHAR")} AS cell,
+                 count(*)::BIGINT AS c
+          FROM {table} t CROSS JOIN rows_ r
+          GROUP BY 1, 2),
+        probes(v) AS (VALUES {probe_values}),
+        lookups AS (
+          SELECT p.v, r.j AS row_, {cell_expr("p.v")} AS cell
+          FROM probes p CROSS JOIN rows_ r)
+        SELECT l.v AS value, min(coalesce(c.c, 0))::BIGINT AS est
+        FROM lookups l LEFT JOIN cells c
+          ON c.row_ = l.row_ AND c.cell = l.cell
+        GROUP BY l.v ORDER BY l.v
+    """
