@@ -1503,6 +1503,29 @@ def _q_approx_distinct(sf_dir: str):
     )
 
 
+def _q_group_percentiles(sf_dir: str):
+    """ES percentiles aggregation, exact (ops/textstats.py
+    group_percentiles): per-(event_type) quantile_disc of value-cents.
+    One groupby((group, value)).count moves only (group, distinct
+    value, count) triples; the rank-select runs inside
+    groupby(group).map_groups — distributed across groups, nothing on
+    the driver. Binary-fraction qs make ceil(q*n) exact in IEEE double
+    on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.textstats import group_percentiles
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), c], names=["event_type", "cents"]
+        )
+
+    ds = _events(sf_dir).map_batches(cents, batch_format="pyarrow")
+    return group_percentiles(ds, "event_type", "cents")
+
+
 def _q_approx_count(sf_dir: str):
     """Count-min sketch point counts (ops/sketch.py approx_count):
     the 100 TB path for "how often does THIS value occur" — the
@@ -2601,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": _q_composite_agg,
         "approx_distinct": _q_approx_distinct,
         "approx_count": _q_approx_count,
+        "group_percentiles": _q_group_percentiles,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
         "order_priority_join": _q_order_priority_join,
@@ -4897,6 +4921,11 @@ def oracle_sql() -> dict[str, str]:
     # constants as the Ray op (one spec, two engines)
     from retriv_ray.ops.sketch import approx_count_sql
 
+    # ES percentiles agg: per-group exact quantile_disc over cents
+    out["group_percentiles"] = """
+        SELECT event_type, 0.25 AS q, quantile_disc(round(value*100)::BIGINT, 0.25)::BIGINT AS value FROM events GROUP BY event_type\n          UNION ALL SELECT event_type, 0.5 AS q, quantile_disc(round(value*100)::BIGINT, 0.5)::BIGINT AS value FROM events GROUP BY event_type\n          UNION ALL SELECT event_type, 0.75 AS q, quantile_disc(round(value*100)::BIGINT, 0.75)::BIGINT AS value FROM events GROUP BY event_type\n          UNION ALL SELECT event_type, 0.875 AS q, quantile_disc(round(value*100)::BIGINT, 0.875)::BIGINT AS value FROM events GROUP BY event_type
+        ORDER BY event_type, q
+    """
     out["approx_count"] = approx_count_sql(
         "events", "user_id",
         [str(u) for u in range(20)] + ["999999999"], d=4, w=64,

@@ -643,6 +643,62 @@ def length_quantiles(
     )
 
 
+def group_percentiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs=(0.25, 0.5, 0.75, 0.875),
+):
+    """ES ``percentiles`` aggregation (per-group EXACT quantiles of an
+    integer column), reference semantics from the ``aggs: {percentiles}``
+    surface of search engines; quantile math matches DuckDB
+    ``quantile_disc`` exactly (index = max(0, ceil(q*n) - 1) over the
+    ascending values; default ``qs`` are binary fractions so q*n is
+    exact in IEEE double on both engines).
+
+    Scale plan (the per-group twin of :func:`length_quantiles`): ONE
+    ``groupby((group, value)).count()`` moves only (group, distinct
+    value, count) triples — never the rows — then
+    ``groupby(group).map_groups`` rank-selects inside each group, so
+    the selection is distributed across groups and no histogram ever
+    lands on the driver. Each group's state is bounded by its distinct
+    value count (for quantized metrics like integer cents: thousands,
+    at any corpus size).
+
+    Returns a Dataset (group, q: double, value: int64) sorted by
+    (group, q).
+    """
+    import math
+
+    hist = ds.groupby([group_col, value_col]).count()
+    qs = [float(q) for q in qs]
+
+    def select(group: pa.Table) -> pa.Table:
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = group.column("count()").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        idx = np.array(
+            [max(0, math.ceil(q * n) - 1) for q in qs], dtype=np.int64
+        )
+        pos = np.searchsorted(cum, idx, side="right")
+        key = group.column(group_col)[0]
+        return pa.Table.from_arrays(
+            [
+                pa.array([key.as_py()] * len(qs), type=group.schema.field(group_col).type),
+                pa.array(qs, type=pa.float64()),
+                pa.array(vals[pos].astype(np.int64), type=pa.int64()),
+            ],
+            names=[group_col, "q", "value"],
+        )
+
+    return hist.groupby(group_col).map_groups(
+        select, batch_format="pyarrow"
+    ).sort([group_col, "q"])
+
+
 def tfidf_keywords(
     ds,
     k: int = 5,

@@ -355,3 +355,47 @@ def test_quantile_filter_matches_quantile_disc(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_dtype=False
     )
+
+
+def test_group_percentiles_duckdb_parity_and_partitioning(ray_session):
+    """Per-group rank-select == DuckDB quantile_disc per group, and
+    the result is independent of input partitioning."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.textstats import group_percentiles
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["a", "b", "c"], 500)
+    v = rng.integers(0, 40, 500)
+    t = pa.table({"g": g, "v": v.astype(np.int64)})
+    con = duckdb.connect()
+    con.register("t", t)
+    qs = (0.25, 0.5, 0.875)
+    want = con.execute(
+        " UNION ALL ".join(
+            f"SELECT g, {q} AS q, quantile_disc(v, {q})::BIGINT AS value"
+            " FROM t GROUP BY g"
+            for q in qs
+        )
+        + " ORDER BY g, q"
+    ).df()
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = group_percentiles(ds, "g", "v", qs=qs).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+
+def test_group_percentiles_single_row_groups(ray_session):
+    """n=1 groups: every quantile selects the one value."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import group_percentiles
+
+    ds = ray.data.from_items([{"g": "x", "v": 7}, {"g": "y", "v": 3}])
+    out = group_percentiles(ds, "g", "v", qs=(0.25, 0.875)).to_pandas()
+    assert list(out["value"]) == [7, 7, 3, 3]
