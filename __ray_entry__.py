@@ -1526,6 +1526,19 @@ def _q_group_percentiles(sf_dir: str):
     return group_percentiles(ds, "event_type", "cents")
 
 
+def _q_pivot_counts(sf_dir: str):
+    """Crosstab (SQL PIVOT ... IN): per-user event-type count columns
+    (ops/relational.py pivot_counts). One vectorized flat bincount per
+    batch builds the whole g x (v+1) partial matrix, so the single
+    exchange moves per-block partial pivot rows, never events."""
+    from retriv_ray.ops.relational import pivot_counts
+
+    return pivot_counts(
+        _events(sf_dir), "user_id", "event_type",
+        ["click", "purchase", "signup"],
+    )
+
+
 def _q_approx_count(sf_dir: str):
     """Count-min sketch point counts (ops/sketch.py approx_count):
     the 100 TB path for "how often does THIS value occur" — the
@@ -2625,6 +2638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_count": _q_approx_count,
         "group_percentiles": _q_group_percentiles,
+        "pivot_counts": _q_pivot_counts,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
         "order_priority_join": _q_order_priority_join,
@@ -4921,6 +4935,15 @@ def oracle_sql() -> dict[str, str]:
     # constants as the Ray op (one spec, two engines)
     from retriv_ray.ops.sketch import approx_count_sql
 
+    # crosstab: static pivot-value list, conditional counts
+    out["pivot_counts"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+               count(*)::BIGINT AS n_total
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
     # ES percentiles agg: per-group exact quantile_disc over cents
     out["group_percentiles"] = """
         SELECT event_type, 0.25 AS q, quantile_disc(round(value*100)::BIGINT, 0.25)::BIGINT AS value FROM events GROUP BY event_type\n          UNION ALL SELECT event_type, 0.5 AS q, quantile_disc(round(value*100)::BIGINT, 0.5)::BIGINT AS value FROM events GROUP BY event_type\n          UNION ALL SELECT event_type, 0.75 AS q, quantile_disc(round(value*100)::BIGINT, 0.75)::BIGINT AS value FROM events GROUP BY event_type\n          UNION ALL SELECT event_type, 0.875 AS q, quantile_disc(round(value*100)::BIGINT, 0.875)::BIGINT AS value FROM events GROUP BY event_type

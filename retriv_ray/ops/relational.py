@@ -761,3 +761,66 @@ def composite_agg(
         else None
     )
     return tbl, next_after
+
+
+def pivot_counts(
+    ds,
+    row_col: str,
+    pivot_col: str,
+    values: Sequence[str],
+):
+    """Crosstab / SQL ``PIVOT ... IN (values)``: one output row per
+    ``row_col`` key with an int64 ``n_<value>`` count column per
+    listed pivot value plus ``n_total`` (all rows for that key, listed
+    or not). The pivot value list is explicit — like SQL's ``IN``
+    clause — so the output schema is static regardless of data.
+
+    Scale plan: each batch bincounts its (row key, pivot code) pairs
+    into one dense g x (v+1) matrix (one vectorized pass, codes from
+    ``dictionary_encode`` + ``pc.index_in``), so the single exchange
+    moves per-block PARTIAL pivot rows — bounded by distinct keys per
+    block x a fixed column count — and a ``groupby(row_col).sum``
+    over the already-wide columns finishes. No per-value pass, no
+    per-value shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    values = list(values)
+    nv = len(values)
+    val_arr = pa.array(values, type=pa.string())
+    names = [row_col] + [f"n_{v}" for v in values] + ["n_total"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            key_t = batch.schema.field(row_col).type
+            return pa.Table.from_arrays(
+                [pa.array([], type=key_t)]
+                + [pa.array([], type=pa.int64())] * (nv + 1),
+                names=names,
+            )
+        keys = batch.column(row_col).combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = len(enc.dictionary)
+        pcode = pc.index_in(
+            pc.cast(batch.column(pivot_col), pa.string()), value_set=val_arr
+        )
+        pcode = pc.fill_null(pcode, nv).to_numpy(zero_copy_only=False).astype(np.int64)
+        # one flat bincount: cell = key_code * (nv + 1) + pivot_code;
+        # the trailing per-key column catches unlisted values so
+        # n_total = row count without a second pass
+        flat = np.bincount(
+            codes * (nv + 1) + pcode, minlength=g * (nv + 1)
+        ).reshape(g, nv + 1)
+        cols = [enc.dictionary]
+        for j in range(nv):
+            cols.append(pa.array(flat[:, j], type=pa.int64()))
+        cols.append(pa.array(flat.sum(axis=1), type=pa.int64()))
+        return pa.Table.from_arrays(cols, names=names)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(row_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in names[1:]])
+        .sort(row_col)
+    )

@@ -408,3 +408,38 @@ def test_composite_agg_count_only_and_empty_cursor(ray_session):
     # cursor past the end -> empty page
     page2, after2 = composite_agg(ds, ["a"], size=5, after=("zzz",))
     assert page2.num_rows == 0 and after2 is None
+
+
+def test_pivot_counts_partition_independence_and_unlisted(ray_session):
+    """Pivot columns match conditional counts; unlisted values count
+    only toward n_total; empty blocks keep the schema."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.relational import pivot_counts
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "b", "b", "c"],
+            "p": ["x", "y", "x", "z", "z", "w"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT k,
+                  count(*) FILTER (p = 'x')::BIGINT AS n_x,
+                  count(*) FILTER (p = 'y')::BIGINT AS n_y,
+                  count(*)::BIGINT AS n_total
+           FROM t GROUP BY k ORDER BY k"""
+    ).df()
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = pivot_counts(ds, "k", "p", ["x", "y"]).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+    # 'z'/'w' never got their own column
+    assert list(got.columns) == ["k", "n_x", "n_y", "n_total"]
