@@ -1526,6 +1526,18 @@ def _q_group_percentiles(sf_dir: str):
     return group_percentiles(ds, "event_type", "cents")
 
 
+def _q_parse_json(sf_dir: str):
+    """Flat-JSON field extraction (ops/prep.py parse_json_fields):
+    events.props -> typed int64 column k via ONE compiled RE2 kernel
+    per field, zero shuffle. The oracle re-parses with DuckDB's real
+    JSON parser (json_extract), cross-checking the regex shortcut
+    against full-JSON semantics on every driver run."""
+    from retriv_ray.ops.prep import parse_json_fields
+
+    out = parse_json_fields(_events(sf_dir), col="props", int_fields=["k"])
+    return out.select_columns(["event_id", "k"]).sort("event_id")
+
+
 def _q_pivot_counts(sf_dir: str):
     """Crosstab (SQL PIVOT ... IN): per-user event-type count columns
     (ops/relational.py pivot_counts). One vectorized flat bincount per
@@ -2639,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_count": _q_approx_count,
         "group_percentiles": _q_group_percentiles,
         "pivot_counts": _q_pivot_counts,
+        "parse_json": _q_parse_json,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
         "order_priority_join": _q_order_priority_join,
@@ -4935,6 +4948,11 @@ def oracle_sql() -> dict[str, str]:
     # constants as the Ray op (one spec, two engines)
     from retriv_ray.ops.sketch import approx_count_sql
 
+    # flat-JSON field extraction: oracle uses the REAL json parser
+    out["parse_json"] = """
+        SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
+        FROM events ORDER BY event_id
+    """
     # crosstab: static pivot-value list, conditional counts
     out["pivot_counts"] = """
         SELECT user_id,

@@ -478,3 +478,41 @@ def weighted_sample(
     return survivors.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def parse_json_fields(
+    ds,
+    col: str = "props",
+    int_fields=(),
+    str_fields=(),
+):
+    """Extract scalar fields from a FLAT JSON-object string column
+    into typed top-level columns (int64 for ``int_fields``, string
+    for ``str_fields``; null where the key is absent or the row isn't
+    a flat object). The semi-structured-log staple: turn
+    ``props='{"k": 87}'`` into a queryable ``k`` column at read time
+    instead of shipping a JSON parser into every downstream stage.
+
+    Contract (documented, not checked): values are scalars and string
+    values contain no escaped quotes — the extraction is a compiled
+    RE2 kernel (``pc.extract_regex``) per field, one vectorized pass,
+    zero shuffle, zero Python per row. The DuckDB oracle parses the
+    same rows with a real JSON parser (``json_extract``), so the
+    regex shortcut is cross-checked against full-JSON semantics on
+    every driver run.
+    """
+
+    int_fields, str_fields = list(int_fields), list(str_fields)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch.column(col), pa.string())
+        for f in int_fields:
+            st = pc.extract_regex(src, rf'"{f}":\s*(?P<v>-?\d+)')
+            v = pc.cast(pc.struct_field(st, "v"), pa.int64())
+            batch = batch.append_column(f, v)
+        for f in str_fields:
+            st = pc.extract_regex(src, rf'"{f}":\s*"(?P<v>[^"]*)"')
+            batch = batch.append_column(f, pc.struct_field(st, "v"))
+        return batch
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -399,3 +399,29 @@ def test_group_percentiles_single_row_groups(ray_session):
     ds = ray.data.from_items([{"g": "x", "v": 7}, {"g": "y", "v": 3}])
     out = group_percentiles(ds, "g", "v", qs=(0.25, 0.875)).to_pandas()
     assert list(out["value"]) == [7, 7, 3, 3]
+
+
+def test_parse_json_fields_types_and_nulls(ray_session):
+    """int/str extraction, absent keys -> null, non-object rows -> null."""
+    import ray.data
+
+    from retriv_ray.ops.prep import parse_json_fields
+
+    rows = [
+        {"i": 0, "props": '{"k": 87, "tag": "a b"}'},
+        {"i": 1, "props": '{"k": -3}'},
+        {"i": 2, "props": '{"tag": ""}'},
+        {"i": 3, "props": "not json"},
+        {"i": 4, "props": None},
+    ]
+    ds = ray.data.from_items(rows)
+    out = (
+        parse_json_fields(ds, col="props", int_fields=["k"], str_fields=["tag"])
+        .sort("i")
+        .to_pandas()
+    )
+    ks = out["k"].astype("Int64")
+    assert list(ks[:2]) == [87, -3] and ks[2:].isna().all()
+    tags = list(out["tag"])
+    assert tags[0] == "a b" and tags[2] == ""
+    assert tags[1] is None and tags[3] is None and tags[4] is None
