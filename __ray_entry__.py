@@ -1538,6 +1538,18 @@ def _q_parse_json(sf_dir: str):
     return out.select_columns(["event_id", "k"]).sort("event_id")
 
 
+def _q_date_histogram_pipeline(sf_dir: str):
+    """ES calendar-interval date_histogram + pipeline aggs
+    (ops/windows.py date_histogram_pipeline): month buckets via
+    floor_temporal (= SQL date_trunc boundaries), then
+    cumulative_sum / derivative / trailing moving sum inside
+    groupby(key).map_groups over the already-aggregated bucket rows.
+    Integer-exact throughout (value cents)."""
+    from retriv_ray.ops.windows import date_histogram_pipeline
+
+    return date_histogram_pipeline(_events(sf_dir), unit="week", moving=3)
+
+
 def _q_pivot_counts(sf_dir: str):
     """Crosstab (SQL PIVOT ... IN): per-user event-type count columns
     (ops/relational.py pivot_counts). One vectorized flat bincount per
@@ -2651,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_count": _q_approx_count,
         "group_percentiles": _q_group_percentiles,
         "pivot_counts": _q_pivot_counts,
+        "date_histogram_pipeline": _q_date_histogram_pipeline,
         "parse_json": _q_parse_json,
         "quantile_filter": _q_quantile_filter,
         "customers_without_orders": _q_customers_without_orders,
@@ -4952,6 +4965,24 @@ def oracle_sql() -> dict[str, str]:
     out["parse_json"] = """
         SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
         FROM events ORDER BY event_id
+    """
+    # calendar date_histogram + ES pipeline aggs via window functions
+    out["date_histogram_pipeline"] = """
+        WITH h AS (
+          SELECT event_type,
+                 epoch(date_trunc('week', ts))::BIGINT AS window_start_s,
+                 count(*)::BIGINT AS n_events,
+                 sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, window_start_s, n_events, value_cents,
+               sum(value_cents) OVER w::BIGINT AS cum_cents,
+               (value_cents - lag(value_cents) OVER w)::BIGINT AS delta_cents,
+               sum(value_cents) OVER (
+                 PARTITION BY event_type ORDER BY window_start_s
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS moving_cents
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s)
+        ORDER BY event_type, window_start_s
     """
     # crosstab: static pivot-value list, conditional counts
     out["pivot_counts"] = """

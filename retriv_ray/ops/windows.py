@@ -584,3 +584,62 @@ def distinct_users_daily(
         .groupby([key_col, "day_s"])
         .map_groups(per_group, batch_format="pyarrow")
     )
+
+
+def date_histogram_pipeline(
+    ds,
+    unit: str = "month",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    moving: int = 3,
+):
+    """ES ``date_histogram`` with a CALENDAR interval (month/week/...,
+    via ``floor_temporal`` — boundaries match SQL ``date_trunc``, not
+    fixed-width buckets) plus the ES *pipeline aggregations* over each
+    key's bucket series, all integer-exact:
+
+    - ``cum_cents``     — ``cumulative_sum`` of value_cents
+    - ``delta_cents``   — ``derivative`` (minus the previous PRESENT
+      bucket; null on each key's first bucket — ES semantics for
+      series with gaps)
+    - ``moving_cents``  — ``moving_fn`` trailing sum over the last
+      ``moving`` present buckets including the current one
+
+    Scale plan: the histogram itself is :func:`tumbling_window` (per-
+    batch ``pa.TableGroupBy`` combiner, ONE shuffle of (key, bucket)
+    partials); the pipeline pass runs inside ``groupby(key).map_groups``
+    over the already-aggregated bucket rows — bounded by buckets per
+    key (calendar buckets: tiny at any corpus size), never touching
+    the events again.
+    """
+    hist = tumbling_window(
+        ds, every=unit, key_col=key_col, ts_col=ts_col, value_col=value_col
+    )
+
+    def series(group: pa.Table) -> pa.Table:
+        start = group.column("window_start_s").to_numpy(zero_copy_only=False)
+        order = np.argsort(start, kind="stable")
+        group = group.take(pa.array(order))
+        cents = group.column("value_cents").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cents)
+        delta = np.empty(len(cents), dtype=np.int64)
+        delta[1:] = cents[1:] - cents[:-1]
+        mov = cum - np.concatenate(([0] * min(moving, len(cum)), cum[:-moving]))
+        return (
+            group.append_column("cum_cents", pa.array(cum, type=pa.int64()))
+            .append_column(
+                "delta_cents",
+                pa.array(
+                    np.ma.masked_array(delta, mask=[True] + [False] * (len(delta) - 1)),
+                    type=pa.int64(),
+                ),
+            )
+            .append_column("moving_cents", pa.array(mov, type=pa.int64()))
+        )
+
+    return (
+        hist.groupby(key_col)
+        .map_groups(series, batch_format="pyarrow")
+        .sort([key_col, "window_start_s"])
+    )

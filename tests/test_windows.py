@@ -333,3 +333,39 @@ def test_distinct_users_daily_matches_sql(ray_session, nparts):
         want[["day_s", "n_users"]].astype("int64"),
         check_dtype=False,
     )
+
+
+def test_date_histogram_pipeline_gaps_and_partitioning(ray_session):
+    """Derivative diffs the previous PRESENT bucket (gap semantics),
+    first bucket per key is null, moving sum is trailing-3, and the
+    result is partition-independent."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.windows import date_histogram_pipeline
+
+    # key 'a': months 1, 2, 4 (gap at 3) with cents 100, 250, 400
+    def t(m, d=1):
+        return dt.datetime(2024, m, d)
+
+    rows = [
+        {"event_type": "a", "ts": t(1), "value": 1.00},
+        {"event_type": "a", "ts": t(2, 5), "value": 2.50},
+        {"event_type": "a", "ts": t(4, 9), "value": 4.00},
+        {"event_type": "b", "ts": t(1), "value": 9.99},
+    ]
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = date_histogram_pipeline(ds, unit="month").to_pandas()
+        a = out[out.event_type == "a"]
+        assert list(a["value_cents"]) == [100, 250, 400]
+        assert list(a["cum_cents"]) == [100, 350, 750]
+        d = a["delta_cents"].tolist()
+        assert d[0] is None or d[0] != d[0]  # null first
+        assert d[1:] == [150, 150]  # month-4 bucket diffs month-2 (gap)
+        assert list(a["moving_cents"]) == [100, 350, 750]
+        b = out[out.event_type == "b"]
+        assert list(b["value_cents"]) == [999]
+        assert b["delta_cents"].isna().all()
