@@ -142,6 +142,7 @@ SUGGEST_QUERIES = {
 SUGGEST_MAX_DIST = 2
 BM25F_WEIGHTS = {"title": 3, "body": 1}  # positive ints (exactness)
 BM25F_TITLE_TOKENS = 5  # field split: first 5 tokens = title, rest = body
+DIS_MAX_TIE = 0.3  # dis_max tie_breaker: best field + 0.3 * others
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1024  # power of two: the quantizing multiply is exact
@@ -1622,6 +1623,47 @@ def _q_bm25f_topk(sf_dir: str):
     ).select_columns(["q_id", "rank", "doc_id"])
 
 
+def _q_dis_max_topk(sf_dir: str):
+    """ES dis_max / multi_match best_fields (search/bm25f.py
+    dis_max_topk): title and body scored as independent per-field
+    BM25 subqueries (per-field df/N/avgdl — Lucene field statistics),
+    combined as best + tie_breaker * others. Rank-only output; ties
+    by ascending doc_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.search.bm25f import dis_max_topk
+
+    def to_fields(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.cast(batch.column("text"), pa.string()))
+        split = pc.split_pattern_regex(col, r"\s+")
+        title = pc.binary_join(
+            pc.list_slice(split, 0, BM25F_TITLE_TOKENS), " "
+        )
+        body = pc.binary_join(pc.list_slice(split, BM25F_TITLE_TOKENS), " ")
+        n = batch.num_rows
+        ids = batch.column("doc_id")
+        names = ["doc_id", "field", "text"]
+        return pa.concat_tables(
+            [
+                pa.Table.from_arrays(
+                    [ids, pa.array(["title"] * n, type=pa.string()), title],
+                    names=names,
+                ),
+                pa.Table.from_arrays(
+                    [ids, pa.array(["body"] * n, type=pa.string()), body],
+                    names=names,
+                ),
+            ]
+        )
+
+    fields = _docs(sf_dir).map_batches(to_fields, batch_format="pyarrow")
+    return dis_max_topk(
+        fields, TOPK_QUERIES, ["title", "body"], tie_breaker=DIS_MAX_TIE,
+        cutoff=CUTOFF,
+    ).select_columns(["q_id", "rank", "doc_id"])
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Integer-exact Lloyd k-means (seeded from the k smallest
     vec_ids, 2 rounds): quantize-then-int64 arithmetic makes the
@@ -2651,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "knn_join": _q_knn_join,
         "bm25f_topk": _q_bm25f_topk,
+        "dis_max_topk": _q_dis_max_topk,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
@@ -4721,6 +4764,60 @@ def oracle_sql() -> dict[str, str]:
             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
               AS rank
           FROM scores)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
+    # dis_max / best_fields: per-field BM25 subqueries (field-local
+    # N/avgdl/df), combined best + tie_breaker * others
+    out["dis_max_topk"] = f"""
+        WITH docs AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents),
+        fields AS (
+          SELECT doc_id, 'title' AS field,
+                 array_slice(toks, 1, least({_tt}, len(toks))) AS ftoks
+          FROM docs
+          UNION ALL
+          SELECT doc_id, 'body',
+                 CASE WHEN len(toks) > {_tt}
+                      THEN array_slice(toks, {_tt} + 1, len(toks))
+                      ELSE [] END
+          FROM docs),
+        dl AS (SELECT doc_id, field, len(ftoks)::BIGINT AS dl FROM fields),
+        toks2 AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
+        tf AS (
+          SELECT doc_id, field, term, count(*)::BIGINT AS tf
+          FROM toks2 GROUP BY 1, 2, 3),
+        fstats AS (
+          SELECT field, count(*)::DOUBLE AS n,
+                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+          FROM dl GROUP BY field),
+        fdf AS (
+          SELECT field, term, count(*)::DOUBLE AS df
+          FROM tf GROUP BY 1, 2),
+        {_QTERMS},
+        fscores AS (
+          SELECT q.q_id, tf.doc_id, tf.field,
+            sum( ln(1 + (s.n - fdf.df + 0.5) / (fdf.df + 0.5))
+                 * tf.tf::DOUBLE * ({k1} + 1)
+                 / (tf.tf::DOUBLE
+                    + {k1} * (1 - {b} + {b} * dl.dl::DOUBLE / s.avgdl)) )
+              AS score
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN fdf ON fdf.term = q.term AND fdf.field = tf.field
+          JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+          JOIN fstats s ON s.field = tf.field
+          GROUP BY 1, 2, 3),
+        comb AS (
+          SELECT q_id, doc_id,
+                 max(score) + {DIS_MAX_TIE} * (sum(score) - max(score))
+                   AS score
+          FROM fscores GROUP BY 1, 2)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+              AS rank
+          FROM comb)
         WHERE rank <= {CUTOFF} ORDER BY q_id, rank
     """
     # integer-exact Lloyd k-means, mirrors ops/cluster.py: quantized

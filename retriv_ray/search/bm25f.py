@@ -58,20 +58,23 @@ def _row_weights(batch: pa.Table, field_col: str, weights: Dict[str, int]):
         raise ValueError(f"unknown field {e.args[0]!r} in {field_col}")
 
 
-def bm25f_topk(
+def bm25f_scores(
     ds_fields,
     queries: Dict[str, str],
     field_weights: Dict[str, int],
     k1: float = 1.2,
     b: float = 0.75,
-    cutoff: int = 10,
     doc_col: str = "doc_id",
     field_col: str = "field",
     text_col: str = "text",
 ):
-    """(q_id, rank, doc_id, score) — BM25F top-``cutoff`` per query
-    over a (doc_id, field, text) dataset. Weights must be positive
-    integers (exactness contract above)."""
+    """Full (q_id, doc_id, score) BM25F score Dataset over a
+    (doc_id, field, text) dataset — the scoring body shared by
+    :func:`bm25f_topk` and :func:`dis_max_topk`. Weights must be
+    positive integers (exactness contract above). Collection stats
+    (N, avgwdl, df) are computed over the rows given, so restricting
+    ``ds_fields`` to ONE field yields that field's own BM25 — exactly
+    the per-field subquery statistics Lucene uses."""
     from ray.data.aggregate import Sum
 
     for f, w in field_weights.items():
@@ -281,11 +284,117 @@ def bm25f_topk(
             names=["q_id", doc_col, "contrib"],
         )
 
-    scores = (
+    return (
         cand.map_batches(contribs, batch_format="pyarrow")
         .groupby(["q_id", doc_col])
         .aggregate(Sum("contrib", alias_name="score"))
     )
+
+
+def bm25f_topk(
+    ds_fields,
+    queries: Dict[str, str],
+    field_weights: Dict[str, int],
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 10,
+    doc_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+):
+    """(q_id, rank, doc_id, score) — BM25F top-``cutoff`` per query
+    over a (doc_id, field, text) dataset. Weights must be positive
+    integers (exactness contract above)."""
+    scores = bm25f_scores(
+        ds_fields,
+        queries,
+        field_weights,
+        k1=k1,
+        b=b,
+        doc_col=doc_col,
+        field_col=field_col,
+        text_col=text_col,
+    )
+    return topk_per_group(
+        scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
+    )
+
+
+def dis_max_topk(
+    ds_fields,
+    queries: Dict[str, str],
+    fields,
+    tie_breaker: float = 0.3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 10,
+    doc_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+):
+    """ES ``dis_max`` / ``multi_match type=best_fields``: each field is
+    scored as its OWN BM25 subquery (per-field df, per-field doc count
+    and average length — Lucene's per-field statistics, reference
+    semantics of the ``dis_max`` compound query), then per (query,
+    doc):
+
+        score = best_field + tie_breaker * (sum_of_others)
+
+    Scale plan: one :func:`bm25f_scores` pipeline per field (a small
+    fixed list) over a map-side filtered view — each moves only ITS
+    field's (doc, query-term) partials; the combine is a single
+    groupby((q_id, doc)) of per-field score rows with max/sum
+    aggregates, never a per-doc gather. Returns (q_id, rank, doc_id,
+    score) top-``cutoff``, ties broken by ascending doc_id."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    fields = list(fields)
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    per_field = []
+    for f in fields:
+
+        def only(batch: pa.Table, _f=f) -> pa.Table:
+            return batch.filter(
+                _pc.equal(_pc.cast(batch.column(field_col), pa.string()), _f)
+            )
+
+        per_field.append(
+            bm25f_scores(
+                ds_fields.map_batches(only, batch_format="pyarrow"),
+                queries,
+                {f: 1},
+                k1=k1,
+                b=b,
+                doc_col=doc_col,
+                field_col=field_col,
+                text_col=text_col,
+            )
+        )
+    allf = per_field[0]
+    for other in per_field[1:]:
+        allf = allf.union(other)
+    agg = allf.groupby(["q_id", doc_col]).aggregate(
+        Max("score", alias_name="best"),
+        _Sum("score", alias_name="total"),
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        best = batch.column("best").to_numpy(zero_copy_only=False)
+        total = batch.column("total").to_numpy(zero_copy_only=False)
+        score = best + tie_breaker * (total - best)
+        return pa.Table.from_arrays(
+            [
+                batch.column("q_id"),
+                batch.column(doc_col),
+                pa.array(score, type=pa.float64()),
+            ],
+            names=["q_id", doc_col, "score"],
+        )
+
+    scores = agg.map_batches(combine, batch_format="pyarrow")
     return topk_per_group(
         scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
     )

@@ -124,3 +124,43 @@ def test_bm25f_unknown_field_raises(ray_session):
         bm25f_topk(
             ray.data.from_arrow(t), {"q": "spark"}, WEIGHTS,
                     ).to_pandas()
+
+
+def test_dis_max_reduces_to_single_field_bm25(ray_session):
+    """With one field, dis_max == that field's BM25 ranking; with two
+    fields and tie_breaker=0, only the best field decides."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.search.bm25f import bm25f_topk, dis_max_topk
+
+    rows = [
+        {"doc_id": 0, "field": "title", "text": "apple pie"},
+        {"doc_id": 0, "field": "body", "text": "a long body about apples and apple"},
+        {"doc_id": 1, "field": "title", "text": "banana split"},
+        {"doc_id": 1, "field": "body", "text": "apple apple apple short"},
+        {"doc_id": 2, "field": "title", "text": "apple apple"},
+        {"doc_id": 2, "field": "body", "text": "nothing relevant here at all"},
+    ]
+    ds = ray.data.from_items(rows)
+    q = {"q0": "apple"}
+
+    one = dis_max_topk(ds, q, ["title"], tie_breaker=0.7, cutoff=5).to_pandas()
+    ref = bm25f_topk(
+        ds.filter(lambda r: r["field"] == "title"), q, {"title": 1}, cutoff=5
+    ).to_pandas()
+    assert list(one["doc_id"]) == list(ref["doc_id"])
+    assert list(one["rank"]) == list(ref["rank"])
+
+    both = dis_max_topk(
+        ds, q, ["title", "body"], tie_breaker=0.0, cutoff=5
+    ).to_pandas()
+    assert set(both["doc_id"]) == {0, 1, 2}
+    # tie_breaker>0 strictly increases multi-field matchers' scores
+    tb = dis_max_topk(
+        ds, q, ["title", "body"], tie_breaker=0.5, cutoff=5
+    ).to_pandas()
+    s0 = dict(zip(both["doc_id"], both["score"]))
+    s5 = dict(zip(tb["doc_id"], tb["score"]))
+    assert s5[0] > s0[0]  # doc 0 matches in both fields
+    assert s5[1] == s0[1]  # doc 1 matches body only
