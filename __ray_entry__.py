@@ -143,6 +143,12 @@ SUGGEST_MAX_DIST = 2
 BM25F_WEIGHTS = {"title": 3, "body": 1}  # positive ints (exactness)
 BM25F_TITLE_TOKENS = 5  # field split: first 5 tokens = title, rest = body
 DIS_MAX_TIE = 0.3  # dis_max tie_breaker: best field + 0.3 * others
+BOOSTING_QUERIES = {  # q_id -> (positive_text, negative_text)
+    "n1": ("table scan join", "spark"),
+    "n2": ("window batch stream", "customer order"),
+    "n3": ("hash merge filter", "table"),
+}
+NEGATIVE_BOOST = 0.4
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1024  # power of two: the quantizing multiply is exact
@@ -1664,6 +1670,21 @@ def _q_dis_max_topk(sf_dir: str):
     ).select_columns(["q_id", "rank", "doc_id"])
 
 
+def _q_boosting_topk(sf_dir: str):
+    """ES boosting compound query (search/bm25f.py boosting_topk):
+    positive BM25 scores, docs matching any negative term demoted by
+    negative_boost (not excluded). One scoring pass + one map-side
+    neg-flag pass + one (q_id, doc) combine exchange."""
+    from retriv_ray.search.bm25f import boosting_topk
+
+    return boosting_topk(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        BOOSTING_QUERIES,
+        negative_boost=NEGATIVE_BOOST,
+        cutoff=CUTOFF,
+    ).select_columns(["q_id", "rank", "doc_id"])
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Integer-exact Lloyd k-means (seeded from the k smallest
     vec_ids, 2 rounds): quantize-then-int64 arithmetic makes the
@@ -2694,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "bm25f_topk": _q_bm25f_topk,
         "dis_max_topk": _q_dis_max_topk,
+        "boosting_topk": _q_boosting_topk,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
@@ -4764,6 +4786,47 @@ def oracle_sql() -> dict[str, str]:
             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
               AS rank
           FROM scores)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
+    # boosting query: positive BM25, negative matches demoted by nb
+    _bq_pos = " , ".join(
+        f"('{q}', '{p_}')" for q, (p_, _n) in BOOSTING_QUERIES.items()
+    )
+    _bq_neg = " , ".join(
+        f"('{q}', '{n_}')" for q, (_p, n_) in BOOSTING_QUERIES.items()
+    )
+    out["boosting_topk"] = f"""
+        WITH {_BASE_CTES},
+        qterms AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                   FROM (VALUES {_bq_pos}) AS q(q_id, qtext)),
+        negterms AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS term
+                     FROM (VALUES {_bq_neg}) AS q(q_id, qtext)),
+        negdocs AS (
+          SELECT DISTINCT n.q_id, t.doc_id
+          FROM negterms n JOIN tf t ON t.term = n.term),
+        scores AS (
+          SELECT q.q_id, tf.doc_id,
+            sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1)
+                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, tf.doc_id),
+        boosted AS (
+          SELECT s.q_id, s.doc_id,
+                 s.score * CASE WHEN nd.doc_id IS NULL
+                                THEN 1.0 ELSE {NEGATIVE_BOOST} END AS score
+          FROM scores s
+          LEFT JOIN negdocs nd
+            ON nd.q_id = s.q_id AND nd.doc_id = s.doc_id)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+              AS rank
+          FROM boosted)
         WHERE rank <= {CUTOFF} ORDER BY q_id, rank
     """
     # dis_max / best_fields: per-field BM25 subqueries (field-local

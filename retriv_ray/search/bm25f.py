@@ -398,3 +398,137 @@ def dis_max_topk(
     return topk_per_group(
         scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
     )
+
+
+def boosting_topk(
+    ds_docs,
+    queries: Dict[str, tuple],
+    negative_boost: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """ES ``boosting`` compound query: documents are scored by the
+    POSITIVE query's BM25; any document that also matches the NEGATIVE
+    query (contains any of its terms) keeps its position list but has
+    its score multiplied by ``negative_boost`` (0 < nb < 1 demotes
+    without excluding — the difference from ``must_not``).
+
+    ``queries`` maps q_id -> (positive_text, negative_text).
+
+    Scale plan: one :func:`bm25f_scores` pass for the positive scores
+    (single pseudo-field, so plain BM25), one map-side tokenize pass
+    filtered to the union of NEGATIVE terms producing distinct
+    (q_id, doc_id, flag) rows, then a single groupby((q_id, doc))
+    combine of score rows and flag rows — Sum(score) + Max(flag) —
+    so the demotion costs one small exchange, never a doc gather.
+    Returns (q_id, rank, doc_id, score) top-``cutoff``, ties by
+    ascending doc_id."""
+    from ray.data.aggregate import Max, Sum
+
+    if not 0 <= negative_boost <= 1:
+        raise ValueError("negative_boost must be in [0, 1]")
+    pos_q = {q: p for q, (p, _n) in queries.items()}
+    neg_terms_by_q = {q: sorted(set(n.split())) for q, (_p, n) in queries.items()}
+    all_neg = sorted({t for ts in neg_terms_by_q.values() for t in ts})
+    neg_arr = pa.array(all_neg, type=pa.string())
+    term_to_qids: Dict[str, List[str]] = {}
+    for q, ts in neg_terms_by_q.items():
+        for t in ts:
+            term_to_qids.setdefault(t, []).append(q)
+
+    def with_field(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "field", pa.array(["t"] * batch.num_rows, type=pa.string())
+        )
+
+    pos = bm25f_scores(
+        ds_docs.map_batches(with_field, batch_format="pyarrow"),
+        pos_q,
+        {"t": 1},
+        k1=k1,
+        b=b,
+        doc_col=doc_col,
+        field_col="field",
+        text_col=text_col,
+    )
+    _sch = ds_docs.schema()
+    doc_type = dict(zip(_sch.names, _sch.types))[doc_col]
+    flag_schema = pa.schema(
+        [
+            ("q_id", pa.string()),
+            (doc_col, doc_type),
+            ("score", pa.float64()),
+            ("neg", pa.int8()),
+        ]
+    )
+
+    def neg_flags(batch: pa.Table) -> pa.Table:
+        parent, flat = _flat_tokens(batch, text_col)
+        mask = pc.is_in(flat, value_set=neg_arr).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return flag_schema.empty_table()
+        parent = parent[mask]
+        terms = flat.filter(pa.array(mask))
+        docs = batch.column(doc_col).to_numpy()[parent]
+        out_q, out_d = [], []
+        for t, qids in term_to_qids.items():
+            tmask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+            if not tmask.any():
+                continue
+            d = np.unique(docs[tmask])
+            for q in qids:
+                out_q.append(pa.array([q] * len(d), type=pa.string()))
+                out_d.append(d)
+        if not out_d:
+            return flag_schema.empty_table()
+        n = sum(len(d) for d in out_d)
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(out_q),
+                pa.array(np.concatenate(out_d)),
+                pa.array(np.zeros(n, dtype=np.float64)),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=flag_schema.names,
+        )
+
+    def tag_pos(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("q_id"),
+                batch.column(doc_col),
+                pc.cast(batch.column("score"), pa.float64()),
+                pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            ],
+            names=flag_schema.names,
+        )
+
+    unioned = pos.map_batches(tag_pos, batch_format="pyarrow").union(
+        ds_docs.map_batches(neg_flags, batch_format="pyarrow")
+    )
+    agg = unioned.groupby(["q_id", doc_col]).aggregate(
+        Sum("score", alias_name="score"),
+        Max("neg", alias_name="neg"),
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        score = batch.column("score").to_numpy(zero_copy_only=False)
+        neg = batch.column("neg").to_numpy(zero_copy_only=False)
+        out = np.where(neg > 0, score * negative_boost, score)
+        keep = score > 0  # flag-only rows (doc matches neg, not pos)
+        return pa.Table.from_arrays(
+            [
+                batch.column("q_id").filter(pa.array(keep)),
+                batch.column(doc_col).filter(pa.array(keep)),
+                pa.array(out[keep], type=pa.float64()),
+            ],
+            names=["q_id", doc_col, "score"],
+        )
+
+    scores = agg.map_batches(combine, batch_format="pyarrow")
+    return topk_per_group(
+        scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
+    )

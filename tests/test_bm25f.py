@@ -164,3 +164,30 @@ def test_dis_max_reduces_to_single_field_bm25(ray_session):
     s5 = dict(zip(tb["doc_id"], tb["score"]))
     assert s5[0] > s0[0]  # doc 0 matches in both fields
     assert s5[1] == s0[1]  # doc 1 matches body only
+
+
+def test_boosting_demotes_without_excluding(ray_session):
+    """Negative matches stay in the result, demoted by nb; nb=1 is a
+    no-op; nb=0 sinks them to the bottom (score 0 still listed)."""
+    import ray.data
+
+    from retriv_ray.search.bm25f import boosting_topk
+
+    rows = [
+        {"doc_id": 0, "text": "apple pie recipe"},
+        {"doc_id": 1, "text": "apple iphone store"},
+        {"doc_id": 2, "text": "apple orchard farm"},
+        {"doc_id": 3, "text": "banana bread"},
+    ]
+    ds = ray.data.from_items(rows)
+    q = {"q0": ("apple", "iphone store")}
+
+    noop = boosting_topk(ds, q, negative_boost=1.0, cutoff=10).to_pandas()
+    demo = boosting_topk(ds, q, negative_boost=0.1, cutoff=10).to_pandas()
+    assert set(noop["doc_id"]) == {0, 1, 2}  # doc 3 never matches
+    assert set(demo["doc_id"]) == {0, 1, 2}  # doc 1 demoted, not dropped
+    s_noop = dict(zip(noop["doc_id"], noop["score"]))
+    s_demo = dict(zip(demo["doc_id"], demo["score"]))
+    assert s_demo[1] < s_demo[0] and s_demo[1] < s_demo[2]
+    assert abs(s_demo[1] - 0.1 * s_noop[1]) < 1e-12
+    assert s_demo[0] == s_noop[0]  # non-matching docs untouched
