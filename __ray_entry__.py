@@ -1570,6 +1570,67 @@ def _q_pivot_counts(sf_dir: str):
     )
 
 
+def _q_corr_stats(sf_dir: str):
+    """ES matrix_stats between two metrics (ops/relational.py
+    corr_stats): value-cents x the JSON-extracted props.k per
+    event_type, as integer-exact sufficient statistics (n, sums,
+    squares, cross products) — correlation is driver arithmetic,
+    the exchange stays integer-only. Composes parse_json_fields
+    (RE2 extraction) with the combiner-first stats pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.prep import parse_json_fields
+    from retriv_ray.ops.relational import corr_stats
+
+    ds = parse_json_fields(_events(sf_dir), col="props", int_fields=["k"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), c, batch.column("k")],
+            names=["event_type", "cents", "k"],
+        )
+
+    return corr_stats(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "cents", "k",
+    )
+
+
+def _q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks (inverse percentiles), exact and integer-
+    only (ops/textstats.py percentile_ranks): per event_type, how many
+    value-cents are <= each probe — returned as two exact integers
+    (n_le, n) so the hash check needs no float tolerance."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.textstats import percentile_ranks
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), c], names=["event_type", "cents"]
+        )
+
+    ds = _events(sf_dir).map_batches(cents, batch_format="pyarrow")
+    return percentile_ranks(
+        ds, "event_type", "cents", [1000, 5000, 10000, 15000]
+    )
+
+
+def _q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation, exact (ops/textstats.py rare_terms):
+    the corpus' long-tail tokens with total count <= 100, via one
+    combiner-first groupby(term).sum and a schema-preserving
+    post-filter (the synthetic vocabulary is closed, so the rare tail
+    is the deliberately-rare marker token)."""
+    from retriv_ray.ops.textstats import rare_terms
+
+    return rare_terms(_docs(sf_dir), max_count=100)
+
+
 def _q_approx_count(sf_dir: str):
     """Count-min sketch point counts (ops/sketch.py approx_count):
     the 100 TB path for "how often does THIS value occur" — the
@@ -2728,6 +2789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_count": _q_approx_count,
         "group_percentiles": _q_group_percentiles,
         "pivot_counts": _q_pivot_counts,
+        "corr_stats": _q_corr_stats,
+        "percentile_ranks": _q_percentile_ranks,
+        "rare_terms": _q_rare_terms,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "parse_json": _q_parse_json,
         "quantile_filter": _q_quantile_filter,
@@ -5143,6 +5207,38 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s)
         ORDER BY event_type, window_start_s
+    """
+    # matrix_stats: integer-exact sufficient statistics per group
+    out["corr_stats"] = """
+        WITH e AS (
+          SELECT event_type,
+                 round(value * 100)::BIGINT AS x,
+                 json_extract(props, '$.k')::BIGINT AS y
+          FROM events)
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+               sum(x * x)::BIGINT AS sum_xx, sum(y * y)::BIGINT AS sum_yy,
+               sum(x * y)::BIGINT AS sum_xy
+        FROM e GROUP BY event_type ORDER BY event_type
+    """
+    # percentile_ranks: exact integer (n_le, n) per probe per group
+    out["percentile_ranks"] = """
+        WITH e AS (
+          SELECT event_type, round(value * 100)::BIGINT AS cents
+          FROM events),
+        p(probe) AS (VALUES (1000), (5000), (10000), (15000))
+        SELECT e.event_type, p.probe::BIGINT AS probe,
+               count(*) FILTER (e.cents <= p.probe)::BIGINT AS n_le,
+               count(*)::BIGINT AS n
+        FROM e CROSS JOIN p
+        GROUP BY e.event_type, p.probe
+        ORDER BY e.event_type, p.probe
+    """
+    # rare_terms: exact long-tail tokens (total count <= 2)
+    out["rare_terms"] = f"""
+        WITH {_BASE_CTES}
+        SELECT term, count(*)::BIGINT AS n
+        FROM toks GROUP BY term HAVING count(*) <= 100 ORDER BY term
     """
     # crosstab: static pivot-value list, conditional counts
     out["pivot_counts"] = """

@@ -824,3 +824,59 @@ def pivot_counts(
         .aggregate(*[Sum(c, alias_name=c) for c in names[1:]])
         .sort(row_col)
     )
+
+
+def corr_stats(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """ES ``matrix_stats`` aggregation between two int64 metrics, as
+    INTEGER-EXACT sufficient statistics per group: (group, n, sum_x,
+    sum_y, sum_xx, sum_yy, sum_xy). Covariance / Pearson correlation
+    are pure driver-side arithmetic over these seven numbers —
+    keeping the distributed exchange integer-only means the oracle
+    hash-checks every moment exactly, with no float-order tolerance.
+
+    Scale plan: one per-batch combiner (sorted-codes ``reduceat`` over
+    the five products, one pass) then ``groupby(group).sum`` — the
+    exchange moves one row per (block, group). Caveat: int64 product
+    sums hold to ~1e18; at extreme row counts x metric scale, move to
+    128-bit accumulation (DuckDB's HUGEINT path already is).
+    """
+    from ray.data.aggregate import Sum
+
+    names = [group_col, "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(group_col).type
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=key_t)]
+                + [pa.array([], type=pa.int64())] * 6,
+                names=names,
+            )
+        keys = batch.column(group_col).combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = pc.cast(batch.column(x_col), pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(batch.column(y_col), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        cols = [enc.dictionary.take(pa.array(c_s[starts]))]
+        ones = np.ones(len(c_s), dtype=np.int64)
+        for v in (ones, x[order], y[order], x[order] * x[order],
+                  y[order] * y[order], x[order] * y[order]):
+            cols.append(
+                pa.array(np.add.reduceat(v, starts).astype(np.int64))
+            )
+        return pa.Table.from_arrays(cols, names=names)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in names[1:]])
+        .sort(group_col)
+    )

@@ -1174,3 +1174,99 @@ def quantile_filter(
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def percentile_ranks(
+    ds,
+    group_col: str,
+    value_col: str,
+    probes,
+):
+    """ES ``percentile_ranks`` aggregation (the inverse of
+    :func:`group_percentiles`), EXACT and integer-only: for each group
+    and each probe value, how many of the group's values are <= the
+    probe. Returns (group, probe: int64, n_le: int64, n: int64) — the
+    rank fraction is n_le / n, left as two exact integers so the
+    oracle hash-checks without float tolerance.
+
+    Same scale plan as group_percentiles: the exchange moves (group,
+    distinct value, count) triples once; the per-group cumulative
+    lookup runs inside groupby(group).map_groups.
+    """
+    probes = [int(v) for v in probes]
+    probe_arr = np.array(sorted(probes), dtype=np.int64)
+
+    hist = ds.groupby([group_col, value_col]).count()
+
+    def lookup(group: pa.Table) -> pa.Table:
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = group.column("count()").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        pos = np.searchsorted(vals, probe_arr, side="right")
+        n_le = np.where(pos > 0, cum[pos - 1], 0).astype(np.int64)
+        key = group.column(group_col)[0]
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    [key.as_py()] * len(probe_arr),
+                    type=group.schema.field(group_col).type,
+                ),
+                pa.array(probe_arr, type=pa.int64()),
+                pa.array(n_le, type=pa.int64()),
+                pa.array(np.full(len(probe_arr), n, dtype=np.int64)),
+            ],
+            names=[group_col, "probe", "n_le", "n"],
+        )
+
+    return (
+        hist.groupby(group_col)
+        .map_groups(lookup, batch_format="pyarrow")
+        .sort([group_col, "probe"])
+    )
+
+
+def rare_terms(
+    ds,
+    max_count: int = 2,
+    text_col: str = "text",
+):
+    """ES ``rare_terms`` aggregation: the whitespace tokens whose
+    TOTAL corpus count is <= ``max_count``, with their counts —
+    the long-tail complement of :func:`top_ngrams`. Exact (not the
+    ES CuckooFilter approximation): one combiner-first
+    ``groupby(term).sum`` over per-batch partial counts, then a
+    map-side filter; the exchange moves (distinct term, count) pairs
+    per block, the output is the rare tail itself (bounded in
+    practice by the corpus' hapax set — at web scale, route the
+    output straight to a sink rather than the driver).
+
+    Returns (term, n) sorted by (term).
+    """
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.cast(batch.column(text_col), pa.string()))
+        split = pc.split_pattern_regex(pc.fill_null(col, ""), r"\s+")
+        flat = pc.list_flatten(split)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.Table.from_arrays([flat], names=["term"])
+        g = pa.TableGroupBy(t, "term").aggregate([("term", "count")])
+        return g.rename_columns(["term", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        # map-side post-filter (schema-preserving on empty blocks);
+        # NOT applied to partials — rarity is a GLOBAL property
+        return batch.filter(pc.less_equal(batch.column("n"), max_count))
+
+    return counts.map_batches(keep, batch_format="pyarrow").sort("term")

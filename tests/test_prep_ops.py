@@ -425,3 +425,32 @@ def test_parse_json_fields_types_and_nulls(ray_session):
     tags = list(out["tag"])
     assert tags[0] == "a b" and tags[2] == ""
     assert tags[1] is None and tags[3] is None and tags[4] is None
+
+
+def test_percentile_ranks_boundaries(ray_session):
+    """Probes below/at/above the data range give 0 / exact / n."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import percentile_ranks
+
+    rows = [{"g": "x", "v": v} for v in [1, 2, 2, 5, 9]]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = percentile_ranks(ds, "g", "v", [0, 2, 9, 100]).to_pandas()
+    assert list(out["probe"]) == [0, 2, 9, 100]
+    assert list(out["n_le"]) == [0, 3, 5, 5]
+    assert list(out["n"]) == [5, 5, 5, 5]
+
+
+def test_rare_terms_global_threshold(ray_session):
+    """Rarity is global: a term frequent across blocks is excluded
+    even when rare within every single block."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import rare_terms
+
+    rows = [{"text": "common unique%d" % i} for i in range(6)]
+    ds = ray.data.from_items(rows).repartition(6)  # 'common' once/block
+    out = rare_terms(ds, max_count=2).to_pandas()
+    assert "common" not in set(out["term"])  # global count 6 > 2
+    assert set(out["term"]) == {"unique%d" % i for i in range(6)}
+    assert (out["n"] == 1).all()

@@ -443,3 +443,38 @@ def test_pivot_counts_partition_independence_and_unlisted(ray_session):
         )
     # 'z'/'w' never got their own column
     assert list(got.columns) == ["k", "n_x", "n_y", "n_total"]
+
+
+def test_corr_stats_exact_moments(ray_session):
+    """Sufficient statistics match direct integer arithmetic under any
+    partitioning; correlation derived from them matches numpy."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.relational import corr_stats
+
+    rng = np.random.default_rng(5)
+    g = rng.choice(["a", "b"], 300)
+    x = rng.integers(-50, 50, 300)
+    y = x * 2 + rng.integers(0, 10, 300)  # strongly correlated
+    t = pa.table({"g": g, "x": x.astype(np.int64), "y": y.astype(np.int64)})
+    for nparts in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = corr_stats(ds, "g", "x", "y").to_pandas().set_index("g")
+        for key in ("a", "b"):
+            m = g == key
+            assert out.loc[key, "n"] == m.sum()
+            assert out.loc[key, "sum_x"] == x[m].sum()
+            assert out.loc[key, "sum_xy"] == (x[m] * y[m]).sum()
+            assert out.loc[key, "sum_xx"] == (x[m] * x[m]).sum()
+        # derived Pearson r from the exact moments
+        r = out.loc["a"]
+        n, sx, sy, sxx, syy, sxy = (
+            r["n"], r["sum_x"], r["sum_y"], r["sum_xx"], r["sum_yy"], r["sum_xy"]
+        )
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        m = g == "a"
+        want = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(cov / np.sqrt(vx * vy) - want) < 1e-9
