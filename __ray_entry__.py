@@ -1111,6 +1111,30 @@ def _q_ann_cosine(sf_dir: str):
     return cosine_topk_bruteforce(ds, q_ids, q_vecs, k=ANN_K)
 
 
+def _q_ann_filtered(sf_dir: str):
+    """ES knn with filter, PRE-filter semantics (ops/ann.py
+    cosine_topk_filtered): exact top-k among the vectors whose label
+    is even — the predicate runs map-side per batch before any
+    scoring, adding zero shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_filtered
+
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def even_label(batch):
+        return pc.equal(
+            pc.bit_wise_and(pc.cast(batch.column("label"), pa.int64()), 1), 0
+        )
+
+    return cosine_topk_filtered(
+        ds, q_ids, q_vecs, even_label, k=ANN_K, exclude_self=True
+    )
+
+
 def _q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH candidates + exact re-rank. At (n_tables=32,
     n_bits=4) candidate recall is empirically 1.0 on this corpus
@@ -2729,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
+        "ann_filtered_topk": _q_ann_filtered,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
@@ -4218,6 +4243,22 @@ def oracle_sql() -> dict[str, str]:
             FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
         "ann_cosine_topk": _ANN_TOPK_SQL,
+        # knn with filter (pre-filter): exact top-k among even labels
+        "ann_filtered_topk": """
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+    sims AS (
+      SELECT q.q_vec_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_vec_id AND e.label % 2 = 0)
+    SELECT q_vec_id, rank, vec_id FROM (
+      SELECT q_vec_id, vec_id,
+        row_number() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    WHERE rank <= 10 ORDER BY q_vec_id, rank
+    """,
         # ann_lsh_topk re-ranks candidates with exact cosine, and the
         # driver query's (n_tables=32, n_bits=4) gives candidate recall
         # 1.0 on this corpus (deterministic seed, checked against the

@@ -732,3 +732,41 @@ def _knn_table(qs, vs, ss) -> pa.Table:
         ],
         names=["q", "v", "s"],
     )
+
+
+def cosine_topk_filtered(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    return_sims: bool = False,
+):
+    """ES ``knn`` with ``filter`` — PRE-filter semantics (the exact
+    top-k over the rows that pass the predicate, not a post-filtered
+    unrestricted top-k, so low-selectivity filters still return k
+    hits). ``predicate`` is a callable ``pa.Table -> boolean mask``
+    evaluated MAP-SIDE on each batch before any scoring: the filter
+    adds zero shuffles and the scored matrix shrinks to the survivors
+    (with vectorized Arrow kernels the filter costs O(batch), the
+    matmul saves selectivity x its FLOPs). Returns (q_vec_id, rank,
+    vec_id[, sim]) like :func:`cosine_topk_bruteforce`."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(predicate(batch))
+
+    return cosine_topk_bruteforce(
+        ds.map_batches(flt, batch_format="pyarrow"),
+        query_ids,
+        query_vecs,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+        return_sims=return_sims,
+    )

@@ -188,3 +188,42 @@ def test_pq_dim_must_divide(vec_ds):
     ds, vecs = vec_ds
     with pytest.raises(ValueError):
         cosine_topk_pq(ds, np.array([0]), vecs[:1], m_sub=5).to_pandas()
+
+
+def test_cosine_topk_filtered_pre_filter_semantics(ray_session):
+    """Pre-filter: results come only from survivors, and a doc ranked
+    below k unfiltered can enter the filtered top-k."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_bruteforce, cosine_topk_filtered
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(np.arange(40) % 2, type=pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    qids = np.array([0])
+    qv = vecs[:1]
+
+    def even(batch):
+        return pc.equal(batch.column("label"), 0)
+
+    full = cosine_topk_bruteforce(ds, qids, qv, k=5).to_pandas()
+    filt = cosine_topk_filtered(ds, qids, qv, even, k=5).to_pandas()
+    assert len(filt) == 5
+    assert all(v % 2 == 0 for v in filt["vec_id"])
+    # exactness: equals brute force over the pre-filtered table
+    ds_even = ds.filter(lambda r: r["label"] == 0)
+    want = cosine_topk_bruteforce(ds_even, qids, qv, k=5).to_pandas()
+    assert list(filt["vec_id"]) == list(want["vec_id"])
+    # and differs from post-filtering the unfiltered list in general
+    post = [v for v in full["vec_id"] if v % 2 == 0]
+    assert list(filt["vec_id"])[: len(post)] != post or len(post) < 5
