@@ -1594,6 +1594,46 @@ def _q_pivot_counts(sf_dir: str):
     )
 
 
+def _q_dataset_diff(sf_dir: str):
+    """Snapshot delta (ops/relational.py dataset_diff): the corpus
+    diffed against a deterministically-derived next version (every
+    17th doc removed, every 13th edited, every 23rd cloned to a new
+    id). Map-side md5 digests mean the exchange ships ~24 B/row;
+    one groupby(id) of plain aggregates classifies
+    added/removed/changed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.relational import dataset_diff
+
+    old = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def evolve(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        text = pc.cast(batch.column("text"), pa.string())
+        changed = pa.array(
+            ["CHANGED" if i % 13 == 0 else t
+             for i, t in zip(ids, text.to_pylist())],
+            type=pa.string(),
+        )
+        kept = pa.Table.from_arrays(
+            [batch.column("doc_id"), changed], names=["doc_id", "text"]
+        ).filter(pa.array(ids % 17 != 0))
+        clones = pa.Table.from_arrays(
+            [
+                pa.array(ids[ids % 23 == 0] + 1_000_000),
+                text.filter(pa.array(ids % 23 == 0)),
+            ],
+            names=["doc_id", "text"],
+        )
+        return pa.concat_tables([kept, clones])
+
+    new = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        evolve, batch_format="pyarrow"
+    )
+    return dataset_diff(old, new, "doc_id", ["text"])
+
+
 def _q_corr_stats(sf_dir: str):
     """ES matrix_stats between two metrics (ops/relational.py
     corr_stats): value-cents x the JSON-extracted props.k per
@@ -2815,6 +2855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_percentiles": _q_group_percentiles,
         "pivot_counts": _q_pivot_counts,
         "corr_stats": _q_corr_stats,
+        "dataset_diff": _q_dataset_diff,
         "percentile_ranks": _q_percentile_ranks,
         "rare_terms": _q_rare_terms,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
@@ -5248,6 +5289,23 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s)
         ORDER BY event_type, window_start_s
+    """
+    # snapshot diff: full outer join over the same derived version
+    out["dataset_diff"] = """
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN 'CHANGED' ELSE text END AS text
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 23 = 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.doc_id IS NULL THEN 'added'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE n.doc_id IS NULL OR o.doc_id IS NULL OR o.text <> n.text
+        ORDER BY doc_id
     """
     # matrix_stats: integer-exact sufficient statistics per group
     out["corr_stats"] = """

@@ -880,3 +880,96 @@ def corr_stats(
         .aggregate(*[Sum(c, alias_name=c) for c in names[1:]])
         .sort(group_col)
     )
+
+
+def dataset_diff(
+    old_ds,
+    new_ds,
+    id_col: str,
+    compare_cols: Sequence[str],
+):
+    """Snapshot delta between two corpus versions: one row per id
+    whose presence or content changed — ``status`` in
+    ('added', 'removed', 'changed'); unchanged ids produce nothing.
+    Content identity is the md5 of the ``compare_cols`` values,
+    computed MAP-SIDE, so the exchange moves (id, 8-byte digest,
+    side) triples — never the payload: diffing two 100 TB snapshots
+    ships ~24 B/row through ONE groupby(id) of plain aggregates
+    (count / side-sum / digest min+max decide the status without a
+    join or a map_groups). Returns (id, status) sorted by id.
+
+    Contract: ids are unique within each snapshot (the corpus
+    primary key)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from retriv_ray.ops.dedup import _md5_low64_many
+
+    def tagged(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key_t = batch.schema.field(id_col).type
+            if batch.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [
+                        pa.array([], type=key_t),
+                        pa.array([], type=pa.int64()),
+                        pa.array([], type=pa.int64()),
+                    ],
+                    names=[id_col, "h", "side"],
+                )
+            cols = [
+                pc.fill_null(pc.cast(batch.column(c), pa.string()), "\x00")
+                for c in compare_cols
+            ]
+            joined = cols[0]
+            for c in cols[1:]:
+                joined = pc.binary_join_element_wise(joined, c, "\x1f")
+            h = _md5_low64_many(joined.to_pylist()).view(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.array(h),
+                    pa.array(np.full(batch.num_rows, side, dtype=np.int64)),
+                ],
+                names=[id_col, "h", "side"],
+            )
+
+        return fn
+
+    unioned = old_ds.map_batches(tagged(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tagged(1), batch_format="pyarrow")
+    )
+    agg = unioned.groupby(id_col).aggregate(
+        Count(alias_name="n"),
+        Sum("side", alias_name="side_sum"),
+        Min("h", alias_name="h_min"),
+        Max("h", alias_name="h_max"),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(id_col).type
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=key_t), pa.array([], type=pa.string())],
+                names=[id_col, "status"],
+            )
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        side_sum = batch.column("side_sum").to_numpy(zero_copy_only=False)
+        changed = (
+            batch.column("h_min").to_numpy(zero_copy_only=False)
+            != batch.column("h_max").to_numpy(zero_copy_only=False)
+        )
+        status = np.where(
+            n == 1,
+            np.where(side_sum == 0, "removed", "added"),
+            np.where(changed, "changed", ""),
+        )
+        keep = status != ""
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).filter(pa.array(keep)),
+                pa.array(status[keep], type=pa.string()),
+            ],
+            names=[id_col, "status"],
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow").sort(id_col)

@@ -478,3 +478,33 @@ def test_corr_stats_exact_moments(ray_session):
         m = g == "a"
         want = np.corrcoef(x[m], y[m])[0, 1]
         assert abs(cov / np.sqrt(vx * vy) - want) < 1e-9
+
+
+def test_dataset_diff_statuses(ray_session):
+    """added/removed/changed classified; unchanged rows absent; null
+    vs empty-string content distinguished."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.relational import dataset_diff
+
+    old = pa.table(
+        {"id": [1, 2, 3, 4, 5], "text": ["a", "b", "c", None, ""]}
+    )
+    new = pa.table(
+        {"id": [2, 3, 4, 5, 6], "text": ["b", "CH", "", None, "f"]}
+    )
+    out = dataset_diff(
+        ray.data.from_arrow(old).repartition(2),
+        ray.data.from_arrow(new).repartition(3),
+        "id",
+        ["text"],
+    ).to_pandas()
+    got = dict(zip(out["id"], out["status"]))
+    assert got == {
+        1: "removed",
+        3: "changed",
+        4: "changed",  # null -> ""
+        5: "changed",  # "" -> null
+        6: "added",
+    }  # id 2 unchanged: absent
