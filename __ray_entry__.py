@@ -566,6 +566,16 @@ def _q_response_pairs(sf_dir: str):
     )
 
 
+def _q_sft_spans(sf_dir: str):
+    """SFT loss-mask spans (ops/conversations.py sft_spans): per-turn
+    whitespace-token offsets in the conversation's concatenated stream
+    + learn flag on assistant turns — one conv-keyed shuffle,
+    vectorized per-group prefix sums."""
+    from retriv_ray.ops.conversations import sft_spans
+
+    return sft_spans(_docs_as_conversation_turns(sf_dir))
+
+
 def _q_conversation_filter(sf_dir: str):
     """Dialog-level quality gate: keep conversations by turn count,
     token budget and role balance — integer counts only, one
@@ -2750,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "substring_dedup": _q_substring_dedup,
         "response_pairs": _q_response_pairs,
+        "sft_spans": _q_sft_spans,
         "conversation_windows": _q_conversation_windows,
         "conversation_filter": _q_conversation_filter,
         "bigram_lm": _q_bigram_lm,
@@ -4174,6 +4185,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # conversation ops share the synthesized transcript shape:
         # turns = 5-token spans, role = md5(line) % 3 < 2 -> user
+        "sft_spans": f"""
+            WITH {_BASE_CTES},
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           unnest(range(len(toks))) AS pos FROM docs),
+            lines AS (SELECT doc_id AS conv_id, pos // 5 AS turn_idx,
+                             string_agg(term, ' ' ORDER BY pos) AS text
+                      FROM pos GROUP BY doc_id, pos // 5),
+            turns AS (SELECT conv_id, turn_idx,
+                             CASE WHEN md5_number_lower(text) % 3 < 2
+                                  THEN 'user' ELSE 'assistant' END AS role,
+                             text
+                      FROM lines),
+            sp AS (SELECT conv_id, turn_idx, role,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     coalesce(sum(len(string_split(text, ' ')))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT
+                       AS tok_start
+                   FROM turns)
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, n_tokens,
+                   tok_start, (tok_start + n_tokens)::BIGINT AS tok_end,
+                   (role = 'assistant')::BIGINT AS learn
+            FROM sp ORDER BY conv_id, turn_idx
+        """,
         "response_pairs": f"""
             WITH {_BASE_CTES},
             pos AS (SELECT doc_id, unnest(toks) AS term,

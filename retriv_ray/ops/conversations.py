@@ -242,3 +242,79 @@ def conversation_filter(
         return batch.filter(pa.array(m))
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def sft_spans(
+    ds,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+):
+    """SFT loss-mask annotation: for each turn, its whitespace-token
+    span [tok_start, tok_end) inside the conversation's concatenated
+    token stream (turns in ``turn_idx`` order), plus ``learn`` = 1 on
+    assistant turns — the spans a supervised-fine-tuning loader feeds
+    to the loss mask, computed once at prep time instead of inside
+    every trainer worker.
+
+    One conv-keyed shuffle (``groupby(conv).map_groups``), per-group
+    prefix sums fully vectorized; group size is bounded by
+    conversation length. Returns (conv_id, turn_idx, role, n_tokens,
+    tok_start, tok_end, learn) sorted by (conv_id, turn_idx).
+    """
+    conv_type = dict(zip(ds.schema().names, ds.schema().types))[conv_col]
+    out_schema = pa.schema(
+        [
+            (conv_col, conv_type),
+            (turn_col, pa.int64()),
+            (role_col, pa.string()),
+            ("n_tokens", pa.int64()),
+            ("tok_start", pa.int64()),
+            ("tok_end", pa.int64()),
+            ("learn", pa.int64()),
+        ]
+    )
+
+    def spans(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tix = group.column(turn_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(tix, kind="stable")
+        group = group.take(pa.array(order))
+        text = pc.cast(group.column(text_col), pa.string())
+        n = pc.list_value_length(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(pc.fill_null(text, "")), r"\s+"
+            )
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # an all-whitespace/empty turn has 0 tokens, but split gives [""]
+        empty = pc.equal(
+            pc.utf8_trim_whitespace(pc.fill_null(text, "")), ""
+        ).to_numpy(zero_copy_only=False)
+        n[empty] = 0
+        cum = np.cumsum(n)
+        start = cum - n
+        role = group.column(role_col)
+        learn = pc.cast(
+            pc.equal(pc.cast(role, pa.string()), assistant_role), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                group.column(conv_col),
+                pc.cast(group.column(turn_col), pa.int64()),
+                pc.cast(role, pa.string()),
+                pa.array(n),
+                pa.array(start),
+                pa.array(cum),
+                learn,
+            ],
+            names=out_schema.names,
+        )
+
+    return (
+        ds.groupby(conv_col)
+        .map_groups(spans, batch_format="pyarrow")
+        .sort([conv_col, turn_col])
+    )

@@ -141,3 +141,28 @@ def test_conversation_filter_roles_optional(ray_session):
         ds, min_turns=2, require_both_roles=False
     ).to_pandas()
     assert list(out["conv_id"]) == [7]
+
+
+def test_sft_spans_offsets_and_mask(ray_session):
+    """Prefix-sum offsets restart per conversation; empty turns span
+    zero tokens; learn flags assistant turns only."""
+    import ray.data
+
+    from retriv_ray.ops.conversations import sft_spans
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello there"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hi"},
+        {"conv_id": "c1", "turn_idx": 2, "role": "user", "text": "   "},
+        {"conv_id": "c1", "turn_idx": 3, "role": "assistant", "text": "a b c"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "assistant", "text": "solo"},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = sft_spans(ds).to_pandas()
+    c1 = out[out.conv_id == "c1"]
+    assert list(c1["n_tokens"]) == [2, 1, 0, 3]
+    assert list(c1["tok_start"]) == [0, 2, 3, 3]
+    assert list(c1["tok_end"]) == [2, 3, 3, 6]
+    assert list(c1["learn"]) == [0, 1, 0, 1]
+    c2 = out[out.conv_id == "c2"]
+    assert list(c2["tok_start"]) == [0] and list(c2["learn"]) == [1]
