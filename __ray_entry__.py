@@ -1694,6 +1694,18 @@ def _q_percentile_ranks(sf_dir: str):
     )
 
 
+def _q_adjacency_matrix(sf_dir: str):
+    """ES adjacency_matrix aggregation (ops/textstats.py
+    adjacency_matrix): doc counts per named token filter and per
+    pairwise intersection, one vectorized membership pass per batch,
+    O(filters^2) tiny partial rows per block."""
+    from retriv_ray.ops.textstats import adjacency_matrix
+
+    return adjacency_matrix(
+        _docs(sf_dir), {"tbl": "table", "scn": "scan", "win": "window"}
+    )
+
+
 def _q_rare_terms(sf_dir: str):
     """ES rare_terms aggregation, exact (ops/textstats.py rare_terms):
     the corpus' long-tail tokens with total count <= 100, via one
@@ -2869,6 +2881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_diff": _q_dataset_diff,
         "percentile_ranks": _q_percentile_ranks,
         "rare_terms": _q_rare_terms,
+        "adjacency_matrix": _q_adjacency_matrix,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "parse_json": _q_parse_json,
         "quantile_filter": _q_quantile_filter,
@@ -5368,6 +5381,25 @@ def oracle_sql() -> dict[str, str]:
         FROM e CROSS JOIN p
         GROUP BY e.event_type, p.probe
         ORDER BY e.event_type, p.probe
+    """
+    # adjacency_matrix: filter and pairwise-intersection doc counts
+    out["adjacency_matrix"] = f"""
+        WITH docs AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents),
+        m AS (SELECT doc_id,
+                     list_contains(toks, 'table') AS tbl,
+                     list_contains(toks, 'scan') AS scn,
+                     list_contains(toks, 'window') AS win
+              FROM docs)
+        SELECT key, doc_count FROM (
+          SELECT 'tbl' AS key, count(*) FILTER (tbl)::BIGINT AS doc_count FROM m
+          UNION ALL SELECT 'scn', count(*) FILTER (scn)::BIGINT FROM m
+          UNION ALL SELECT 'win', count(*) FILTER (win)::BIGINT FROM m
+          UNION ALL SELECT 'scn&tbl', count(*) FILTER (scn AND tbl)::BIGINT FROM m
+          UNION ALL SELECT 'scn&win', count(*) FILTER (scn AND win)::BIGINT FROM m
+          UNION ALL SELECT 'tbl&win', count(*) FILTER (tbl AND win)::BIGINT FROM m)
+        ORDER BY key
     """
     # rare_terms: exact long-tail tokens (total count <= 2)
     out["rare_terms"] = f"""

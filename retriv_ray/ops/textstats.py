@@ -1270,3 +1270,64 @@ def rare_terms(
         return batch.filter(pc.less_equal(batch.column("n"), max_count))
 
     return counts.map_batches(keep, batch_format="pyarrow").sort("term")
+
+
+def adjacency_matrix(
+    ds,
+    filters: Dict[str, str],
+    text_col: str = "text",
+):
+    """ES ``adjacency_matrix`` aggregation: document counts for each
+    named filter and each pairwise intersection. Filters here are
+    whitespace-token containment predicates (``name -> token``); keys
+    are the ES convention ``name`` and ``nameA&nameB`` (names sorted).
+    Zero-count buckets are kept so the output schema/rows are static.
+
+    Scale plan: each batch evaluates every filter as ONE vectorized
+    token-membership pass (flat tokens + parent indices — no per-doc
+    Python), forms the boolean matrix [n_docs, n_filters], and emits
+    one partial count row per key; the exchange moves
+    O(blocks x filters^2) tiny rows into a groupby(key).sum.
+    """
+    from ray.data.aggregate import Sum
+
+    names = sorted(filters)
+    keys = list(names) + [
+        f"{a}&{b}" for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    toks_arr = pa.array([filters[n] for n in names], type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(
+            pc.cast(pc.fill_null(batch.column(text_col), ""), pa.string())
+        )
+        split = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        m = np.zeros((n, len(names)), dtype=bool)
+        codes = pc.fill_null(
+            pc.index_in(flat, value_set=toks_arr), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = codes >= 0
+        m[parent[valid], codes[valid]] = True
+        counts = []
+        for i in range(len(names)):
+            counts.append(int(m[:, i].sum()))
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                counts.append(int((m[:, i] & m[:, j]).sum()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, type=pa.string()),
+                pa.array(counts, type=pa.int64()),
+            ],
+            names=["key", "doc_count"],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .sort("key")
+    )

@@ -454,3 +454,26 @@ def test_rare_terms_global_threshold(ray_session):
     assert "common" not in set(out["term"])  # global count 6 > 2
     assert set(out["term"]) == {"unique%d" % i for i in range(6)}
     assert (out["n"] == 1).all()
+
+
+def test_adjacency_matrix_pairs_and_statics(ray_session):
+    """Pairwise intersections counted once per doc (repeated tokens
+    don't double-count); zero buckets retained; partition-independent."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import adjacency_matrix
+
+    rows = [
+        {"text": "a b"},
+        {"text": "a a b c"},
+        {"text": "c"},
+        {"text": "d"},
+    ]
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = adjacency_matrix(ds, {"A": "a", "B": "b", "C": "c"}).to_pandas()
+        got = dict(zip(out["key"], out["doc_count"]))
+        assert got == {
+            "A": 2, "B": 2, "C": 2,
+            "A&B": 2, "A&C": 1, "B&C": 1,
+        }
