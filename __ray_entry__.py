@@ -1121,6 +1121,22 @@ def _q_ann_cosine(sf_dir: str):
     return cosine_topk_bruteforce(ds, q_ids, q_vecs, k=ANN_K)
 
 
+def _q_mmr_rerank(sf_dir: str):
+    """MMR diversified rerank (ops/ann.py mmr_rerank): greedy
+    lam*rel - (1-lam)*max-sim-to-selected over the top-20 cosine pool,
+    k=8 — candidate generation distributed, per-query greedy inside
+    map_groups over pool-sized groups. The oracle is the library's
+    own unrolled-greedy SQL (mmr_rerank_sql), generated from the same
+    constants."""
+    import ray.data
+
+    from retriv_ray.ops.ann import mmr_rerank
+
+    q_ids, q_vecs = _ann_queries(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return mmr_rerank(ds, q_ids, q_vecs, k=8, pool=20, lam=0.5)
+
+
 def _q_ann_filtered(sf_dir: str):
     """ES knn with filter, PRE-filter semantics (ops/ann.py
     cosine_topk_filtered): exact top-k among the vectors whose label
@@ -2817,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_filtered_topk": _q_ann_filtered,
+        "mmr_rerank": _q_mmr_rerank,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
@@ -4332,6 +4349,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
+        "mmr_rerank": __import__(
+            "retriv_ray.ops.ann", fromlist=["mmr_rerank_sql"]
+        ).mmr_rerank_sql("embeddings", [0, 1, 2, 3, 4], k=8, pool=20, lam=0.5),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         # knn with filter (pre-filter): exact top-k among even labels
         "ann_filtered_topk": """

@@ -28,6 +28,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -769,4 +770,231 @@ def cosine_topk_filtered(
         vec_col=vec_col,
         exclude_self=exclude_self,
         return_sims=return_sims,
+    )
+
+
+def mmr_rerank(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified rerank: greedy-select ``k`` of the top-``pool``
+    cosine candidates, each step maximizing
+
+        lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    (first pick = highest relevance; all ties by ascending vec_id).
+    Returns (q_vec_id, rank, vec_id).
+
+    Scale plan: candidate generation is the distributed brute-force
+    pass (per-batch partial top-``pool``); the greedy runs per query
+    inside ``groupby(q_vec_id).map_groups`` over pool-sized groups —
+    O(k * pool) numpy per query, never on the driver. Candidate
+    vectors attach via one hash join against the corpus, so the
+    O(pool^2) pairwise-similarity matrix is built from pool rows, not
+    the corpus. :func:`mmr_rerank_sql` generates the bit-faithful
+    unrolled-greedy DuckDB twin from the same constants."""
+    import ray
+
+    cand = cosine_topk_bruteforce(
+        ds,
+        query_ids,
+        query_vecs,
+        k=pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=True,
+        return_sims=True,
+    ).materialize()
+
+    # candidate id set: bounded by queries x pool rows — safe to
+    # collect, broadcast once for the map-side corpus filter
+    cand_ids = np.asarray(
+        sorted(cand.unique(id_col)), dtype=np.int64
+    )
+    ids_ref = ray.put(cand_ids)
+
+    _sch = dict(zip(ds.schema().names, ds.schema().types))
+    vec_type = _sch[vec_col]
+    union_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("q_vec_id", pa.int64()),
+            ("sim", pa.float64()),
+            (vec_col, vec_type),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(id_col), pa.int64()),
+                pc.cast(batch.column("q_vec_id"), pa.int64()),
+                pc.cast(batch.column("sim"), pa.float64()),
+                pa.nulls(n, type=vec_type),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def tag_vecs(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy()
+        keep = np.isin(ids, wanted)
+        batch = batch.filter(pa.array(keep))
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(id_col), pa.int64()),
+                pa.nulls(n, type=pa.int64()),
+                pa.nulls(n, type=pa.float64()),
+                batch.column(vec_col),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        vrows = np.flatnonzero(side == 1)
+        crows = np.flatnonzero(side == 0)
+        if not len(crows) or not len(vrows):
+            return pa.schema(
+                [
+                    ("q_vec_id", pa.int64()),
+                    (id_col, pa.int64()),
+                    ("sim", pa.float64()),
+                    (vec_col, vec_type),
+                ]
+            ).empty_table()
+        vec = group.column(vec_col).take(
+            pa.array(np.repeat(vrows[0], len(crows)))
+        )
+        keep = pa.array(crows)
+        return pa.Table.from_arrays(
+            [
+                group.column("q_vec_id").take(keep),
+                group.column(id_col).take(keep),
+                group.column("sim").take(keep),
+                vec,
+            ],
+            names=["q_vec_id", id_col, "sim", vec_col],
+        )
+
+    joined = (
+        cand.map_batches(tag_cand, batch_format="pyarrow")
+        .union(ds.map_batches(tag_vecs, batch_format="pyarrow"))
+        .groupby(id_col)
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def greedy(group: pa.Table) -> pa.Table:
+        q = group.column("q_vec_id")[0].as_py()
+        ids = group.column(id_col).to_numpy()
+        rel = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, rel = ids[order], rel[order]
+        mat = _normalize(_batch_matrix(group.take(pa.array(order)), vec_col))
+        sims = mat @ mat.T  # [pool, pool]
+        n = len(ids)
+        selected: List[int] = []
+        chosen = np.zeros(n, dtype=bool)
+        max_sim = np.full(n, -np.inf)
+        out_ids = []
+        for _step in range(min(k, n)):
+            if not selected:
+                score = rel.copy()
+            else:
+                score = lam * rel - (1.0 - lam) * max_sim
+            score[chosen] = -np.inf
+            # ties by ascending vec_id: ids are sorted, argmax takes first
+            pick = int(np.argmax(score))
+            chosen[pick] = True
+            selected.append(pick)
+            max_sim = np.maximum(max_sim, sims[:, pick])
+            out_ids.append(ids[pick])
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(out_ids), q, dtype=np.int64)),
+                pa.array(np.arange(1, len(out_ids) + 1, dtype=np.int64)),
+                pa.array(np.asarray(out_ids)),
+            ],
+            names=["q_vec_id", "rank", id_col],
+        )
+
+    return (
+        joined.groupby("q_vec_id")
+        .map_groups(greedy, batch_format="pyarrow")
+        .sort(["q_vec_id", "rank"])
+    )
+
+
+def mmr_rerank_sql(
+    table: str,
+    query_ids,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank`: the greedy loop unrolled to
+    ``k`` chained CTEs (step i picks the argmax of the MMR score over
+    the not-yet-selected candidates via a window row_number), generated
+    from the same constants so op and oracle share one spec."""
+    ids_csv = ",".join(str(int(i)) for i in query_ids)
+    parts = [
+        f"""q AS (
+      SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qv
+      FROM {table} WHERE vec_id IN ({ids_csv})),
+    cand0 AS (
+      SELECT q.q_vec_id, e.vec_id, e.embedding::DOUBLE[] AS v,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS rel
+      FROM q CROSS JOIN {table} e WHERE e.vec_id <> q.q_vec_id),
+    cand AS (
+      SELECT q_vec_id, vec_id, v, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY rel DESC, vec_id) rn
+        FROM cand0) WHERE rn <= {pool}),
+    ps AS (
+      SELECT a.q_vec_id, a.vec_id AS va, b.vec_id AS vb,
+             list_cosine_similarity(a.v, b.v) AS s
+      FROM cand a JOIN cand b
+        ON a.q_vec_id = b.q_vec_id AND a.vec_id <> b.vec_id),
+    pick1 AS (
+      SELECT q_vec_id, vec_id, 1 AS rank FROM (
+        SELECT q_vec_id, vec_id,
+               row_number() OVER (PARTITION BY q_vec_id
+                                  ORDER BY rel DESC, vec_id) rn
+        FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT * FROM pick1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""pick{i} AS (
+      SELECT q_vec_id, vec_id, {i} AS rank FROM (
+        SELECT c.q_vec_id, c.vec_id,
+               row_number() OVER (PARTITION BY c.q_vec_id
+                 ORDER BY {lam} * c.rel - {1.0 - lam} * ms.m DESC,
+                          c.vec_id) rn
+        FROM cand c
+        JOIN (SELECT p.q_vec_id, ps.va AS vec_id, max(ps.s) AS m
+              FROM ps JOIN sel{i - 1} p
+                ON p.q_vec_id = ps.q_vec_id AND p.vec_id = ps.vb
+              GROUP BY p.q_vec_id, ps.va) ms
+          ON ms.q_vec_id = c.q_vec_id AND ms.vec_id = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1} s
+                               WHERE s.q_vec_id = c.q_vec_id)
+      ) WHERE rn = 1),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM pick{i}" for i in range(1, k + 1))
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT q_vec_id, rank, vec_id FROM ({union}) "
+        + "ORDER BY q_vec_id, rank"
     )

@@ -227,3 +227,39 @@ def test_cosine_topk_filtered_pre_filter_semantics(ray_session):
     # and differs from post-filtering the unfiltered list in general
     post = [v for v in full["vec_id"] if v % 2 == 0]
     assert list(filt["vec_id"])[: len(post)] != post or len(post) < 5
+
+
+def test_mmr_rerank_diversifies(ray_session):
+    """lam=1 reduces to pure relevance order; lam<1 demotes a
+    near-duplicate of the first pick below a less-similar candidate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.ann import cosine_topk_bruteforce, mmr_rerank
+
+    # query q; a ~ q, a2 ~ a (near-dup), b orthogonal-ish but relevant
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.array([0.99, 0.1, 0.0, 0.0])
+    a2 = np.array([0.98, 0.12, 0.0, 0.0])
+    b = np.array([0.7, 0.0, 0.7, 0.0])
+    c = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs = np.stack([q, a, a2, b, c]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(5), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    qids, qv = np.array([0]), vecs[:1]
+
+    rel = cosine_topk_bruteforce(ds, qids, qv, k=3).to_pandas()
+    assert list(rel["vec_id"]) == [1, 2, 3]  # a, a2, b by relevance
+
+    lam1 = mmr_rerank(ds, qids, qv, k=3, pool=4, lam=1.0).to_pandas()
+    assert list(lam1["vec_id"]) == [1, 2, 3]  # lam=1 == relevance
+
+    mmr = mmr_rerank(ds, qids, qv, k=3, pool=4, lam=0.5).to_pandas()
+    assert list(mmr["vec_id"])[0] == 1  # first pick = most relevant
+    assert list(mmr["vec_id"])[1] == 3  # diversity promotes b over a2
