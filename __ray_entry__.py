@@ -1620,6 +1620,28 @@ def _q_pivot_counts(sf_dir: str):
     )
 
 
+def _q_top_metrics(sf_dir: str):
+    """ES top_metrics aggregation (ops/relational.py top_metrics):
+    per event_type, the event at the latest ts (ties by smallest
+    event_id) with its value-cents — one best-row-per-group combiner
+    per block, the exchange moves one row per (block, group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.relational import top_metrics
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), ts_us, batch.column("event_id"), cents],
+            names=["event_type", "ts_us", "event_id", "cents"],
+        )
+
+    ds = _events(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return top_metrics(ds, "event_type", "ts_us", "event_id", ["cents"])
+
+
 def _q_dataset_diff(sf_dir: str):
     """Snapshot delta (ops/relational.py dataset_diff): the corpus
     diffed against a deterministically-derived next version (every
@@ -2896,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "corr_stats": _q_corr_stats,
         "dataset_diff": _q_dataset_diff,
+        "top_metrics": _q_top_metrics,
         "percentile_ranks": _q_percentile_ranks,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
@@ -5358,6 +5381,16 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s)
         ORDER BY event_type, window_start_s
+    """
+    # top_metrics: per-group row at max sort value, deterministic ties
+    out["top_metrics"] = """
+        SELECT event_type, ts_us, event_id, cents FROM (
+          SELECT event_type, epoch_us(ts)::BIGINT AS ts_us, event_id,
+                 round(value * 100)::BIGINT AS cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts DESC, event_id) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY event_type
     """
     # snapshot diff: full outer join over the same derived version
     out["dataset_diff"] = """

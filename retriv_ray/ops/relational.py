@@ -973,3 +973,62 @@ def dataset_diff(
         )
 
     return agg.map_batches(classify, batch_format="pyarrow").sort(id_col)
+
+
+def top_metrics(
+    ds,
+    group_col: str,
+    sort_col: str,
+    id_col: str,
+    metric_cols: Sequence[str],
+):
+    """ES ``top_metrics`` aggregation: per group, the metric values on
+    the row with the LARGEST ``sort_col`` (ties broken by smallest
+    ``id_col`` — deterministic, unlike ES's arbitrary tie). All
+    columns must be int64-castable (the engine's integer-exactness
+    convention).
+
+    Scale plan: each batch keeps ONE best row per group present (a
+    single lexsort + first-of-group pass), so the exchange moves one
+    row per (block, group); a final per-group pass over those
+    partials picks the global winner. argmax is associative under
+    the (sort desc, id asc) order, so the two-level reduction equals
+    a global sort — no row stream ever reaches the driver.
+    """
+    metric_cols = list(metric_cols)
+    names = [group_col, sort_col, id_col] + metric_cols
+
+    def best_per_group(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=tbl.schema.field(group_col).type)]
+                + [pa.array([], type=pa.int64())] * (len(names) - 1),
+                names=names,
+            )
+        keys = tbl.column(group_col).combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sort_v = pc.cast(tbl.column(sort_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = pc.cast(tbl.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ids, -sort_v, codes))
+        c_s = codes[order]
+        firsts = order[
+            np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        ]
+        take = pa.array(firsts)
+        cols = [keys.take(take)] + [
+            pc.cast(tbl.column(c).take(take), pa.int64())
+            for c in names[1:]
+        ]
+        return pa.Table.from_arrays(cols, names=names)
+
+    partials = ds.map_batches(best_per_group, batch_format="pyarrow")
+    return (
+        partials.groupby(group_col)
+        .map_groups(best_per_group, batch_format="pyarrow")
+        .sort(group_col)
+    )

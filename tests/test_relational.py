@@ -508,3 +508,24 @@ def test_dataset_diff_statuses(ray_session):
         5: "changed",  # "" -> null
         6: "added",
     }  # id 2 unchanged: absent
+
+
+def test_top_metrics_ties_and_partitioning(ray_session):
+    """Global argmax with deterministic ties (smallest id), invariant
+    to partitioning."""
+    import ray.data
+
+    from retriv_ray.ops.relational import top_metrics
+
+    rows = [
+        {"g": "a", "s": 5, "i": 3, "m": 30},
+        {"g": "a", "s": 5, "i": 1, "m": 10},  # tie on s: i=1 wins
+        {"g": "a", "s": 4, "i": 0, "m": 99},
+        {"g": "b", "s": 7, "i": 9, "m": 70},
+    ]
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = top_metrics(ds, "g", "s", "i", ["m"]).to_pandas()
+        assert list(out["g"]) == ["a", "b"]
+        assert list(out["i"]) == [1, 9]
+        assert list(out["m"]) == [10, 70]
