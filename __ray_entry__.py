@@ -1620,6 +1620,30 @@ def _q_pivot_counts(sf_dir: str):
     )
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """Beyond-reference source format: documents converted once to a
+    multi-stripe ORC file in /tmp, read back through the per-stripe
+    task fan-out reader (sources/formats.py read_orc), column-pruned
+    at the format layer. Oracle reads the same rows from the parquet
+    view — the reader must be lossless."""
+    import pyarrow.parquet as _pq
+
+    from retriv_ray.sources.formats import read_orc, write_orc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    dst = os.path.join("/tmp", f"retriv_ray_docs_{key}.orc")
+    if not os.path.exists(dst):
+        tmp = dst + ".tmp"
+        write_orc(
+            _pq.read_table(src), tmp, stripe_size=256 * 1024
+        )  # small stripes -> exercises the per-stripe fan-out
+        os.replace(tmp, dst)
+    return read_orc(dst, columns=["doc_id", "lang", "n_chars"]).sort("doc_id")
+
+
 def _q_top_metrics(sf_dir: str):
     """ES top_metrics aggregation (ops/relational.py top_metrics):
     per event_type, the event at the latest ts (ties by smallest
@@ -2919,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_stats": _q_corr_stats,
         "dataset_diff": _q_dataset_diff,
         "top_metrics": _q_top_metrics,
+        "orc_roundtrip": _q_orc_roundtrip,
         "percentile_ranks": _q_percentile_ranks,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
@@ -5381,6 +5406,10 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s)
         ORDER BY event_type, window_start_s
+    """
+    # ORC round-trip: the reader must be lossless vs the parquet view
+    out["orc_roundtrip"] = """
+        SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
     """
     # top_metrics: per-group row at max sort value, deterministic ties
     out["top_metrics"] = """
