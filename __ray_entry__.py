@@ -1879,6 +1879,25 @@ def _q_dis_max_topk(sf_dir: str):
     ).select_columns(["q_id", "rank", "doc_id"])
 
 
+def _q_max_passage_topk(sf_dir: str):
+    """Max-passage (MaxP) document retrieval (search/bm25f.py
+    max_passage_topk): BM25 over 64/48 sliding-window chunks with
+    passage-level statistics, documents ranked by their best passage.
+    Reuses ops/prep.py chunk_documents for the chunking (same
+    parameters as the chunk_documents oracle)."""
+    from retriv_ray.ops.prep import chunk_documents
+    from retriv_ray.search.bm25f import max_passage_topk
+
+    chunks = chunk_documents(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        max_tokens=64,
+        stride=48,
+    )
+    return max_passage_topk(
+        chunks, TOPK_QUERIES, cutoff=CUTOFF
+    ).select_columns(["q_id", "rank", "doc_id"])
+
+
 def _q_boosting_topk(sf_dir: str):
     """ES boosting compound query (search/bm25f.py boosting_topk):
     positive BM25 scores, docs matching any negative term demoted by
@@ -2928,6 +2947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _q_bm25f_topk,
         "dis_max_topk": _q_dis_max_topk,
         "boosting_topk": _q_boosting_topk,
+        "max_passage_topk": _q_max_passage_topk,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
@@ -5049,6 +5069,52 @@ def oracle_sql() -> dict[str, str]:
             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
               AS rank
           FROM scores)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
+    # MaxP: BM25 over 64/48 chunks, doc score = best passage
+    out["max_passage_topk"] = f"""
+        WITH toksrc AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t
+          FROM documents),
+        sdocs AS (SELECT doc_id, t, len(t) AS n FROM toksrc WHERE len(t) > 0),
+        starts AS (
+          SELECT doc_id, t, n, unnest(generate_series(1, n, 48)) AS i
+          FROM sdocs),
+        chunks AS (
+          SELECT doc_id, (i - 1) // 48 AS chunk_idx,
+                 t[i : least(i + 63, n)] AS ctoks
+          FROM starts
+          WHERE i = 1 OR (i - 1 - 48 + 64) < n),
+        ctok AS (SELECT doc_id, chunk_idx, unnest(ctoks) AS term FROM chunks),
+        ctf AS (SELECT doc_id, chunk_idx, term, count(*)::DOUBLE AS tf
+                FROM ctok GROUP BY 1, 2, 3),
+        cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+        cdl AS (SELECT doc_id, chunk_idx, len(ctoks)::DOUBLE AS dl FROM chunks),
+        cstats AS (
+          SELECT (SELECT count(*) FROM chunks)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM cdl)::DOUBLE
+                 / (SELECT count(*) FROM chunks)::DOUBLE AS avgdl),
+        {_QTERMS},
+        pscores AS (
+          SELECT q.q_id, tf.doc_id, tf.chunk_idx,
+            sum( ln(1 + (s.n - cdf.df + 0.5) / (cdf.df + 0.5))
+                 * tf.tf * ({k1} + 1)
+                 / (tf.tf + {k1} * (1 - {b} + {b} * cdl.dl / s.avgdl)) )
+              AS score
+          FROM qterms q
+          JOIN ctf tf ON tf.term = q.term
+          JOIN cdf ON cdf.term = q.term
+          JOIN cdl ON cdl.doc_id = tf.doc_id AND cdl.chunk_idx = tf.chunk_idx
+          CROSS JOIN cstats s
+          GROUP BY 1, 2, 3),
+        dscores AS (
+          SELECT q_id, doc_id, max(score) AS score
+          FROM pscores GROUP BY 1, 2)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+              AS rank
+          FROM dscores)
         WHERE rank <= {CUTOFF} ORDER BY q_id, rank
     """
     # boosting query: positive BM25, negative matches demoted by nb

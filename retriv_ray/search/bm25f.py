@@ -532,3 +532,83 @@ def boosting_topk(
     return topk_per_group(
         scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
     )
+
+
+def max_passage_topk(
+    ds_chunks,
+    queries: Dict[str, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 10,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_idx",
+    text_col: str = "chunk",
+    chunk_bits: int = 20,
+):
+    """Max-passage document retrieval (the long-document staple:
+    score passages, a document ranks by its BEST passage — the
+    BERT-era 'MaxP' aggregation, also ES nested `score_mode: max`):
+    BM25 over the chunk corpus (passage-level N/avgdl/df), then per
+    (query, doc) the max passage score, ties by ascending doc id.
+
+    Scale plan: passages are independent rows, so scoring reuses the
+    full :func:`bm25f_scores` distributed pipeline unchanged (passage
+    id = doc_id << chunk_bits | chunk_idx, one int64 — contract:
+    chunk_idx < 2^chunk_bits, doc_id < 2^(63-chunk_bits)); the rollup
+    is ONE groupby((q_id, doc)).max over candidate scores. Returns
+    (q_id, rank, doc_id, score)."""
+    from ray.data.aggregate import Max
+
+    mask = (1 << chunk_bits) - 1
+
+    def to_passages(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(doc_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ci = pc.cast(batch.column(chunk_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ci) and (ci.max() > mask or ids.max() >= (1 << (63 - chunk_bits))):
+            raise ValueError("doc_id/chunk_idx overflow the passage id")
+        pid = (ids << chunk_bits) | ci
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array(pid),
+                pa.array(["t"] * n, type=pa.string()),
+                pc.cast(batch.column(text_col), pa.string()),
+            ],
+            names=["pid", "field", "text"],
+        )
+
+    passages = ds_chunks.map_batches(to_passages, batch_format="pyarrow")
+    scores = bm25f_scores(
+        passages,
+        queries,
+        {"t": 1},
+        k1=k1,
+        b=b,
+        doc_col="pid",
+        field_col="field",
+        text_col="text",
+    )
+
+    def to_doc(batch: pa.Table) -> pa.Table:
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                batch.column("q_id"),
+                pa.array(pid >> chunk_bits),
+                pc.cast(batch.column("score"), pa.float64()),
+            ],
+            names=["q_id", doc_col, "score"],
+        )
+
+    doc_scores = (
+        scores.map_batches(to_doc, batch_format="pyarrow")
+        .groupby(["q_id", doc_col])
+        .aggregate(Max("score", alias_name="score"))
+    )
+    return topk_per_group(
+        doc_scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
+    )

@@ -191,3 +191,30 @@ def test_boosting_demotes_without_excluding(ray_session):
     assert s_demo[1] < s_demo[0] and s_demo[1] < s_demo[2]
     assert abs(s_demo[1] - 0.1 * s_noop[1]) < 1e-12
     assert s_demo[0] == s_noop[0]  # non-matching docs untouched
+
+
+def test_max_passage_scores_at_passage_level(ray_session):
+    """Scoring is passage-level, not doc-level: doc 1's best chunk
+    (tf=3 in a 6-token tail passage) beats doc 0's (tf=4 in a full
+    16-token window) because BM25 length normalization applies to the
+    CHUNK — the short dense tail passage wins, which a doc-level BM25
+    over the concatenated text cannot reproduce."""
+    import ray.data
+
+    from retriv_ray.ops.prep import chunk_documents
+    from retriv_ray.search.bm25f import max_passage_topk
+
+    filler = " ".join(f"x{i}" for i in range(60))
+    rows = [
+        # doc 0: 4 apples filling the tail of a full 16-token window
+        {"doc_id": 0, "text": filler + " apple apple apple apple"},
+        # doc 1: 3 apples in a SHORT 6-token tail chunk (dl boost)
+        {"doc_id": 1, "text": "apple " + " ".join(f"y{i}" for i in range(50))
+                              + " apple apple apple"},
+        {"doc_id": 2, "text": "nothing here"},
+    ]
+    ds = ray.data.from_items(rows)
+    chunks = chunk_documents(ds, max_tokens=16, stride=16)
+    out = max_passage_topk(chunks, {"q": "apple"}, cutoff=3).to_pandas()
+    assert list(out["doc_id"]) == [1, 0]  # short dense passage wins
+    assert 2 not in set(out["doc_id"])
