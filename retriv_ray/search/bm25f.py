@@ -115,6 +115,21 @@ def bm25f_scores(
         .materialize()  # reused by the stats action AND the join probe
     )
     n_docs = wdl_ds.count()
+    if n_docs == 0:
+        # empty corpus / field restricted to zero rows: no scores.
+        # (dis_max over a field no document carries must contribute
+        # nothing, not divide by zero)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [
+                    ("q_id", pa.string()),
+                    (doc_col, doc_type),
+                    ("score", pa.float64()),
+                ]
+            ).empty_table()
+        )
     sum_wdl = wdl_ds.sum("wdl")
     avgwdl = float(sum_wdl) / float(n_docs)
 

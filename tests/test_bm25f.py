@@ -218,3 +218,22 @@ def test_max_passage_scores_at_passage_level(ray_session):
     out = max_passage_topk(chunks, {"q": "apple"}, cutoff=3).to_pandas()
     assert list(out["doc_id"]) == [1, 0]  # short dense passage wins
     assert 2 not in set(out["doc_id"])
+
+
+def test_dis_max_tolerates_empty_field(ray_session):
+    """A field no row carries contributes nothing (no divide-by-zero);
+    result equals the populated field's BM25."""
+    import ray.data
+
+    from retriv_ray.search.bm25f import dis_max_topk
+
+    rows = [
+        {"doc_id": 0, "field": "title", "text": "apple pie"},
+        {"doc_id": 1, "field": "title", "text": "banana apple"},
+    ]
+    ds = ray.data.from_items(rows)
+    q = {"q0": "apple"}
+    both = dis_max_topk(ds, q, ["title", "missing"], cutoff=5).to_pandas()
+    only = dis_max_topk(ds, q, ["title"], cutoff=5).to_pandas()
+    assert list(both["doc_id"]) == list(only["doc_id"])
+    assert list(both["score"]) == list(only["score"])
