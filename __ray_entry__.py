@@ -1756,6 +1756,34 @@ def _q_percentile_ranks(sf_dir: str):
     )
 
 
+def _q_filters_agg(sf_dir: str):
+    """ES filters aggregation with other_bucket (ops/textstats.py
+    filters_agg): non-exclusive named token filters + the _other_
+    bucket of documents matching none."""
+    from retriv_ray.ops.textstats import filters_agg
+
+    return filters_agg(
+        _docs(sf_dir), {"tbl": "table", "scn": "scan", "win": "window"}
+    )
+
+
+def _q_rank_feature_topk(sf_dir: str):
+    """ES rank_feature query (search/bm25f.py rank_feature_topk):
+    BM25 + boost * saturation(n_chars, pivot=500) — a static
+    document-quality signal folded into relevance; features attach
+    in-group during one tag-union doc-keyed shuffle."""
+    from retriv_ray.search.bm25f import rank_feature_topk
+
+    return rank_feature_topk(
+        _docs(sf_dir).select_columns(["doc_id", "text", "n_chars"]),
+        TOPK_QUERIES,
+        feature_col="n_chars",
+        pivot=500.0,
+        boost=2.0,
+        cutoff=CUTOFF,
+    ).select_columns(["q_id", "rank", "doc_id"])
+
+
 def _q_adjacency_matrix(sf_dir: str):
     """ES adjacency_matrix aggregation (ops/textstats.py
     adjacency_matrix): doc counts per named token filter and per
@@ -2967,6 +2995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": _q_percentile_ranks,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
+        "filters_agg": _q_filters_agg,
+        "rank_feature_topk": _q_rank_feature_topk,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "parse_json": _q_parse_json,
         "quantile_filter": _q_quantile_filter,
@@ -5529,6 +5559,51 @@ def oracle_sql() -> dict[str, str]:
         FROM e CROSS JOIN p
         GROUP BY e.event_type, p.probe
         ORDER BY e.event_type, p.probe
+    """
+    # filters agg: non-exclusive buckets + _other_
+    out["filters_agg"] = f"""
+        WITH docs AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents),
+        m AS (SELECT doc_id,
+                     list_contains(toks, 'table') AS tbl,
+                     list_contains(toks, 'scan') AS scn,
+                     list_contains(toks, 'window') AS win
+              FROM docs)
+        SELECT key, doc_count FROM (
+          SELECT '_other_' AS key,
+                 count(*) FILTER (NOT (tbl OR scn OR win))::BIGINT AS doc_count
+          FROM m
+          UNION ALL SELECT 'scn', count(*) FILTER (scn)::BIGINT FROM m
+          UNION ALL SELECT 'tbl', count(*) FILTER (tbl)::BIGINT FROM m
+          UNION ALL SELECT 'win', count(*) FILTER (win)::BIGINT FROM m)
+        ORDER BY key
+    """
+    # rank_feature: BM25 + boost * x/(x+pivot) static signal
+    out["rank_feature_topk"] = f"""
+        WITH {_BASE_CTES}, {_QTERMS},
+        scores AS (
+          SELECT q.q_id, tf.doc_id,
+            sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1)
+                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, tf.doc_id),
+        boosted AS (
+          SELECT sc.q_id, sc.doc_id,
+                 sc.score + 2.0 * (d.n_chars::DOUBLE
+                                   / (d.n_chars::DOUBLE + 500.0)) AS score
+          FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+              AS rank
+          FROM boosted)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
     """
     # adjacency_matrix: filter and pairwise-intersection doc counts
     out["adjacency_matrix"] = f"""

@@ -1331,3 +1331,54 @@ def adjacency_matrix(
         .aggregate(Sum("doc_count", alias_name="doc_count"))
         .sort("key")
     )
+
+
+def filters_agg(
+    ds,
+    filters: Dict[str, str],
+    text_col: str = "text",
+    other_bucket: bool = True,
+):
+    """ES ``filters`` aggregation: doc counts per named token filter
+    plus (optionally) the ``_other_`` bucket — documents matching NO
+    filter (ES ``other_bucket: true``). Buckets are NOT exclusive:
+    a doc matching two filters counts in both, exactly like ES.
+
+    Same shape as :func:`adjacency_matrix` minus the pair terms: one
+    vectorized membership pass per batch, O(filters) partial rows per
+    block, one tiny groupby(key).sum.
+    """
+    from ray.data.aggregate import Sum
+
+    names = sorted(filters)
+    toks_arr = pa.array([filters[n] for n in names], type=pa.string())
+    keys = list(names) + (["_other_"] if other_bucket else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(
+            pc.cast(pc.fill_null(batch.column(text_col), ""), pa.string())
+        )
+        split = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        m = np.zeros((batch.num_rows, len(names)), dtype=bool)
+        codes = pc.fill_null(
+            pc.index_in(flat, value_set=toks_arr), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = codes >= 0
+        m[parent[valid], codes[valid]] = True
+        counts = [int(m[:, i].sum()) for i in range(len(names))]
+        if other_bucket:
+            counts.append(int((~m.any(axis=1)).sum()))
+        return pa.Table.from_arrays(
+            [pa.array(keys, type=pa.string()),
+             pa.array(counts, type=pa.int64())],
+            names=["key", "doc_count"],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+        .sort("key")
+    )

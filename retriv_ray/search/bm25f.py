@@ -627,3 +627,117 @@ def max_passage_topk(
     return topk_per_group(
         doc_scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
     )
+
+
+def rank_feature_topk(
+    ds_docs,
+    queries: Dict[str, str],
+    feature_col: str,
+    pivot: float,
+    boost: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    cutoff: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """ES ``rank_feature`` query combined with a text match: final
+    score = BM25(text) + boost * saturation(feature) where
+    ``saturation(x) = x / (x + pivot)`` (the ES default function) —
+    static document-quality signals (pagerank, freshness, length)
+    folded into relevance at query time.
+
+    Scale plan: one :func:`bm25f_scores` pass for the text scores;
+    the feature column rides a second map-side pass emitting
+    (doc, feature) rows for ALL docs, combined with the score rows in
+    ONE tag-union groupby(doc) (features attach in-group; docs with
+    no text match drop — rank_feature only boosts, it does not
+    recall). Returns (q_id, rank, doc_id, score), ties by ascending
+    doc_id."""
+
+    def with_field(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "field", pa.array(["t"] * batch.num_rows, type=pa.string())
+        )
+
+    pos = bm25f_scores(
+        ds_docs.map_batches(with_field, batch_format="pyarrow"),
+        queries,
+        {"t": 1},
+        k1=k1,
+        b=b,
+        doc_col=doc_col,
+        field_col="field",
+        text_col=text_col,
+    )
+    _sch = ds_docs.schema()
+    doc_type = dict(zip(_sch.names, _sch.types))[doc_col]
+    union_schema = pa.schema(
+        [
+            (doc_col, doc_type),
+            ("q_id", pa.string()),
+            ("x", pa.float64()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column(doc_col),
+                batch.column("q_id"),
+                pc.cast(batch.column("score"), pa.float64()),
+                pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def tag_features(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column(doc_col),
+                pa.nulls(batch.num_rows, type=pa.string()),
+                pc.cast(batch.column(feature_col), pa.float64()),
+                pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            ],
+            names=union_schema.names,
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        srows = np.flatnonzero(side == 0)
+        frows = np.flatnonzero(side == 1)
+        if not len(srows):
+            return pa.schema(
+                [
+                    ("q_id", pa.string()),
+                    (doc_col, group.schema.field(doc_col).type),
+                    ("score", pa.float64()),
+                ]
+            ).empty_table()
+        feat = float(x[frows[0]]) if len(frows) else 0.0
+        sat = feat / (feat + pivot) if feat > 0 else 0.0
+        keep = pa.array(srows)
+        return pa.Table.from_arrays(
+            [
+                group.column("q_id").take(keep),
+                group.column(doc_col).take(keep),
+                pa.array(x[srows] + boost * sat, type=pa.float64()),
+            ],
+            names=["q_id", doc_col, "score"],
+        )
+
+    scores = (
+        pos.map_batches(tag_scores, batch_format="pyarrow")
+        .union(
+            ds_docs.select_columns([doc_col, feature_col]).map_batches(
+                tag_features, batch_format="pyarrow"
+            )
+        )
+        .groupby(doc_col)
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return topk_per_group(
+        scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
+    )

@@ -237,3 +237,25 @@ def test_dis_max_tolerates_empty_field(ray_session):
     only = dis_max_topk(ds, q, ["title"], cutoff=5).to_pandas()
     assert list(both["doc_id"]) == list(only["doc_id"])
     assert list(both["score"]) == list(only["score"])
+
+
+def test_rank_feature_boost_reorders(ray_session):
+    """Equal-BM25 docs order by the saturated feature; zero/absent
+    features add nothing; non-matching docs are not recalled."""
+    import ray.data
+
+    from retriv_ray.search.bm25f import rank_feature_topk
+
+    rows = [
+        {"doc_id": 0, "text": "apple pie", "feat": 0},
+        {"doc_id": 1, "text": "apple tart", "feat": 900},
+        {"doc_id": 2, "text": "banana", "feat": 99999},
+    ]
+    ds = ray.data.from_items(rows)
+    out = rank_feature_topk(
+        ds, {"q": "apple"}, feature_col="feat", pivot=100.0, boost=5.0
+    ).to_pandas()
+    assert list(out["doc_id"]) == [1, 0]  # same BM25, feature decides
+    assert 2 not in set(out["doc_id"])  # boost does not recall
+    s = dict(zip(out["doc_id"], out["score"]))
+    assert abs((s[1] - s[0]) - 5.0 * (900 / 1000)) < 1e-9

@@ -477,3 +477,18 @@ def test_adjacency_matrix_pairs_and_statics(ray_session):
             "A": 2, "B": 2, "C": 2,
             "A&B": 2, "A&C": 1, "B&C": 1,
         }
+
+
+def test_filters_agg_other_bucket(ray_session):
+    """Non-exclusive buckets; _other_ counts docs matching none."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import filters_agg
+
+    rows = [{"text": "a b"}, {"text": "a"}, {"text": "z"}, {"text": ""}]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = filters_agg(ds, {"A": "a", "B": "b"}).to_pandas()
+    got = dict(zip(out["key"], out["doc_count"]))
+    assert got == {"A": 2, "B": 1, "_other_": 2}
+    no_other = filters_agg(ds, {"A": "a"}, other_bucket=False).to_pandas()
+    assert list(no_other["key"]) == ["A"]
