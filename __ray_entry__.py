@@ -1907,6 +1907,55 @@ def _q_dis_max_topk(sf_dir: str):
     ).select_columns(["q_id", "rank", "doc_id"])
 
 
+def _q_bm25plus_topk(sf_dir: str):
+    """BM25+ (Lv & Zhai 2011) ranking (search/bm25f.py bm25f_scores
+    delta=1.0): the lower-bounded tf normalization that stops long
+    documents containing a query term from scoring below documents
+    lacking it — the classic BM25 long-doc fix, as a single-field
+    scoring pass."""
+    import pyarrow as pa
+
+    from retriv_ray.ops.prep import topk_per_group
+    from retriv_ray.search.bm25f import bm25f_scores
+
+    def with_field(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "field", pa.array(["t"] * batch.num_rows, type=pa.string())
+        )
+
+    scores = bm25f_scores(
+        _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+            with_field, batch_format="pyarrow"
+        ),
+        TOPK_QUERIES,
+        {"t": 1},
+        delta=1.0,
+    )
+    return topk_per_group(
+        scores, k=CUTOFF, key_col="q_id", score_col="score", id_col="doc_id"
+    ).select_columns(["q_id", "rank", "doc_id"])
+
+
+def _q_numeric_histogram(sf_dir: str):
+    """ES histogram aggregation (ops/windows.py numeric_histogram):
+    fixed-interval value-cents buckets per event_type with count and
+    exact integer sum — the tumbling-window combiner on a value
+    axis."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.windows import numeric_histogram
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), c], names=["event_type", "cents"]
+        )
+
+    ds = _events(sf_dir).map_batches(cents, batch_format="pyarrow")
+    return numeric_histogram(ds, "cents", 2500, key_col="event_type")
+
+
 def _q_max_passage_topk(sf_dir: str):
     """Max-passage (MaxP) document retrieval (search/bm25f.py
     max_passage_topk): BM25 over 64/48 sliding-window chunks with
@@ -2976,6 +3025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max_topk": _q_dis_max_topk,
         "boosting_topk": _q_boosting_topk,
         "max_passage_topk": _q_max_passage_topk,
+        "bm25plus_topk": _q_bm25plus_topk,
+        "numeric_histogram": _q_numeric_histogram,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
         "rollup_counts": _q_rollup_counts,
@@ -5100,6 +5151,37 @@ def oracle_sql() -> dict[str, str]:
               AS rank
           FROM scores)
         WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
+    # BM25+: classic formula + delta lower bound per matching term
+    out["bm25plus_topk"] = f"""
+        WITH {_BASE_CTES}, {_QTERMS},
+        scores AS (
+          SELECT q.q_id, tf.doc_id,
+            sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * ( tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))
+                     + 1.0 ) ) AS score
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, tf.doc_id)
+        SELECT q_id, rank, doc_id FROM (
+          SELECT q_id, doc_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id)
+              AS rank
+          FROM scores)
+        WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
+    # numeric histogram: fixed-interval buckets, floor toward -inf
+    out["numeric_histogram"] = """
+        SELECT event_type,
+               (floor(round(value * 100)::BIGINT / 2500.0)::BIGINT * 2500)
+                 AS bucket,
+               count(*)::BIGINT AS n,
+               sum(round(value * 100)::BIGINT)::BIGINT AS value_sum
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
     # MaxP: BM25 over 64/48 chunks, doc score = best passage
     out["max_passage_topk"] = f"""

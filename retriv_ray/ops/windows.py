@@ -643,3 +643,43 @@ def date_histogram_pipeline(
         .map_groups(series, batch_format="pyarrow")
         .sort([key_col, "window_start_s"])
     )
+
+
+def numeric_histogram(
+    ds,
+    value_col: str,
+    interval: int,
+    key_col: str | None = None,
+):
+    """ES ``histogram`` aggregation on a numeric (int64) column:
+    fixed-``interval`` buckets keyed by ``floor(value / interval) *
+    interval`` (floor division — negative values bucket toward
+    -infinity, ES semantics), with count and exact integer sum per
+    bucket; optionally sub-keyed by ``key_col``. Empty buckets are
+    omitted (ES ``min_doc_count: 1``).
+
+    One per-batch ``pa.TableGroupBy`` combiner, one (key, bucket)
+    exchange — the tumbling-window pattern on a value axis.
+    """
+    from ray.data.aggregate import Sum
+
+    keys = ([key_col] if key_col else []) + ["bucket"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bucket = (v // interval) * interval
+        cols = (
+            [batch.column(key_col)] if key_col else []
+        ) + [pa.array(bucket), pa.array(v)]
+        t = pa.Table.from_arrays(cols, names=keys + ["v"])
+        g = pa.TableGroupBy(t, keys).aggregate([("v", "count"), ("v", "sum")])
+        return g.rename_columns(keys + ["n", "value_sum"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+    )
+    return out.sort(keys)

@@ -67,6 +67,7 @@ def bm25f_scores(
     doc_col: str = "doc_id",
     field_col: str = "field",
     text_col: str = "text",
+    delta: float = 0.0,
 ):
     """Full (q_id, doc_id, score) BM25F score Dataset over a
     (doc_id, field, text) dataset — the scoring body shared by
@@ -74,7 +75,9 @@ def bm25f_scores(
     positive integers (exactness contract above). Collection stats
     (N, avgwdl, df) are computed over the rows given, so restricting
     ``ds_fields`` to ONE field yields that field's own BM25 — exactly
-    the per-field subquery statistics Lucene uses."""
+    the per-field subquery statistics Lucene uses. ``delta`` adds the
+    BM25+ lower-bound term (Lv & Zhai 2011) to every matching term's
+    normalized tf — 0.0 (default) is classic BM25."""
     from ray.data.aggregate import Sum
 
     for f, w in field_weights.items():
@@ -265,7 +268,10 @@ def bm25f_scores(
         wtf = batch.column("wtf").to_numpy().astype(np.float64)
         wdl = batch.column("wdl").to_numpy().astype(np.float64)
         denom_len = k1 * (1.0 - b + b * wdl / avgwdl)
-        base = wtf * (k1 + 1.0) / (wtf + denom_len)
+        # delta > 0 = BM25+ (Lv & Zhai 2011): a lower bound on the
+        # tf-normalization term so long documents containing a query
+        # term are never scored below any document lacking it
+        base = wtf * (k1 + 1.0) / (wtf + denom_len) + delta
         term_arr = batch.column("term")
         # expand per (distinct term -> queries containing it): the
         # loop is |qterms| x |queries| wide, the row work is vectorized

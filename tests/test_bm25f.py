@@ -259,3 +259,36 @@ def test_rank_feature_boost_reorders(ray_session):
     assert 2 not in set(out["doc_id"])  # boost does not recall
     s = dict(zip(out["doc_id"], out["score"]))
     assert abs((s[1] - s[0]) - 5.0 * (900 / 1000)) < 1e-9
+
+
+def test_bm25plus_delta_rewards_any_match(ray_session):
+    """With delta, a long doc containing the term stays above docs
+    lacking it, and every matching doc gains idf*delta per term vs
+    classic BM25."""
+    import ray.data
+
+    from retriv_ray.ops.prep import topk_per_group
+    from retriv_ray.search.bm25f import bm25f_scores
+
+    def with_field(b):
+        import pyarrow as pa
+
+        return b.append_column(
+            "field", pa.array(["t"] * b.num_rows, type=pa.string())
+        )
+
+    long_tail = " ".join(f"z{i}" for i in range(200))
+    rows = [
+        {"doc_id": 0, "text": "apple " + long_tail},  # long matcher
+        {"doc_id": 1, "text": "apple pie"},           # short matcher
+        {"doc_id": 2, "text": "no match here"},
+    ]
+    ds = ray.data.from_items(rows).map_batches(with_field, batch_format="pyarrow")
+    q = {"q": "apple"}
+    classic = bm25f_scores(ds, q, {"t": 1}).to_pandas().set_index("doc_id")
+    plus = bm25f_scores(ds, q, {"t": 1}, delta=1.0).to_pandas().set_index("doc_id")
+    assert set(plus.index) == {0, 1}  # delta never recalls non-matchers
+    # uplift = idf * delta, identical for both matchers
+    up0 = plus.loc[0, "score"] - classic.loc[0, "score"]
+    up1 = plus.loc[1, "score"] - classic.loc[1, "score"]
+    assert up0 > 0 and abs(up0 - up1) < 1e-12

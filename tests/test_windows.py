@@ -369,3 +369,19 @@ def test_date_histogram_pipeline_gaps_and_partitioning(ray_session):
         b = out[out.event_type == "b"]
         assert list(b["value_cents"]) == [999]
         assert b["delta_cents"].isna().all()
+
+
+def test_numeric_histogram_negative_floor_and_partitioning(ray_session):
+    """Negative values bucket toward -infinity (floor, ES semantics);
+    empty buckets omitted; partition-independent."""
+    import ray.data
+
+    from retriv_ray.ops.windows import numeric_histogram
+
+    rows = [{"v": x} for x in [-5, -1, 0, 3, 9, 10, 25]]
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = numeric_histogram(ds, "v", 10).to_pandas()
+        got = {int(b): (int(n), int(s)) for b, n, s in
+               zip(out["bucket"], out["n"], out["value_sum"])}
+        assert got == {-10: (2, -6), 0: (3, 12), 10: (1, 10), 20: (1, 25)}
