@@ -566,6 +566,18 @@ def _q_response_pairs(sf_dir: str):
     )
 
 
+def _q_bpe_train(sf_dir: str):
+    """Distributed BPE merge-rule training (ops/prep.py bpe_train):
+    iterative global pair-count argmax, deterministic ties. The
+    iterative-algorithm family member — not SQL-expressible as one
+    query (like the stemmer chain), so the driver records rows-only
+    and the exact semantics are pinned by the in-memory-reference
+    differential test (tests/test_prep_ops.py)."""
+    from retriv_ray.ops.prep import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=8)
+
+
 def _q_sft_spans(sf_dir: str):
     """SFT loss-mask spans (ops/conversations.py sft_spans): per-turn
     whitespace-token offsets in the conversation's concatenated stream
@@ -2931,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "response_pairs": _q_response_pairs,
         "sft_spans": _q_sft_spans,
+        "bpe_train": _q_bpe_train,
         "conversation_windows": _q_conversation_windows,
         "conversation_filter": _q_conversation_filter,
         "bigram_lm": _q_bigram_lm,

@@ -516,3 +516,117 @@ def parse_json_fields(
         return batch
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def bpe_train(
+    ds,
+    n_merges: int = 10,
+    text_col: str = "text",
+    max_token_chars: int = 64,
+):
+    """Distributed BPE merge-rule training (Sennrich et al. 2016,
+    word-internal variant): start from characters within whitespace
+    words, repeatedly merge the globally most frequent adjacent
+    symbol pair (ties: higher count first, then lexicographic (left,
+    right) — fully deterministic). Returns a pa.Table
+    (merge_idx, left, right, pair_count) of the learned rules.
+
+    This is the iterative-algorithm family member (like k-means): NOT
+    SQL-expressible as one query, so its correctness is pinned by a
+    differential test against an in-memory reference implementation
+    instead of a DuckDB oracle.
+
+    Scale plan per round: one map_batches pass re-derives each word's
+    current symbol sequence by replaying the (tiny, driver-held)
+    merge list — O(merges) string ops per word, vectorized per batch
+    via a word-frequency combiner: each block first collapses to
+    DISTINCT words with counts (Zipf collapses the volume), pair
+    counts ride one groupby((left, right)).sum exchange of bounded
+    (block x distinct pairs) rows, and the driver holds only the
+    argmax row per round. Rounds scan the corpus once each — the
+    standard trade against materializing mutable per-word state.
+    Words longer than ``max_token_chars`` are skipped (pathological
+    unsegmented blobs would dominate pair counts).
+    """
+    from ray.data.aggregate import Sum
+
+    merges: List[tuple] = []
+    out_l, out_r, out_c = [], [], []
+
+    def apply_merges(word: str, rules) -> List[str]:
+        syms = list(word)
+        for l, r in rules:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for _round in range(n_merges):
+        rules = tuple(merges)
+
+        def pair_partial(batch: pa.Table, _rules=rules) -> pa.Table:
+            from collections import Counter
+
+            col = pc.utf8_trim_whitespace(
+                pc.cast(pc.fill_null(batch.column(text_col), ""), pa.string())
+            )
+            split = pc.split_pattern_regex(col, r"\s+")
+            flat = pc.list_flatten(split)
+            words = Counter(
+                w
+                for w in flat.to_pylist()
+                if w and len(w) <= max_token_chars
+            )
+            pairs: Counter = Counter()
+            for w, c in words.items():
+                syms = apply_merges(w, _rules)
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                return pa.Table.from_arrays(
+                    [pa.array([], type=pa.string())] * 2
+                    + [pa.array([], type=pa.int64())],
+                    names=["l", "r", "c"],
+                )
+            ls, rs, cs = zip(*((a, b, c) for (a, b), c in pairs.items()))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(list(ls), type=pa.string()),
+                    pa.array(list(rs), type=pa.string()),
+                    pa.array(list(cs), type=pa.int64()),
+                ],
+                names=["l", "r", "c"],
+            )
+
+        counts = (
+            ds.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Sum("c", alias_name="c"))
+            # deterministic argmax: count desc, then (l, r) asc
+            .sort(["c", "l", "r"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not counts:
+            break
+        row = counts[0]
+        merges.append((row["l"], row["r"]))
+        out_l.append(row["l"])
+        out_r.append(row["r"])
+        out_c.append(int(row["c"]))
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.arange(len(out_l), dtype=np.int64)),
+            pa.array(out_l, type=pa.string()),
+            pa.array(out_r, type=pa.string()),
+            pa.array(out_c, type=pa.int64()),
+        ],
+        names=["merge_idx", "left", "right", "pair_count"],
+    )

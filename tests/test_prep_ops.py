@@ -492,3 +492,56 @@ def test_filters_agg_other_bucket(ray_session):
     assert got == {"A": 2, "B": 1, "_other_": 2}
     no_other = filters_agg(ds, {"A": "a"}, other_bucket=False).to_pandas()
     assert list(no_other["key"]) == ["A"]
+
+
+def _bpe_reference(words, n_merges):
+    """In-memory reference BPE (count desc, then lexicographic)."""
+    from collections import Counter
+
+    wc = Counter(words)
+    seqs = {w: list(w) for w in wc}
+    rules = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rules.append((best, pairs[best]))
+        for w in seqs:
+            s, i, out = seqs[w], 0, []
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed merges == in-memory reference, any partitioning."""
+    import ray.data
+
+    from retriv_ray.ops.prep import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low newer low",
+    ]
+    words = [w for t in texts for w in t.split()]
+    want = _bpe_reference(words, 6)
+    for nparts in (1, 3):
+        ds = ray.data.from_items([{"text": t} for t in texts]).repartition(nparts)
+        got = bpe_train(ds, n_merges=6).to_pandas()
+        got_rules = [
+            ((l, r), int(c))
+            for l, r, c in zip(got["left"], got["right"], got["pair_count"])
+        ]
+        assert got_rules == want
