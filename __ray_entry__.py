@@ -1648,7 +1648,8 @@ def _q_orc_roundtrip(sf_dir: str):
     ).hexdigest()[:12]
     dst = os.path.join("/tmp", f"retriv_ray_docs_{key}.orc")
     if not os.path.exists(dst):
-        tmp = dst + ".tmp"
+        tmp = f"{dst}.{os.getpid()}.tmp"  # per-process: concurrent
+        # driver runs must not interleave writes before the rename
         write_orc(
             _pq.read_table(src), tmp, stripe_size=256 * 1024
         )  # small stripes -> exercises the per-stripe fan-out

@@ -504,14 +504,20 @@ def parse_json_fields(
 
     int_fields, str_fields = list(int_fields), list(str_fields)
 
+    import re as _re
+
     def extract(batch: pa.Table) -> pa.Table:
         src = pc.cast(batch.column(col), pa.string())
         for f in int_fields:
-            st = pc.extract_regex(src, rf'"{f}":\s*(?P<v>-?\d+)')
+            st = pc.extract_regex(
+                src, rf'"{_re.escape(f)}":\s*(?P<v>-?\d+)'
+            )
             v = pc.cast(pc.struct_field(st, "v"), pa.int64())
             batch = batch.append_column(f, v)
         for f in str_fields:
-            st = pc.extract_regex(src, rf'"{f}":\s*"(?P<v>[^"]*)"')
+            st = pc.extract_regex(
+                src, rf'"{_re.escape(f)}":\s*"(?P<v>[^"]*)"'
+            )
             batch = batch.append_column(f, pc.struct_field(st, "v"))
         return batch
 

@@ -791,6 +791,9 @@ def pivot_counts(
     names = [row_col] + [f"n_{v}" for v in values] + ["n_total"]
 
     def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column(row_col)
+        if key.null_count:  # null keys dropped (documented contract)
+            batch = batch.filter(pc.is_valid(key))
         if batch.num_rows == 0:
             key_t = batch.schema.field(row_col).type
             return pa.Table.from_arrays(
@@ -851,6 +854,9 @@ def corr_stats(
 
     def partial(batch: pa.Table) -> pa.Table:
         key_t = batch.schema.field(group_col).type
+        key = batch.column(group_col)
+        if key.null_count:  # null keys dropped (documented contract)
+            batch = batch.filter(pc.is_valid(key))
         if batch.num_rows == 0:
             return pa.Table.from_arrays(
                 [pa.array([], type=key_t)]
@@ -916,13 +922,21 @@ def dataset_diff(
                     ],
                     names=[id_col, "h", "side"],
                 )
-            cols = [
-                pc.fill_null(pc.cast(batch.column(c), pa.string()), "\x00")
-                for c in compare_cols
-            ]
+            # length-prefix each value so separators inside values
+            # (or a value equal to the null sentinel) cannot alias a
+            # different column split to the same digest
+            cols = []
+            for c in compare_cols:
+                sc = pc.cast(batch.column(c), pa.string())
+                lp = pc.binary_join_element_wise(
+                    pc.cast(pc.fill_null(pc.utf8_length(sc), -1), pa.string()),
+                    pc.fill_null(sc, ""),
+                    ":",
+                )
+                cols.append(lp)
             joined = cols[0]
             for c in cols[1:]:
-                joined = pc.binary_join_element_wise(joined, c, "\x1f")
+                joined = pc.binary_join_element_wise(joined, c, "|")
             h = _md5_low64_many(joined.to_pylist()).view(np.int64)
             return pa.Table.from_arrays(
                 [
@@ -999,6 +1013,10 @@ def top_metrics(
     names = [group_col, sort_col, id_col] + metric_cols
 
     def best_per_group(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows and group_col in tbl.schema.names:
+            key = tbl.column(group_col)
+            if key.null_count:  # null keys dropped (documented contract)
+                tbl = tbl.filter(pc.is_valid(key))
         if tbl.num_rows == 0:
             return pa.Table.from_arrays(
                 [pa.array([], type=tbl.schema.field(group_col).type)]

@@ -330,8 +330,12 @@ def approx_count(ds, value_col: str, probes, d: int = 4, w: int = 1024):
         )
         if batch.num_rows == 0:
             return empty
-        vals = pc.cast(batch.column(value_col), pa.string()).to_pylist()
-        h = _md5_low64_many(vals)
+        col = pc.cast(batch.column(value_col), pa.string())
+        if col.null_count:  # null values dropped (twin contract: the
+            col = col.drop_null()  # SQL side filters IS NOT NULL)
+        if len(col) == 0:
+            return empty
+        h = _md5_low64_many(col.to_pylist())
         rows, cells, counts = [], [], []
         for j in range(d):
             hj = (h * np.uint64(_CMS_A[j]) + np.uint64(_CMS_B[j])) % np.uint64(
@@ -361,7 +365,7 @@ def approx_count(ds, value_col: str, probes, d: int = 4, w: int = 1024):
         table[(int(r), int(cl))] = int(c)
     out_v, out_e = [], []
     with np.errstate(over="ignore"):  # uint64 wraparound is the hash
-        for v in sorted(probes, key=str):
+        for v in sorted({str(p) for p in probes}):  # dedup: SQL GROUPs
             hv = _md5_low64_many([str(v)])[0]
             est = min(
                 table.get(
@@ -392,7 +396,9 @@ def approx_count_sql(
 ) -> str:
     """The DuckDB twin of :func:`approx_count` — same md5 + affine row
     hashes, same min-over-rows, generated from the same constants."""
-    probe_values = " , ".join(f"('{v}')" for v in sorted(probes, key=str))
+    probe_values = " , ".join(
+        f"('{v}')" for v in sorted({str(p) for p in probes})
+    )
     rows_j = " , ".join(f"({j})" for j in range(d))
 
     def cell_expr(src: str) -> str:
@@ -409,6 +415,7 @@ def approx_count_sql(
           SELECT r.j AS row_, {cell_expr(f"t.{value_col}::VARCHAR")} AS cell,
                  count(*)::BIGINT AS c
           FROM {table} t CROSS JOIN rows_ r
+          WHERE t.{value_col} IS NOT NULL
           GROUP BY 1, 2),
         probes(v) AS (VALUES {probe_values}),
         lookups AS (

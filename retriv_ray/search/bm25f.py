@@ -58,6 +58,18 @@ def _row_weights(batch: pa.Table, field_col: str, weights: Dict[str, int]):
         raise ValueError(f"unknown field {e.args[0]!r} in {field_col}")
 
 
+def _with_pseudo_field(ds, field_col: str = "field", name: str = "t"):
+    """Append a constant pseudo-field column so single-field callers
+    (boosting, rank_feature, BM25+) can reuse the BM25F scoring body."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            field_col, pa.array([name] * batch.num_rows, type=pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bm25f_scores(
     ds_fields,
     queries: Dict[str, str],
@@ -460,13 +472,8 @@ def boosting_topk(
         for t in ts:
             term_to_qids.setdefault(t, []).append(q)
 
-    def with_field(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "field", pa.array(["t"] * batch.num_rows, type=pa.string())
-        )
-
     pos = bm25f_scores(
-        ds_docs.map_batches(with_field, batch_format="pyarrow"),
+        _with_pseudo_field(ds_docs),
         pos_q,
         {"t": 1},
         k1=k1,
@@ -589,8 +596,13 @@ def max_passage_topk(
         ci = pc.cast(batch.column(chunk_col), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        if len(ci) and (ci.max() > mask or ids.max() >= (1 << (63 - chunk_bits))):
-            raise ValueError("doc_id/chunk_idx overflow the passage id")
+        if len(ci) and (
+            ci.min() < 0
+            or ids.min() < 0
+            or ci.max() > mask
+            or ids.max() >= (1 << (63 - chunk_bits))
+        ):
+            raise ValueError("doc_id/chunk_idx outside the packed passage-id range")
         pid = (ids << chunk_bits) | ci
         n = batch.num_rows
         return pa.Table.from_arrays(
@@ -661,13 +673,8 @@ def rank_feature_topk(
     recall). Returns (q_id, rank, doc_id, score), ties by ascending
     doc_id."""
 
-    def with_field(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "field", pa.array(["t"] * batch.num_rows, type=pa.string())
-        )
-
     pos = bm25f_scores(
-        ds_docs.map_batches(with_field, batch_format="pyarrow"),
+        _with_pseudo_field(ds_docs),
         queries,
         {"t": 1},
         k1=k1,

@@ -545,3 +545,21 @@ def test_bpe_train_matches_reference(ray_session):
             for l, r, c in zip(got["left"], got["right"], got["pair_count"])
         ]
         assert got_rules == want
+
+
+def test_parse_json_fields_escapes_metacharacters(ray_session):
+    """Field names with regex metacharacters match literally."""
+    import ray.data
+
+    from retriv_ray.ops.prep import parse_json_fields
+
+    rows = [
+        {"i": 0, "props": '{"a.b": 5, "aXb": 9}'},
+    ]
+    out = (
+        parse_json_fields(
+            ray.data.from_items(rows), col="props", int_fields=["a.b"]
+        )
+        .to_pandas()
+    )
+    assert list(out["a.b"]) == [5]  # matched "a.b", not "aXb"

@@ -529,3 +529,45 @@ def test_top_metrics_ties_and_partitioning(ray_session):
         assert list(out["g"]) == ["a", "b"]
         assert list(out["i"]) == [1, 9]
         assert list(out["m"]) == [10, 70]
+
+
+def test_null_keys_dropped_pivot_corr_topmetrics(ray_session):
+    """Null group keys drop (documented) instead of crashing the
+    vectorized partials."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.relational import corr_stats, pivot_counts, top_metrics
+
+    t = pa.table(
+        {
+            "k": ["a", None, "a"],
+            "p": ["x", "x", "y"],
+            "x": pa.array([1, 2, 3], type=pa.int64()),
+            "y": pa.array([4, 5, 6], type=pa.int64()),
+            "m": pa.array([7, 8, 9], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    piv = pivot_counts(ds, "k", "p", ["x"]).to_pandas()
+    assert list(piv["k"]) == ["a"] and list(piv["n_total"]) == [2]
+    cs = corr_stats(ds, "k", "x", "y").to_pandas()
+    assert list(cs["k"]) == ["a"] and list(cs["n"]) == [2]
+    tm = top_metrics(ds, "k", "x", "y", ["m"]).to_pandas()
+    assert list(tm["k"]) == ["a"] and list(tm["m"]) == [9]
+
+
+def test_dataset_diff_separator_aliasing(ray_session):
+    """Values containing the join separator cannot alias a different
+    column split (length-prefixed digests)."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.relational import dataset_diff
+
+    old = pa.table({"id": [1], "a": ["x|y"], "b": ["z"]})
+    new = pa.table({"id": [1], "a": ["x"], "b": ["y|z"]})
+    out = dataset_diff(
+        ray.data.from_arrow(old), ray.data.from_arrow(new), "id", ["a", "b"]
+    ).to_pandas()
+    assert list(out["status"]) == ["changed"]

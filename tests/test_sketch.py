@@ -196,3 +196,25 @@ def test_approx_count_exact_when_wide(ray_session):
     # 3 values x 4 rows in 4096 cells: estimate == exact count unless
     # all 4 rows collide (impossible here by direct check)
     assert m == {"a": 7, "b": 3, "c": 1, "d": 0}
+
+
+def test_approx_count_nulls_and_duplicate_probes(ray_session):
+    import duckdb
+    import ray
+
+    from retriv_ray.ops.sketch import approx_count, approx_count_sql
+
+    t = pa.table({"v": ["a", None, "a", "b", None]})
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = approx_count(ds, "v", ["a", "a", "b", "zz"], d=4, w=4096)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        approx_count_sql("t", "v", ["a", "a", "b", "zz"], 4, 4096)
+    ).fetchall()
+    assert [
+        (v, e)
+        for v, e in zip(got.column("value").to_pylist(),
+                        got.column("est").to_pylist())
+    ] == want
+    assert got.num_rows == 3  # probes deduped like the SQL GROUP BY
