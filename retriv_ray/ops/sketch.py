@@ -361,8 +361,11 @@ def approx_count(ds, value_col: str, probes, d: int = 4, w: int = 1024):
         .to_pandas()
     )
     table = {}
-    for r, cl, c in zip(agg["row"], agg["cell"], agg["c"]):
-        table[(int(r), int(cl))] = int(c)
+    if "row" in agg.columns:  # an all-empty input aggregates to a
+        # zero-column frame; every estimate is then 0 (SQL twin:
+        # empty cells CTE -> coalesce(c, 0))
+        for r, cl, c in zip(agg["row"], agg["cell"], agg["c"]):
+            table[(int(r), int(cl))] = int(c)
     out_v, out_e = [], []
     with np.errstate(over="ignore"):  # uint64 wraparound is the hash
         for v in sorted({str(p) for p in probes}):  # dedup: SQL GROUPs

@@ -218,3 +218,13 @@ def test_approx_count_nulls_and_duplicate_probes(ray_session):
                         got.column("est").to_pylist())
     ] == want
     assert got.num_rows == 3  # probes deduped like the SQL GROUP BY
+
+
+def test_approx_count_all_null_input(ray_session):
+    import ray
+
+    from retriv_ray.ops.sketch import approx_count
+
+    t = pa.table({"v": pa.array([None, None], type=pa.string())})
+    got = approx_count(ray.data.from_arrow(t), "v", ["a", "b"], d=2, w=16)
+    assert got.column("est").to_pylist() == [0, 0]
