@@ -1920,6 +1920,18 @@ def _q_dis_max_topk(sf_dir: str):
     ).select_columns(["q_id", "rank", "doc_id"])
 
 
+def _q_ltr_features(sf_dir: str):
+    """LTR feature extraction (search/bm25f.py ltr_features): per
+    (q_id, doc) candidate the bm25_e4 / tf_sum / n_matched / dl
+    feature vector — the offline feature dump an LTR trainer
+    consumes; one scoring pipeline with a wider aggregate."""
+    from retriv_ray.search.bm25f import ltr_features
+
+    return ltr_features(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), TOPK_QUERIES
+    )
+
+
 def _q_bm25plus_topk(sf_dir: str):
     """BM25+ (Lv & Zhai 2011) ranking (search/bm25f.py bm25f_scores
     delta=1.0): the lower-bounded tf normalization that stops long
@@ -3040,6 +3052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting_topk": _q_boosting_topk,
         "max_passage_topk": _q_max_passage_topk,
         "bm25plus_topk": _q_bm25plus_topk,
+        "ltr_features": _q_ltr_features,
         "numeric_histogram": _q_numeric_histogram,
         "star_revenue_topk": _q_star_revenue,
         "orders_by_nation": _q_orders_by_nation,
@@ -5165,6 +5178,27 @@ def oracle_sql() -> dict[str, str]:
               AS rank
           FROM scores)
         WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+    """
+    # LTR features: quantized bm25 + integer aggregates per candidate
+    out["ltr_features"] = f"""
+        WITH {_BASE_CTES}, {_QTERMS},
+        feats AS (
+          SELECT q.q_id, tf.doc_id,
+            floor(1e4 * sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({k1} + 1)
+                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ))::BIGINT
+              AS bm25_e4,
+            sum(tf.tf)::BIGINT AS tf_sum,
+            count(DISTINCT q.term)::BIGINT AS n_matched,
+            max(dl.dl)::BIGINT AS dl
+          FROM qterms q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.q_id, tf.doc_id)
+        SELECT q_id, doc_id, bm25_e4, tf_sum, n_matched, dl
+        FROM feats ORDER BY q_id, doc_id
     """
     # BM25+: classic formula + delta lower bound per matching term
     out["bm25plus_topk"] = f"""

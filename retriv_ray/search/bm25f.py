@@ -80,6 +80,7 @@ def bm25f_scores(
     field_col: str = "field",
     text_col: str = "text",
     delta: float = 0.0,
+    features: bool = False,
 ):
     """Full (q_id, doc_id, score) BM25F score Dataset over a
     (doc_id, field, text) dataset — the scoring body shared by
@@ -89,7 +90,10 @@ def bm25f_scores(
     ``ds_fields`` to ONE field yields that field's own BM25 — exactly
     the per-field subquery statistics Lucene uses. ``delta`` adds the
     BM25+ lower-bound term (Lv & Zhai 2011) to every matching term's
-    normalized tf — 0.0 (default) is classic BM25."""
+    normalized tf — 0.0 (default) is classic BM25. With
+    ``features=True`` the result carries the LTR feature set per
+    (q_id, doc): score, tf_sum, n_matched (distinct matched terms)
+    and dl — same pipeline, wider aggregate."""
     from ray.data.aggregate import Sum
 
     for f, w in field_weights.items():
@@ -290,6 +294,10 @@ def bm25f_scores(
         out_q: List[pa.Array] = []
         out_d: List[np.ndarray] = []
         out_c: List[np.ndarray] = []
+        out_tf: List[np.ndarray] = []
+        out_dl: List[np.ndarray] = []
+        wtf_i = batch.column("wtf").to_numpy()
+        wdl_i = batch.column("wdl").to_numpy()
         for t, qids in term_to_qids.items():
             mask = pc.equal(term_arr, t).to_numpy(zero_copy_only=False)
             if not mask.any():
@@ -299,28 +307,41 @@ def bm25f_scores(
                 out_q.append(pa.array([q] * len(d_m), type=pa.string()))
                 out_d.append(d_m)
                 out_c.append(c_m)
-        if not out_d:
-            return pa.Table.from_arrays(
-                [
-                    pa.array([], type=pa.string()),
-                    pa.array([], type=batch.schema.field(doc_col).type),
-                    pa.array([], type=pa.float64()),
-                ],
-                names=["q_id", doc_col, "contrib"],
-            )
-        return pa.Table.from_arrays(
-            [
-                pa.concat_arrays(out_q),
-                pa.array(np.concatenate(out_d)),
-                pa.array(np.concatenate(out_c)),
-            ],
-            names=["q_id", doc_col, "contrib"],
+                if features:
+                    out_tf.append(wtf_i[mask])
+                    out_dl.append(wdl_i[mask])
+        names = ["q_id", doc_col, "contrib"] + (
+            ["tf", "dl"] if features else []
         )
+        if not out_d:
+            cols = [
+                pa.array([], type=pa.string()),
+                pa.array([], type=batch.schema.field(doc_col).type),
+                pa.array([], type=pa.float64()),
+            ] + ([pa.array([], type=pa.int64())] * 2 if features else [])
+            return pa.Table.from_arrays(cols, names=names)
+        cols = [
+            pa.concat_arrays(out_q),
+            pa.array(np.concatenate(out_d)),
+            pa.array(np.concatenate(out_c)),
+        ]
+        if features:
+            cols.append(pa.array(np.concatenate(out_tf).astype(np.int64)))
+            cols.append(pa.array(np.concatenate(out_dl).astype(np.int64)))
+        return pa.Table.from_arrays(cols, names=names)
 
-    return (
-        cand.map_batches(contribs, batch_format="pyarrow")
-        .groupby(["q_id", doc_col])
-        .aggregate(Sum("contrib", alias_name="score"))
+    contrib_ds = cand.map_batches(contribs, batch_format="pyarrow")
+    if not features:
+        return contrib_ds.groupby(["q_id", doc_col]).aggregate(
+            Sum("contrib", alias_name="score")
+        )
+    from ray.data.aggregate import Count, Max
+
+    return contrib_ds.groupby(["q_id", doc_col]).aggregate(
+        Sum("contrib", alias_name="score"),
+        Sum("tf", alias_name="tf_sum"),
+        Count(alias_name="n_matched"),
+        Max("dl", alias_name="dl"),
     )
 
 
@@ -753,4 +774,55 @@ def rank_feature_topk(
     )
     return topk_per_group(
         scores, k=cutoff, key_col="q_id", score_col="score", id_col=doc_col
+    )
+
+
+def ltr_features(
+    ds_docs,
+    queries: Dict[str, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Learning-to-rank training-feature extraction: per (q_id, doc)
+    candidate, the classic LTR feature vector — bm25_e4 (BM25 score,
+    floor-quantized x1e4 so the oracle hash covers values), tf_sum
+    (total matched-term frequency), n_matched (distinct query terms
+    present) and dl (doc length) — the offline feature-dump every
+    LTR pipeline (ES LTR plugin, Solr LTR) starts from.
+
+    Same distributed pipeline as BM25 scoring (one wider aggregate);
+    returns a Dataset sorted by (q_id, doc)."""
+    import pyarrow.compute as _pc
+
+    feats = bm25f_scores(
+        _with_pseudo_field(ds_docs),
+        queries,
+        {"t": 1},
+        k1=k1,
+        b=b,
+        doc_col=doc_col,
+        field_col="field",
+        text_col=text_col,
+        features=True,
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        score = batch.column("score").to_numpy(zero_copy_only=False)
+        e4 = np.floor(1e4 * score).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("q_id"),
+                batch.column(doc_col),
+                pa.array(e4),
+                _pc.cast(batch.column("tf_sum"), pa.int64()),
+                _pc.cast(batch.column("n_matched"), pa.int64()),
+                _pc.cast(batch.column("dl"), pa.int64()),
+            ],
+            names=["q_id", doc_col, "bm25_e4", "tf_sum", "n_matched", "dl"],
+        )
+
+    return feats.map_batches(quantize, batch_format="pyarrow").sort(
+        ["q_id", doc_col]
     )

@@ -292,3 +292,24 @@ def test_bm25plus_delta_rewards_any_match(ray_session):
     up0 = plus.loc[0, "score"] - classic.loc[0, "score"]
     up1 = plus.loc[1, "score"] - classic.loc[1, "score"]
     assert up0 > 0 and abs(up0 - up1) < 1e-12
+
+
+def test_ltr_features_integer_semantics(ray_session):
+    """tf_sum / n_matched / dl are exact integers; a doc matching two
+    query terms reports n_matched=2; dl is the doc token count."""
+    import ray.data
+
+    from retriv_ray.search.bm25f import ltr_features
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple cherry"},
+        {"doc_id": 1, "text": "apple pie"},
+        {"doc_id": 2, "text": "nothing"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = ltr_features(ds, {"q": "apple banana"}).to_pandas()
+    f0 = out[out.doc_id == 0].iloc[0]
+    assert (f0["tf_sum"], f0["n_matched"], f0["dl"]) == (3, 2, 4)
+    f1 = out[out.doc_id == 1].iloc[0]
+    assert (f1["tf_sum"], f1["n_matched"], f1["dl"]) == (1, 1, 2)
+    assert 2 not in set(out["doc_id"])
