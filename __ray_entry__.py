@@ -143,6 +143,11 @@ SUGGEST_MAX_DIST = 2
 BM25F_WEIGHTS = {"title": 3, "body": 1}  # positive ints (exactness)
 BM25F_TITLE_TOKENS = 5  # field split: first 5 tokens = title, rest = body
 DIS_MAX_TIE = 0.3  # dis_max tie_breaker: best field + 0.3 * others
+PHRASE_SUGGEST_QUERIES = {  # q_id -> misspelled two-word phrase
+    "p1": ("tabl", "hashh"),
+    "p2": ("window", "bach"),
+    "p3": ("hashh", "mergee"),
+}
 BOOSTING_QUERIES = {  # q_id -> (positive_text, negative_text)
     "n1": ("table scan join", "spark"),
     "n2": ("window batch stream", "customer order"),
@@ -1769,6 +1774,19 @@ def _q_percentile_ranks(sf_dir: str):
     )
 
 
+def _q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester (ops/textstats.py phrase_suggest): corpus
+    bigrams within edit distance 1 per word of the misspelled phrase,
+    ranked count desc / distance asc — candidates are real
+    co-occurrences (collate=true by construction). Map-side banded
+    Levenshtein over distinct bigrams; no table broadcast."""
+    from retriv_ray.ops.textstats import phrase_suggest
+
+    return phrase_suggest(
+        _docs(sf_dir), PHRASE_SUGGEST_QUERIES, max_dist=1, topn=3
+    )
+
+
 def _q_filters_agg(sf_dir: str):
     """ES filters aggregation with other_bucket (ops/textstats.py
     filters_agg): non-exclusive named token filters + the _other_
@@ -3074,6 +3092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
         "filters_agg": _q_filters_agg,
+        "phrase_suggest": _q_phrase_suggest,
         "rank_feature_topk": _q_rank_feature_topk,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "parse_json": _q_parse_json,
@@ -5689,6 +5708,31 @@ def oracle_sql() -> dict[str, str]:
         FROM e CROSS JOIN p
         GROUP BY e.event_type, p.probe
         ORDER BY e.event_type, p.probe
+    """
+    # phrase suggester: real-bigram candidates, count/distance rank
+    out["phrase_suggest"] = f"""
+        WITH docs AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+          FROM documents),
+        pos AS (SELECT doc_id, unnest(toks) AS term,
+                       unnest(range(len(toks))) AS pos FROM docs),
+        bg AS (SELECT a.term AS w1, b.term AS w2
+               FROM pos a JOIN pos b
+                 ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+                FROM bg GROUP BY w1, w2),
+        q(q_id, a, b) AS (VALUES ('p1', 'tabl', 'hashh') , ('p2', 'window', 'bach') , ('p3', 'hashh', 'mergee')),
+        cand AS (
+          SELECT q.q_id, c.w1, c.w2, c.c12,
+                 (levenshtein(c.w1, q.a) + levenshtein(c.w2, q.b))::BIGINT
+                   AS dist
+          FROM q JOIN c12 c
+            ON levenshtein(c.w1, q.a) <= 1 AND levenshtein(c.w2, q.b) <= 1)
+        SELECT q_id, rank, w1, w2, c12, dist FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY c12 DESC, dist, w1, w2) AS rank
+          FROM cand)
+        WHERE rank <= 3 ORDER BY q_id, rank
     """
     # filters agg: non-exclusive buckets + _other_
     out["filters_agg"] = f"""

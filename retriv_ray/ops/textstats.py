@@ -7,7 +7,7 @@ outputs are integer-exact where they feed a SQL oracle.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -1381,4 +1381,134 @@ def filters_agg(
         .groupby("key")
         .aggregate(Sum("doc_count", alias_name="doc_count"))
         .sort("key")
+    )
+
+
+def _lev(a: str, b: str, cap: int) -> int:
+    """Classic Levenshtein (DuckDB ``levenshtein`` parity — no
+    transpositions), early-exit above ``cap`` via the band bound."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            best = min(best, v)
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def phrase_suggest(
+    ds,
+    phrases: Dict[str, Tuple[str, str]] | Dict[str, tuple],
+    max_dist: int = 1,
+    topn: int = 3,
+    text_col: str = "text",
+):
+    """ES *phrase suggester* ("did you mean", phrase-level): for each
+    two-word query, the corpus bigrams whose words are each within
+    ``max_dist`` edits of the query words, ranked by bigram count
+    desc, then total edit distance asc, then (w1, w2) lexicographic —
+    candidates are REAL co-occurrences, so unlike per-term suggestion
+    the correction is guaranteed to be a phrase the corpus actually
+    contains (the ES collate=true behavior by construction).
+
+    Returns (q_id, rank, w1, w2, c12, dist), top-``topn`` per query.
+
+    Scale plan: bigram counts are the combiner-first Counter pass
+    (one groupby(bg).sum — the :func:`bigram_lm_stats` family);
+    candidate matching runs MAP-SIDE over distinct-bigram rows (a
+    length-pruned banded Levenshtein per (bigram, query) — queries
+    are few, bigrams per block bounded), and only matches enter the
+    final tiny per-query top-n. No vocabulary or bigram table is ever
+    broadcast or gathered."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+    qitems = [(q, str(a), str(b)) for q, (a, b) in sorted(phrases.items())]
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            c.update(SEP.join(p) for p in zip(toks, toks[1:]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(c.keys()), type=pa.string()),
+                pa.array(list(c.values()), type=pa.int64()),
+            ],
+            names=["bg", "v"],
+        )
+
+    c12 = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("v", alias_name="c12"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("q_id", pa.string()),
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("c12", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bg" not in batch.schema.names:
+            return out_schema.empty_table()
+        bgs = batch.column("bg").to_pylist()
+        cnt = batch.column("c12").to_pylist()
+        rows = []
+        for bg, c in zip(bgs, cnt):
+            w1, _, w2 = bg.partition(SEP)
+            for q, a, b in qitems:
+                d1 = _lev(w1, a, max_dist)
+                if d1 > max_dist:
+                    continue
+                d2 = _lev(w2, b, max_dist)
+                if d2 > max_dist:
+                    continue
+                rows.append((q, w1, w2, int(c), d1 + d2))
+        if not rows:
+            return out_schema.empty_table()
+        qs, w1s, w2s, cs, ds_ = zip(*rows)
+        return pa.Table.from_arrays(
+            [
+                pa.array(qs, type=pa.string()),
+                pa.array(w1s, type=pa.string()),
+                pa.array(w2s, type=pa.string()),
+                pa.array(cs, type=pa.int64()),
+                pa.array(ds_, type=pa.int64()),
+            ],
+            names=out_schema.names,
+        )
+
+    cands = c12.map_batches(match, batch_format="pyarrow")
+
+    def rank(group: pa.Table) -> pa.Table:
+        c = group.column("c12").to_numpy(zero_copy_only=False)
+        d = group.column("dist").to_numpy(zero_copy_only=False)
+        w1 = np.asarray(group.column("w1").to_pylist(), dtype=object)
+        w2 = np.asarray(group.column("w2").to_pylist(), dtype=object)
+        order = np.lexsort((w2, w1, d, -c))[:topn]
+        take = pa.array(order)
+        return group.take(take).append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return (
+        cands.groupby("q_id")
+        .map_groups(rank, batch_format="pyarrow")
+        .sort(["q_id", "rank"])
+        .select_columns(["q_id", "rank", "w1", "w2", "c12", "dist"])
     )

@@ -563,3 +563,31 @@ def test_parse_json_fields_escapes_metacharacters(ray_session):
         .to_pandas()
     )
     assert list(out["a.b"]) == [5]  # matched "a.b", not "aXb"
+
+
+def test_phrase_suggest_collated_and_ranked(ray_session):
+    """Candidates must be real corpus bigrams; rank = count desc,
+    then distance, then lexicographic; per-word distance cap."""
+    import duckdb
+    import ray.data
+
+    from retriv_ray.ops.textstats import phrase_suggest
+
+    rows = [
+        {"text": "big data big data big date"},
+        {"text": "bag data pig dat"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = phrase_suggest(ds, {"q": ("bg", "data")}, max_dist=1, topn=5).to_pandas()
+    # 'big data' (c=2) above 'bag data' (c=1) and 'big date' (c=1)
+    assert list(zip(out["w1"], out["w2"]))[0] == ("big", "data")
+    assert set(zip(out["w1"], out["w2"])) == {
+        ("big", "data"), ("bag", "data"), ("big", "date"),
+    }  # 'pig dat' excluded: 'pig' is 2 edits from 'bg'
+    # DuckDB levenshtein parity on the dist column
+    con = duckdb.connect()
+    for w1, w2, d in zip(out["w1"], out["w2"], out["dist"]):
+        want = con.execute(
+            "SELECT levenshtein(?, 'bg') + levenshtein(?, 'data')", [w1, w2]
+        ).fetchone()[0]
+        assert int(d) == want
