@@ -1637,6 +1637,53 @@ def _q_pivot_counts(sf_dir: str):
     )
 
 
+def _q_incremental_agg(sf_dir: str):
+    """Incrementally-maintained aggregate (ops/io.py
+    incremental_sum_agg): events split once into per-user-bucket
+    shards in /tmp, then the running (event_type, n, cents) state is
+    folded in TWO calls — first half, then all shards — exercising
+    the delta-merge path; a third call with no new files returns the
+    persisted state untouched. Oracle: the full GROUP BY over events
+    (the incremental result must equal the from-scratch rebuild)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from retriv_ray.ops.io import incremental_sum_agg
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    shard_dir = os.path.join("/tmp", f"retriv_ray_evshards_{key}")
+    if not os.path.exists(os.path.join(shard_dir, "_DONE")):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = _pq.read_table(src, columns=["event_type", "user_id", "value"])
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64())
+        t = pa.Table.from_arrays(
+            [t.column("event_type"), t.column("user_id"),
+             pa.array(np.ones(t.num_rows, dtype=np.int64)), cents],
+            names=["event_type", "user_id", "n", "cents"],
+        )
+        bucket = pc.bit_wise_and(t.column("user_id"), 3)
+        for i in range(4):
+            shard = t.filter(pc.equal(bucket, i)).drop_columns(["user_id"])
+            _pq.write_table(shard, os.path.join(shard_dir, f"shard-{i}.parquet"))
+        open(os.path.join(shard_dir, "_DONE"), "w").close()
+    shards = sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(".parquet")
+    )
+    state = os.path.join(shard_dir, "state")
+    if os.path.exists(state):
+        import shutil as _sh
+
+        _sh.rmtree(state)  # fresh two-step fold each driver run
+    incremental_sum_agg(shards[:2], state, ["event_type"], ["n", "cents"])
+    return incremental_sum_agg(shards, state, ["event_type"], ["n", "cents"])
+
+
 def _q_orc_roundtrip(sf_dir: str):
     """Beyond-reference source format: documents converted once to a
     multi-stripe ORC file in /tmp, read back through the per-stripe
@@ -3088,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_diff": _q_dataset_diff,
         "top_metrics": _q_top_metrics,
         "orc_roundtrip": _q_orc_roundtrip,
+        "incremental_agg": _q_incremental_agg,
         "percentile_ranks": _q_percentile_ranks,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
@@ -5651,6 +5699,12 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         WINDOW w AS (PARTITION BY event_type ORDER BY window_start_s)
         ORDER BY event_type, window_start_s
+    """
+    # incremental aggregate == from-scratch rebuild
+    out["incremental_agg"] = """
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     # ORC round-trip: the reader must be lossless vs the parquet view
     out["orc_roundtrip"] = """

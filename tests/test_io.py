@@ -82,3 +82,40 @@ def test_read_requires_completed_buckets(ray_session, tmp_path):
 def test_validates_buckets(ray_session, tmp_path):
     with pytest.raises(ValueError, match="n_buckets"):
         resumable_write_parquet(_ds(), str(tmp_path / "x"), "doc_id", n_buckets=0)
+
+
+def test_incremental_sum_agg_folds_and_recovers(ray_session, tmp_path):
+    """Delta folds match a from-scratch rebuild; unchanged inputs are
+    a no-op; a torn publish (manifest/state mismatch) rebuilds."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retriv_ray.ops.io import incremental_sum_agg
+
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"k": ["x", "y"], "v": pa.array([1, 2], pa.int64())}), f1)
+    pq.write_table(pa.table({"k": ["x", "z"], "v": pa.array([10, 5], pa.int64())}), f2)
+    st = str(tmp_path / "state")
+
+    r1 = incremental_sum_agg([f1], st, ["k"], ["v"])
+    assert dict(zip(r1.column("k").to_pylist(), r1.column("v").to_pylist())) == {
+        "x": 1, "y": 2,
+    }
+    r2 = incremental_sum_agg([f1, f2], st, ["k"], ["v"])
+    want = {"x": 11, "y": 2, "z": 5}
+    assert dict(zip(r2.column("k").to_pylist(), r2.column("v").to_pylist())) == want
+    # idempotent no-op when nothing changed
+    r3 = incremental_sum_agg([f1, f2], st, ["k"], ["v"])
+    assert r3.to_pydict() == r2.to_pydict()
+    # torn publish: corrupt the manifest -> mismatch -> full rebuild
+    man = st + "/manifest.json"
+    with open(man) as f:
+        m = json.load(f)
+    m["bogus"] = "entry"
+    with open(man, "w") as f:
+        json.dump(m, f)
+    r4 = incremental_sum_agg([f1, f2], st, ["k"], ["v"])
+    assert dict(zip(r4.column("k").to_pylist(), r4.column("v").to_pylist())) == want
