@@ -1625,6 +1625,33 @@ def _q_date_histogram_pipeline(sf_dir: str):
     return date_histogram_pipeline(_events(sf_dir), unit="week", moving=3)
 
 
+def _q_windowed_percentiles(sf_dir: str):
+    """Windowed percentiles (group_percentiles with a composite
+    (event_type, day) key): the SLO-latency shape — exact per-bucket
+    quantile_disc over value cents, one distinct-value-histogram
+    exchange, rank-select distributed across (key, window) groups."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.textstats import group_percentiles
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()),
+            pa.scalar(1_000_000, type=pa.int64()),
+        )
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), day, cents],
+            names=["event_type", "day_s", "cents"],
+        )
+
+    ds = _events(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return group_percentiles(
+        ds, ["event_type", "day_s"], "cents", qs=(0.5, 0.875)
+    )
+
+
 def _q_pivot_counts(sf_dir: str):
     """Crosstab (SQL PIVOT ... IN): per-user event-type count columns
     (ops/relational.py pivot_counts). One vectorized flat bincount per
@@ -3131,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_count": _q_approx_count,
         "group_percentiles": _q_group_percentiles,
+        "windowed_percentiles": _q_windowed_percentiles,
         "pivot_counts": _q_pivot_counts,
         "corr_stats": _q_corr_stats,
         "dataset_diff": _q_dataset_diff,
@@ -5867,6 +5895,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
                count(*)::BIGINT AS n_total
         FROM events GROUP BY user_id ORDER BY user_id
+    """
+    # windowed percentiles: composite (key, day) quantile_disc
+    out["windowed_percentiles"] = """
+        SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s, 0.5 AS q, quantile_disc(round(value*100)::BIGINT, 0.5)::BIGINT AS value FROM events GROUP BY 1, 2\n          UNION ALL SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_s, 0.875 AS q, quantile_disc(round(value*100)::BIGINT, 0.875)::BIGINT AS value FROM events GROUP BY 1, 2
+        ORDER BY event_type, day_s, q
     """
     # ES percentiles agg: per-group exact quantile_disc over cents
     out["group_percentiles"] = """

@@ -645,14 +645,16 @@ def length_quantiles(
 
 def group_percentiles(
     ds,
-    group_col: str,
+    group_col,
     value_col: str,
     qs=(0.25, 0.5, 0.75, 0.875),
 ):
     """ES ``percentiles`` aggregation (per-group EXACT quantiles of an
     integer column), reference semantics from the ``aggs: {percentiles}``
     surface of search engines; quantile math matches DuckDB
-    ``quantile_disc`` exactly (index = max(0, ceil(q*n) - 1) over the
+    ``quantile_disc`` exactly; ``group_col`` may be one column or a
+    list (composite keys — e.g. (service, day) for windowed latency
+    percentiles) (index = max(0, ceil(q*n) - 1) over the
     ascending values; default ``qs`` are binary fractions so q*n is
     exact in IEEE double on both engines).
 
@@ -670,7 +672,8 @@ def group_percentiles(
     """
     import math
 
-    hist = ds.groupby([group_col, value_col]).count()
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    hist = ds.groupby(group_cols + [value_col]).count()
     qs = [float(q) for q in qs]
 
     def select(group: pa.Table) -> pa.Table:
@@ -684,19 +687,23 @@ def group_percentiles(
             [max(0, math.ceil(q * n) - 1) for q in qs], dtype=np.int64
         )
         pos = np.searchsorted(cum, idx, side="right")
-        key = group.column(group_col)[0]
-        return pa.Table.from_arrays(
-            [
-                pa.array([key.as_py()] * len(qs), type=group.schema.field(group_col).type),
-                pa.array(qs, type=pa.float64()),
-                pa.array(vals[pos].astype(np.int64), type=pa.int64()),
-            ],
-            names=[group_col, "q", "value"],
-        )
+        cols = []
+        for g in group_cols:
+            key = group.column(g)[0]
+            cols.append(
+                pa.array(
+                    [key.as_py()] * len(qs), type=group.schema.field(g).type
+                )
+            )
+        cols.append(pa.array(qs, type=pa.float64()))
+        cols.append(pa.array(vals[pos].astype(np.int64), type=pa.int64()))
+        return pa.Table.from_arrays(cols, names=group_cols + ["q", "value"])
 
-    return hist.groupby(group_col).map_groups(
-        select, batch_format="pyarrow"
-    ).sort([group_col, "q"])
+    return (
+        hist.groupby(group_cols)
+        .map_groups(select, batch_format="pyarrow")
+        .sort(group_cols + ["q"])
+    )
 
 
 def tfidf_keywords(

@@ -591,3 +591,34 @@ def test_phrase_suggest_collated_and_ranked(ray_session):
             "SELECT levenshtein(?, 'bg') + levenshtein(?, 'data')", [w1, w2]
         ).fetchone()[0]
         assert int(d) == want
+
+
+def test_group_percentiles_composite_key(ray_session):
+    """Composite (g1, g2) keys partition independently of layout."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.textstats import group_percentiles
+
+    rng = np.random.default_rng(13)
+    t = pa.table(
+        {
+            "g1": rng.choice(["a", "b"], 400),
+            "g2": rng.integers(0, 3, 400).astype(np.int64),
+            "v": rng.integers(0, 30, 400).astype(np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g1, g2, 0.5 AS q, quantile_disc(v, 0.5)::BIGINT AS value"
+        " FROM t GROUP BY 1, 2 ORDER BY g1, g2, q"
+    ).df()
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = group_percentiles(ds, ["g1", "g2"], "v", qs=(0.5,)).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
