@@ -2031,20 +2031,11 @@ def _q_bm25plus_topk(sf_dir: str):
     documents containing a query term from scoring below documents
     lacking it — the classic BM25 long-doc fix, as a single-field
     scoring pass."""
-    import pyarrow as pa
-
     from retriv_ray.ops.prep import topk_per_group
-    from retriv_ray.search.bm25f import bm25f_scores
-
-    def with_field(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "field", pa.array(["t"] * batch.num_rows, type=pa.string())
-        )
+    from retriv_ray.search.bm25f import _with_pseudo_field, bm25f_scores
 
     scores = bm25f_scores(
-        _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
-            with_field, batch_format="pyarrow"
-        ),
+        _with_pseudo_field(_docs(sf_dir).select_columns(["doc_id", "text"])),
         TOPK_QUERIES,
         {"t": 1},
         delta=1.0,

@@ -174,14 +174,24 @@ def incremental_sum_agg(
     man: dict = {}
     state_tbl = None
     if os.path.exists(man_path) and os.path.exists(state_path):
-        with open(man_path) as f:
-            man = _json.load(f)
-        t = pq.read_table(state_path)
-        meta = t.schema.metadata or {}
-        if meta.get(b"manifest_sha") == _man_fingerprint(man).encode():
-            state_tbl = t
-        else:  # torn publish: rebuild from scratch
+        try:
+            with open(man_path) as f:
+                man = _json.load(f)
+        except ValueError:  # corrupt manifest: rebuild from scratch
             man = {}
+        if man:
+            t = pq.read_table(state_path)
+            meta = t.schema.metadata or {}
+            if meta.get(b"manifest_sha") == _man_fingerprint(man).encode():
+                state_tbl = t
+            else:  # torn publish: rebuild from scratch
+                man = {}
+
+    # a file ALREADY folded whose content changed (fingerprint moved)
+    # cannot be incrementally re-folded — its old rows are baked into
+    # the state. Never double-count: rebuild from scratch.
+    if any(p in man and man[p] != fps[p] for p in files):
+        man, state_tbl = {}, None
 
     new_files = [p for p in files if man.get(p) != fps[p]]
     if not new_files and state_tbl is not None:
@@ -210,8 +220,21 @@ def incremental_sum_agg(
         if t is not None
     ]
     if not merged_inputs:
+        # type the empty state from the INPUT schema, not guesses — a
+        # wrong-typed empty state would poison every later fold
+        src_schema = pq.read_schema(files[0]) if files else None
         merged = pa.Table.from_arrays(
-            [pa.array([], type=pa.string()) for _ in key_cols]
+            [
+                pa.array(
+                    [],
+                    type=(
+                        src_schema.field(c).type
+                        if src_schema is not None and c in src_schema.names
+                        else pa.string()
+                    ),
+                )
+                for c in key_cols
+            ]
             + [pa.array([], type=pa.int64()) for _ in value_cols],
             names=key_cols + value_cols,
         )
@@ -231,7 +254,8 @@ def incremental_sum_agg(
     tmp = f"{state_path}.{os.getpid()}.tmp"
     pq.write_table(merged, tmp)
     os.replace(tmp, state_path)
-    with open(man_path + ".tmp", "w") as f:
+    man_tmp = f"{man_path}.{os.getpid()}.tmp"
+    with open(man_tmp, "w") as f:
         _json.dump(new_man, f)
-    os.replace(man_path + ".tmp", man_path)
+    os.replace(man_tmp, man_path)
     return merged.sort_by([(k, "ascending") for k in key_cols])

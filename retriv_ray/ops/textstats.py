@@ -1302,7 +1302,11 @@ def adjacency_matrix(
     keys = list(names) + [
         f"{a}&{b}" for i, a in enumerate(names) for b in names[i + 1 :]
     ]
-    toks_arr = pa.array([filters[n] for n in names], type=pa.string())
+    # token -> EVERY filter sharing that value (index_in would bind
+    # only the first duplicate)
+    _tok_to_idxs: Dict[str, list] = {}
+    for j, nm in enumerate(names):
+        _tok_to_idxs.setdefault(filters[nm], []).append(j)
 
     def partial(batch: pa.Table) -> pa.Table:
         col = pc.utf8_trim_whitespace(
@@ -1313,11 +1317,11 @@ def adjacency_matrix(
         parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
         n = batch.num_rows
         m = np.zeros((n, len(names)), dtype=bool)
-        codes = pc.fill_null(
-            pc.index_in(flat, value_set=toks_arr), -1
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        valid = codes >= 0
-        m[parent[valid], codes[valid]] = True
+        for tok, idxs in _tok_to_idxs.items():
+            mask = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+            if mask.any():
+                for j in idxs:
+                    m[parent[mask], j] = True
         counts = []
         for i in range(len(names)):
             counts.append(int(m[:, i].sum()))
@@ -1358,7 +1362,9 @@ def filters_agg(
     from ray.data.aggregate import Sum
 
     names = sorted(filters)
-    toks_arr = pa.array([filters[n] for n in names], type=pa.string())
+    _tok_to_idxs: Dict[str, list] = {}
+    for j, nm in enumerate(names):
+        _tok_to_idxs.setdefault(filters[nm], []).append(j)
     keys = list(names) + (["_other_"] if other_bucket else [])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1369,11 +1375,11 @@ def filters_agg(
         flat = pc.list_flatten(split)
         parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
         m = np.zeros((batch.num_rows, len(names)), dtype=bool)
-        codes = pc.fill_null(
-            pc.index_in(flat, value_set=toks_arr), -1
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        valid = codes >= 0
-        m[parent[valid], codes[valid]] = True
+        for tok, idxs in _tok_to_idxs.items():
+            mask = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+            if mask.any():
+                for j in idxs:
+                    m[parent[mask], j] = True
         counts = [int(m[:, i].sum()) for i in range(len(names))]
         if other_bucket:
             counts.append(int((~m.any(axis=1)).sum()))
@@ -1393,7 +1399,11 @@ def filters_agg(
 
 def _lev(a: str, b: str, cap: int) -> int:
     """Classic Levenshtein (DuckDB ``levenshtein`` parity — no
-    transpositions), early-exit above ``cap`` via the band bound."""
+    transpositions), early-exit above ``cap`` via the band bound.
+    Scalar sibling of search/fuzzy.py's byte-matrix
+    ``_levenshtein_batch`` (the vocabulary-scan shape); the
+    cross-parity property test in tests/test_properties_round4.py
+    binds both to DuckDB, so a change to either diverges loudly."""
     if abs(len(a) - len(b)) > cap:
         return cap + 1
     prev = list(range(len(b) + 1))

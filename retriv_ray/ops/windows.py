@@ -666,6 +666,12 @@ def numeric_histogram(
     keys = ([key_col] if key_col else []) + ["bucket"]
 
     def partial(batch: pa.Table) -> pa.Table:
+        # drop null values (and null keys): a NaN bucket would flip
+        # the int64 columns to float64 and break partial-schema unity
+        valid = pc.is_valid(batch.column(value_col))
+        if key_col:
+            valid = pc.and_(valid, pc.is_valid(batch.column(key_col)))
+        batch = batch.filter(valid)
         v = pc.cast(batch.column(value_col), pa.int64()).to_numpy(
             zero_copy_only=False
         )

@@ -100,6 +100,24 @@ def bm25f_scores(
         if not isinstance(w, (int, np.integer)) or w <= 0:
             raise ValueError(f"field weight {f}={w!r} must be a positive int")
     _sch = ds_fields.schema()  # Ray schema wrapper: .names / .types
+    feature_fields = [
+        ("tf_sum", pa.int64()),
+        ("n_matched", pa.int64()),
+        ("dl", pa.int64()),
+    ]
+
+    def _empty_scores(doc_type_):
+        import ray.data as _rd
+
+        fields = [
+            ("q_id", pa.string()),
+            (doc_col, doc_type_),
+            ("score", pa.float64()),
+        ] + (feature_fields if features else [])
+        return _rd.from_arrow(pa.schema(fields).empty_table())
+
+    if _sch is None:  # zero-block input: schema unknowable
+        return _empty_scores(pa.int64())
     doc_type = dict(zip(_sch.names, _sch.types))[doc_col]
     qterm_lists = {q: queries[q].split() for q in queries}
     qterms = sorted({t for ts in qterm_lists.values() for t in ts})
@@ -135,20 +153,11 @@ def bm25f_scores(
     )
     n_docs = wdl_ds.count()
     if n_docs == 0:
-        # empty corpus / field restricted to zero rows: no scores.
+        # empty corpus / field restricted to zero rows: no scores
         # (dis_max over a field no document carries must contribute
-        # nothing, not divide by zero)
-        import ray.data as _rd
-
-        return _rd.from_arrow(
-            pa.schema(
-                [
-                    ("q_id", pa.string()),
-                    (doc_col, doc_type),
-                    ("score", pa.float64()),
-                ]
-            ).empty_table()
-        )
+        # nothing, not divide by zero) — feature columns included so
+        # features-mode callers keep their schema
+        return _empty_scores(doc_type)
     sum_wdl = wdl_ds.sum("wdl")
     avgwdl = float(sum_wdl) / float(n_docs)
 

@@ -62,3 +62,51 @@ def test_dataset_diff_one_side_empty(ray_session):
     assert list(out["status"]) == ["removed"]
     out2 = dataset_diff(_empty(sc), old, "id", ["text"]).to_pandas()
     assert list(out2["status"]) == ["added"]
+
+
+def test_bm25f_family_tolerates_empty_corpus(ray_session):
+    """Every bm25f-based wrapper returns a typed empty result over a
+    zero-row corpus (zero-block schema included)."""
+    import ray.data
+
+    from retriv_ray.ops.prep import chunk_documents
+    from retriv_ray.search.bm25f import (
+        boosting_topk,
+        dis_max_topk,
+        ltr_features,
+        max_passage_topk,
+        rank_feature_topk,
+    )
+
+    sc = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("feat", pa.int64())]
+    )
+    ds = _empty(sc)
+    q = {"q": "apple"}
+    assert ltr_features(ds, q).count() == 0
+    assert rank_feature_topk(ds, q, feature_col="feat", pivot=10.0).count() == 0
+    assert boosting_topk(ds, {"q": ("apple", "bad")}).count() == 0
+    fields = pa.schema(
+        [("doc_id", pa.int64()), ("field", pa.string()), ("text", pa.string())]
+    )
+    assert dis_max_topk(_empty(fields), q, ["title"]).count() == 0
+    chunks = chunk_documents(ds)
+    assert max_passage_topk(chunks, q).count() == 0
+
+
+def test_numeric_histogram_nulls_dropped(ray_session):
+    import ray.data
+
+    from retriv_ray.ops.windows import numeric_histogram
+
+    t = pa.table(
+        {
+            "g": ["a", None, "a", "a"],
+            "v": pa.array([5, 7, None, 12], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = numeric_histogram(ds, "v", 10, key_col="g").to_pandas()
+    got = {(g, int(b)): (int(n), int(s)) for g, b, n, s in
+           zip(out["g"], out["bucket"], out["n"], out["value_sum"])}
+    assert got == {("a", 0): (1, 5), ("a", 10): (1, 12)}

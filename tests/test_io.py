@@ -119,3 +119,27 @@ def test_incremental_sum_agg_folds_and_recovers(ray_session, tmp_path):
         json.dump(m, f)
     r4 = incremental_sum_agg([f1, f2], st, ["k"], ["v"])
     assert dict(zip(r4.column("k").to_pylist(), r4.column("v").to_pylist())) == want
+
+
+def test_incremental_sum_agg_changed_file_rebuilds(ray_session, tmp_path):
+    """A previously-folded file whose content changed triggers a full
+    rebuild — never a double-count."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retriv_ray.ops.io import incremental_sum_agg
+
+    f1 = str(tmp_path / "a.parquet")
+    pq.write_table(pa.table({"k": ["x"], "v": pa.array([1], pa.int64())}), f1)
+    st = str(tmp_path / "state")
+    incremental_sum_agg([f1], st, ["k"], ["v"])
+    time.sleep(0.02)
+    pq.write_table(
+        pa.table({"k": ["x", "y"], "v": pa.array([1, 2], pa.int64())}), f1
+    )
+    r = incremental_sum_agg([f1], st, ["k"], ["v"])
+    assert dict(zip(r.column("k").to_pylist(), r.column("v").to_pylist())) == {
+        "x": 1, "y": 2,
+    }  # x folded once, not twice

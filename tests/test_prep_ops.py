@@ -622,3 +622,18 @@ def test_group_percentiles_composite_key(ray_session):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False
         )
+
+
+def test_filters_agg_duplicate_token_values(ray_session):
+    """Two filters sharing one token value both count every match."""
+    import ray.data
+
+    from retriv_ray.ops.textstats import adjacency_matrix, filters_agg
+
+    ds = ray.data.from_items([{"text": "scan it"}, {"text": "other"}])
+    out = filters_agg(ds, {"a1": "scan", "a2": "scan"}).to_pandas()
+    got = dict(zip(out["key"], out["doc_count"]))
+    assert got == {"a1": 1, "a2": 1, "_other_": 1}
+    adj = adjacency_matrix(ds, {"a1": "scan", "a2": "scan"}).to_pandas()
+    gadj = dict(zip(adj["key"], adj["doc_count"]))
+    assert gadj == {"a1": 1, "a2": 1, "a1&a2": 1}
