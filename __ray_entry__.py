@@ -297,12 +297,9 @@ def _q_bm25_topk(sf_dir: str):
     return topk_table(_index(sf_dir), TOPK_QUERIES, CUTOFF)
 
 
-def _q_rank_eval(sf_dir: str):
-    """Distributed rank evaluation (retriv_ray/eval.py:rank_eval_ds):
-    per-query MRR / nDCG@k / recall@k as exact integers over the BM25
-    run vs deterministic qrels (rel = count of distinct query terms
-    in the doc, kept when >= 2) — one q_id-keyed co-group, order-free
-    integer DCG terms."""
+def _rank_eval_per_query(sf_dir: str):
+    """Shared body of rank_eval and its bootstrap: per-query exact
+    integer metrics over the BM25 run vs deterministic qrels."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -347,6 +344,15 @@ def _q_rank_eval(sf_dir: str):
 
     qrels = docs.map_batches(to_qrels, batch_format="pyarrow")
     return rank_eval_ds(run, qrels, k=CUTOFF)
+
+
+def _q_rank_eval(sf_dir: str):
+    """Distributed rank evaluation (retriv_ray/eval.py:rank_eval_ds):
+    per-query MRR / nDCG@k / recall@k as exact integers over the BM25
+    run vs deterministic qrels (rel = count of distinct query terms
+    in the doc, kept when >= 2) — one q_id-keyed co-group, order-free
+    integer DCG terms."""
+    return _rank_eval_per_query(sf_dir)
 
 
 def _q_deleted_bm25_topk(sf_dir: str):
@@ -557,6 +563,16 @@ def _docs_as_conversation_turns(sf_dir: str):
         )
 
     return ds.map_batches(to_turns, batch_format="pyarrow")
+
+
+def _q_rank_eval_bootstrap(sf_dir: str):
+    """Bootstrap confidence evidence for the rank metrics
+    (eval.py rank_eval_bootstrap_ds): 20 deterministic md5-weighted
+    resamples over the per-query rank_eval rows — integer-exact
+    weighted sums per resample, CI widths are client-side ratios."""
+    from retriv_ray.eval import rank_eval_bootstrap_ds
+
+    return rank_eval_bootstrap_ds(_rank_eval_per_query(sf_dir), n_boot=20)
 
 
 def _q_response_pairs(sf_dir: str):
@@ -3030,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_topk": _q_bm25_topk,
         "rank_eval": _q_rank_eval,
+        "rank_eval_bootstrap": _q_rank_eval_bootstrap,
         "bm25_topk_sharded": _q_bm25_topk_sharded,
         "boolean_search": _q_boolean_search,
         "boolean_msm": _q_boolean_msm,
@@ -5926,5 +5943,24 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
         ORDER BY c_custkey
+    """
+    # bootstrap rank evaluation: wrap the per-query rank_eval SQL in
+    # deterministic md5 resample weights (mean-1 integer surrogate of
+    # the multinomial bootstrap; b = 0..19)
+    _re_sql = out["rank_eval"].replace("ORDER BY n.q_id", "")
+    out["rank_eval_bootstrap"] = f"""
+        WITH per AS ({_re_sql}),
+        bs(b) AS (SELECT unnest(generate_series(0, 19))),
+        w AS (
+          SELECT bs.b, per.q_id,
+                 (md5_number_lower(per.q_id || '|' || bs.b) % 3)::BIGINT
+                   AS wt,
+                 per.rr_e6, per.ndcg_e6, per.recall_e6
+          FROM per CROSS JOIN bs)
+        SELECT b::BIGINT AS b, sum(wt)::BIGINT AS w_n,
+               sum(wt * rr_e6)::BIGINT AS w_rr_e6,
+               sum(wt * ndcg_e6)::BIGINT AS w_ndcg_e6,
+               sum(wt * recall_e6)::BIGINT AS w_recall_e6
+        FROM w GROUP BY b ORDER BY b
     """
     return out

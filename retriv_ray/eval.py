@@ -217,3 +217,64 @@ def rank_eval_ds(
         qrels.map_batches(tag_qrels, batch_format="pyarrow")
     )
     return tagged.groupby(q_col).map_groups(per_query, batch_format="pyarrow")
+
+
+def rank_eval_bootstrap_ds(
+    per_query,
+    n_boot: int = 20,
+    q_col: str = "q_id",
+):
+    """Bootstrap confidence evidence for rank metrics: ``n_boot``
+    deterministic resamples of the per-query metric rows (the output
+    of :func:`rank_eval_ds`), each query drawn with weight
+    ``md5_low64(q_id || '|' || b) % 3`` (mean 1 — the multinomial
+    bootstrap's integer surrogate; deterministic, so op and oracle
+    agree bit for bit). Returns one row per resample:
+    (b, w_n, w_rr_e6, w_ndcg_e6, w_recall_e6) — all exact int64 sums;
+    the resample means (and their spread = the confidence interval)
+    are ratios of these integers, computed client-side.
+
+    Shuffle shape: each block emits ``n_boot`` partial rows (a
+    [rows x n_boot] weight matrix contracted against the metric
+    columns); ONE groupby(b).sum finishes. The per-query table never
+    concentrates anywhere.
+    """
+    import hashlib as _hl
+
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    cols = ["rr_e6", "ndcg_e6", "recall_e6"]
+    names = ["b", "w_n"] + [f"w_{c}" for c in cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or q_col not in batch.schema.names:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * len(names), names=names
+            )
+        qids = batch.column(q_col).to_pylist()
+        w = np.empty((len(qids), n_boot), dtype=np.int64)
+        for i, q in enumerate(qids):
+            for b in range(n_boot):
+                h = int.from_bytes(
+                    _hl.md5(f"{q}|{b}".encode()).digest()[8:16], "little"
+                )
+                w[i, b] = h % 3
+        mats = [
+            batch.column(c).to_numpy(zero_copy_only=False) for c in cols
+        ]
+        out = [
+            pa.array(np.arange(n_boot, dtype=np.int64)),
+            pa.array(w.sum(axis=0)),
+        ]
+        for m in mats:
+            out.append(pa.array(m @ w))
+        return pa.Table.from_arrays(out, names=names)
+
+    agg = (
+        per_query.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(*[Sum(c, alias_name=c) for c in names[1:]])
+    )
+    return agg.sort("b")

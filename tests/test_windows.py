@@ -385,3 +385,34 @@ def test_numeric_histogram_negative_floor_and_partitioning(ray_session):
         got = {int(b): (int(n), int(s)) for b, n, s in
                zip(out["bucket"], out["n"], out["value_sum"])}
         assert got == {-10: (2, -6), 0: (3, 12), 10: (1, 10), 20: (1, 25)}
+
+
+def test_rank_eval_bootstrap_weights_and_partitioning(ray_session):
+    """Deterministic md5 weights (mean ~1); resample sums equal the
+    direct weighted sums; partition-independent."""
+    import hashlib
+
+    import ray.data
+
+    from retriv_ray.eval import rank_eval_bootstrap_ds
+
+    rows = [
+        {"q_id": f"q{i}", "rr_e6": 1000000 // (i + 1),
+         "ndcg_e6": 900000 - i, "recall_e6": 500000 + i}
+        for i in range(9)
+    ]
+    def w(q, b):
+        return int.from_bytes(
+            hashlib.md5(f"{q}|{b}".encode()).digest()[8:16], "little"
+        ) % 3
+
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = rank_eval_bootstrap_ds(ds, n_boot=5).to_pandas()
+        assert list(out["b"]) == [0, 1, 2, 3, 4]
+        for b in range(5):
+            row = out[out.b == b].iloc[0]
+            assert row["w_n"] == sum(w(r["q_id"], b) for r in rows)
+            assert row["w_rr_e6"] == sum(
+                w(r["q_id"], b) * r["rr_e6"] for r in rows
+            )
