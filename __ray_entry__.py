@@ -1775,6 +1775,28 @@ def _q_top_metrics(sf_dir: str):
     return top_metrics(ds, "event_type", "ts_us", "event_id", ["cents"])
 
 
+def _q_population_drift(sf_dir: str):
+    """PSI drift between two deterministic event slices (ops/windows.py
+    population_drift): even vs odd event_ids' value-cents bucketed at
+    2500, Laplace-smoothed shares, floor-quantized PSI terms — the
+    training-data drift monitor, integer-exact end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from retriv_ray.ops.windows import population_drift
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), c], names=["event_id", "cents"]
+        )
+
+    ev = _events(sf_dir).map_batches(cents, batch_format="pyarrow")
+    even = ev.filter(lambda r: r["event_id"] % 2 == 0)
+    odd = ev.filter(lambda r: r["event_id"] % 2 == 1)
+    return population_drift(even, odd, "cents", 2500)
+
+
 def _q_dataset_diff(sf_dir: str):
     """Snapshot delta (ops/relational.py dataset_diff): the corpus
     diffed against a deterministically-derived next version (every
@@ -3170,6 +3192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "corr_stats": _q_corr_stats,
         "dataset_diff": _q_dataset_diff,
+        "population_drift": _q_population_drift,
         "top_metrics": _q_top_metrics,
         "orc_roundtrip": _q_orc_roundtrip,
         "incremental_agg": _q_incremental_agg,
@@ -5756,6 +5779,25 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY ts DESC, event_id) AS rn
           FROM events)
         WHERE rn = 1 ORDER BY event_type
+    """
+    # PSI drift: same smoothing + floor-quantized terms in SQL
+    out["population_drift"] = """
+        WITH e AS (
+          SELECT event_id, round(value * 100)::BIGINT AS cents FROM events),
+        h AS (
+          SELECT (floor(cents / 2500.0)::BIGINT * 2500) AS bucket,
+                 count(*) FILTER (event_id % 2 = 0)::BIGINT AS n_a,
+                 count(*) FILTER (event_id % 2 = 1)::BIGINT AS n_b
+          FROM e GROUP BY 1),
+        t AS (SELECT count(*)::DOUBLE AS k, sum(n_a)::DOUBLE AS ta,
+                     sum(n_b)::DOUBLE AS tb FROM h)
+        SELECT h.bucket, h.n_a, h.n_b,
+               floor(1e9 * ((h.n_a + 0.5) / (t.ta + 0.5 * t.k)
+                            - (h.n_b + 0.5) / (t.tb + 0.5 * t.k))
+                         * ln(((h.n_a + 0.5) / (t.ta + 0.5 * t.k))
+                              / ((h.n_b + 0.5) / (t.tb + 0.5 * t.k))))::BIGINT
+                 AS psi_term_e9
+        FROM h CROSS JOIN t ORDER BY h.bucket
     """
     # snapshot diff: full outer join over the same derived version
     out["dataset_diff"] = """

@@ -689,3 +689,86 @@ def numeric_histogram(
         .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
     )
     return out.sort(keys)
+
+
+def population_drift(
+    ds_a,
+    ds_b,
+    value_col: str,
+    interval: int,
+):
+    """Population Stability Index between two dataset versions (the
+    training-data drift staple): fixed-``interval`` buckets over the
+    int64 metric, per-bucket counts from both sides, and the PSI term
+
+        psi_term_e9 = floor(1e9 * (pa - pb) * ln(pa / pb))
+
+    with Laplace-smoothed shares ``p = (n + 0.5) / (total + 0.5 * K)``
+    (K = number of occupied buckets) so empty-on-one-side buckets
+    contribute finitely. Total PSI = sum(psi_term_e9) / 1e9
+    (client-side; the emitted terms are exact integers, floor of ONE
+    double expression — reproduced verbatim by the SQL oracle).
+
+    Scale plan: one tagged union + ONE groupby(bucket) over per-batch
+    bucket-count partials (the numeric_histogram combiner); the
+    K / totals scalars are a tiny aggregate; the PSI map is
+    per-bucket. Returns (bucket, n_a, n_b, psi_term_e9) sorted by
+    bucket.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def tagged(side: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            valid = pc.is_valid(batch.column(value_col))
+            batch = batch.filter(valid)
+            v = pc.cast(batch.column(value_col), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            bucket = (v // interval) * interval
+            t = pa.Table.from_arrays([pa.array(bucket)], names=["bucket"])
+            g = pa.TableGroupBy(t, "bucket").aggregate([("bucket", "count")])
+            n = g.column("bucket_count")
+            zero = pa.array(
+                np.zeros(g.num_rows, dtype=np.int64)
+            )
+            return pa.Table.from_arrays(
+                [
+                    g.column("bucket"),
+                    pc.cast(n, pa.int64()) if side == 0 else zero,
+                    pc.cast(n, pa.int64()) if side == 1 else zero,
+                ],
+                names=["bucket", "n_a", "n_b"],
+            )
+
+        return partial
+
+    hist = (
+        ds_a.map_batches(tagged(0), batch_format="pyarrow")
+        .union(ds_b.map_batches(tagged(1), batch_format="pyarrow"))
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b")
+        )
+        .materialize()
+    )
+    # three scalars: occupied-bucket count and side totals
+    k = hist.count()
+    tot_a = hist.sum("n_a") or 0
+    tot_b = hist.sum("n_b") or 0
+
+    def psi(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bucket" not in batch.schema.names:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 4,
+                names=["bucket", "n_a", "n_b", "psi_term_e9"],
+            )
+        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        pa_ = (na + 0.5) / (tot_a + 0.5 * k)
+        pb_ = (nb + 0.5) / (tot_b + 0.5 * k)
+        term = np.floor(1e9 * (pa_ - pb_) * np.log(pa_ / pb_)).astype(np.int64)
+        return batch.append_column("psi_term_e9", pa.array(term))
+
+    return hist.map_batches(psi, batch_format="pyarrow").sort("bucket")

@@ -416,3 +416,29 @@ def test_rank_eval_bootstrap_weights_and_partitioning(ray_session):
             assert row["w_rr_e6"] == sum(
                 w(r["q_id"], b) * r["rr_e6"] for r in rows
             )
+
+
+def test_population_drift_identical_and_shifted(ray_session):
+    """Identical populations give ~zero PSI terms; a shifted one gives
+    positive total PSI; partition-independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.ops.windows import population_drift
+
+    rng = np.random.default_rng(9)
+    a = pa.table({"v": rng.integers(0, 100, 2000).astype(np.int64)})
+    same = population_drift(
+        ray.data.from_arrow(a).repartition(3),
+        ray.data.from_arrow(a).repartition(2),
+        "v",
+        10,
+    ).to_pandas()
+    # identical counts: pa == pb, every term is floor(0) or floor(-0)
+    assert (same["psi_term_e9"].abs() <= 1).all()
+    shifted = pa.table({"v": (a.column("v").to_numpy() + 50).astype(np.int64)})
+    drift = population_drift(
+        ray.data.from_arrow(a), ray.data.from_arrow(shifted), "v", 10
+    ).to_pandas()
+    assert drift["psi_term_e9"].sum() > 100_000_000  # PSI >> 0.1
+    assert (drift["n_a"] + drift["n_b"] > 0).all()
