@@ -5306,14 +5306,17 @@ def oracle_sql() -> dict[str, str]:
           FROM scores)
         WHERE rank <= {CUTOFF} ORDER BY q_id, rank
     """
-    # LTR features: quantized bm25 + integer aggregates per candidate
+    # LTR features: per-term floor-quantized bm25 contributions summed
+    # as integers (order-free aggregate — matches bm25f.py contribs'
+    # per-term np.floor(1e4 * idf * (tf*(k1+1)/(tf+denom))) exactly)
     out["ltr_features"] = f"""
         WITH {_BASE_CTES}, {_QTERMS},
         feats AS (
           SELECT q.q_id, tf.doc_id,
-            floor(1e4 * sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-                 * tf.tf * ({k1} + 1)
-                 / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ))::BIGINT
+            sum( floor(1e4 * ( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * ({k1} + 1)
+                    / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)))
+               ))::BIGINT )::BIGINT
               AS bm25_e4,
             sum(tf.tf)::BIGINT AS tf_sum,
             count(DISTINCT q.term)::BIGINT AS n_matched,

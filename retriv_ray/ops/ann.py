@@ -798,8 +798,14 @@ def mmr_rerank(
     O(k * pool) numpy per query, never on the driver. Candidate
     vectors attach via one hash join against the corpus, so the
     O(pool^2) pairwise-similarity matrix is built from pool rows, not
-    the corpus. :func:`mmr_rerank_sql` generates the bit-faithful
-    unrolled-greedy DuckDB twin from the same constants."""
+    the corpus. :func:`mmr_rerank_sql` generates an unrolled-greedy
+    DuckDB twin from the same constants; it is empirically (not
+    structurally) exact — Python computes rel/pairwise sims via
+    normalized numpy matmul while the twin uses DuckDB's
+    list_cosine_similarity, whose summation order can differ by
+    ulps, and the greedy argmax amplifies a near-tie into a
+    different pick. No divergence observed on the test corpora; a
+    corpus engineered with exact cosine ties could diverge."""
     import ray
 
     cand = cosine_topk_bruteforce(

@@ -136,7 +136,7 @@ def incremental_sum_agg(
     incremental-ETL contract): ``state_dir`` holds the running
     aggregate over every input file ever folded in; each call
     aggregates ONLY the not-yet-processed files (fingerprint =
-    path+mtime+size, recorded in ``manifest.json``), merges the delta
+    path+st_mtime_ns+size, recorded in ``manifest.json``), merges the delta
     into the persisted state with one groupby-sum (legal because SUM
     is commutative + associative over the partition lattice), and
     publishes atomically: the new state parquet carries the sha of the
@@ -159,8 +159,11 @@ def incremental_sum_agg(
 
     key_cols, value_cols = list(key_cols), list(value_cols)
     files = sorted(str(p) for p in input_files)
+    # st_mtime_ns (not float getmtime): an in-place rewrite with
+    # identical size inside coarse-mtime granularity must still move
+    # the fingerprint, else it would silently serve a stale aggregate
     fps = {
-        p: f"{os.path.getmtime(p)}|{os.path.getsize(p)}" for p in files
+        p: f"{os.stat(p).st_mtime_ns}|{os.path.getsize(p)}" for p in files
     }
     os.makedirs(state_dir, exist_ok=True)
     man_path = os.path.join(state_dir, "manifest.json")
@@ -197,20 +200,23 @@ def incremental_sum_agg(
     if not new_files and state_tbl is not None:
         return state_tbl.sort_by([(k, "ascending") for k in key_cols])
 
-    delta = (
-        ray.data.read_parquet(new_files, columns=key_cols + value_cols)
-        .groupby(key_cols)
-        .aggregate(*[Sum(v, alias_name=v) for v in value_cols])
-    )
-    parts = [delta.to_arrow_refs()]
-    import ray as _ray
+    if new_files:
+        delta = (
+            ray.data.read_parquet(new_files, columns=key_cols + value_cols)
+            .groupby(key_cols)
+            .aggregate(*[Sum(v, alias_name=v) for v in value_cols])
+        )
+        parts = [delta.to_arrow_refs()]
+        import ray as _ray
 
-    tabs = [t for refs in parts for t in _ray.get(refs)]
-    delta_tbl = (
-        pa.concat_tables([t for t in tabs if t.num_rows])
-        if any(t.num_rows for t in tabs)
-        else None
-    )
+        tabs = [t for refs in parts for t in _ray.get(refs)]
+        delta_tbl = (
+            pa.concat_tables([t for t in tabs if t.num_rows])
+            if any(t.num_rows for t in tabs)
+            else None
+        )
+    else:  # empty input + no prior state: fall to the typed-empty path
+        delta_tbl = None
     merged_inputs = [
         t
         for t in (

@@ -398,9 +398,12 @@ def approx_count_sql(
     table: str, value_col: str, probes, d: int = 4, w: int = 1024
 ) -> str:
     """The DuckDB twin of :func:`approx_count` — same md5 + affine row
-    hashes, same min-over-rows, generated from the same constants."""
+    hashes, same min-over-rows, generated from the same constants.
+    Probe strings are arbitrary user values: embedded single quotes
+    are SQL-escaped (doubled) when building the VALUES list."""
     probe_values = " , ".join(
-        f"('{v}')" for v in sorted({str(p) for p in probes})
+        "('" + v.replace("'", "''") + "')"
+        for v in sorted({str(p) for p in probes})
     )
     rows_j = " , ".join(f"({j})" for j in range(d))
 

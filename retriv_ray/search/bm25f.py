@@ -92,8 +92,11 @@ def bm25f_scores(
     BM25+ lower-bound term (Lv & Zhai 2011) to every matching term's
     normalized tf — 0.0 (default) is classic BM25. With
     ``features=True`` the result carries the LTR feature set per
-    (q_id, doc): score, tf_sum, n_matched (distinct matched terms)
-    and dl — same pipeline, wider aggregate."""
+    (q_id, doc): bm25_e4 (per-term contributions floor-quantized
+    x1e4 to int64 BEFORE the distributed sum, so the aggregate is an
+    order-free integer sum — the repo's integer-only-exchange
+    exactness convention), tf_sum, n_matched (distinct matched
+    terms) and dl — same pipeline, wider aggregate."""
     from ray.data.aggregate import Sum
 
     for f, w in field_weights.items():
@@ -112,8 +115,11 @@ def bm25f_scores(
         fields = [
             ("q_id", pa.string()),
             (doc_col, doc_type_),
-            ("score", pa.float64()),
-        ] + (feature_fields if features else [])
+        ] + (
+            [("bm25_e4", pa.int64())] + feature_fields
+            if features
+            else [("score", pa.float64())]
+        )
         return _rd.from_arrow(pa.schema(fields).empty_table())
 
     if _sch is None:  # zero-block input: schema unknowable
@@ -312,6 +318,12 @@ def bm25f_scores(
             if not mask.any():
                 continue
             d_m, c_m = docs[mask], idf[t] * base[mask]
+            if features:
+                # floor-quantize each per-term contribution to int64
+                # BEFORE the sum: the distributed aggregate becomes an
+                # order-free integer sum (Ray's reduction order can't
+                # flip the hash) — oracle SQL floors per term too
+                c_m = np.floor(1e4 * c_m).astype(np.int64)
             for q in qids:
                 out_q.append(pa.array([q] * len(d_m), type=pa.string()))
                 out_d.append(d_m)
@@ -319,14 +331,16 @@ def bm25f_scores(
                 if features:
                     out_tf.append(wtf_i[mask])
                     out_dl.append(wdl_i[mask])
-        names = ["q_id", doc_col, "contrib"] + (
+        names = ["q_id", doc_col, "contrib_e4" if features else "contrib"] + (
             ["tf", "dl"] if features else []
         )
         if not out_d:
             cols = [
                 pa.array([], type=pa.string()),
                 pa.array([], type=batch.schema.field(doc_col).type),
-                pa.array([], type=pa.float64()),
+                pa.array(
+                    [], type=pa.int64() if features else pa.float64()
+                ),
             ] + ([pa.array([], type=pa.int64())] * 2 if features else [])
             return pa.Table.from_arrays(cols, names=names)
         cols = [
@@ -347,7 +361,7 @@ def bm25f_scores(
     from ray.data.aggregate import Count, Max
 
     return contrib_ds.groupby(["q_id", doc_col]).aggregate(
-        Sum("contrib", alias_name="score"),
+        Sum("contrib_e4", alias_name="bm25_e4"),
         Sum("tf", alias_name="tf_sum"),
         Count(alias_name="n_matched"),
         Max("dl", alias_name="dl"),
@@ -795,11 +809,14 @@ def ltr_features(
     text_col: str = "text",
 ):
     """Learning-to-rank training-feature extraction: per (q_id, doc)
-    candidate, the classic LTR feature vector — bm25_e4 (BM25 score,
-    floor-quantized x1e4 so the oracle hash covers values), tf_sum
-    (total matched-term frequency), n_matched (distinct query terms
-    present) and dl (doc length) — the offline feature-dump every
-    LTR pipeline (ES LTR plugin, Solr LTR) starts from.
+    candidate, the classic LTR feature vector — bm25_e4 (each
+    per-term BM25 contribution floor-quantized x1e4 to int64, then
+    summed, so the distributed aggregate is an order-free integer
+    sum and the output is run-to-run deterministic under any block
+    partitioning), tf_sum (total matched-term frequency), n_matched
+    (distinct query terms present) and dl (doc length) — the offline
+    feature-dump every LTR pipeline (ES LTR plugin, Solr LTR) starts
+    from.
 
     Same distributed pipeline as BM25 scoring (one wider aggregate);
     returns a Dataset sorted by (q_id, doc)."""
@@ -817,14 +834,12 @@ def ltr_features(
         features=True,
     )
 
-    def quantize(batch: pa.Table) -> pa.Table:
-        score = batch.column("score").to_numpy(zero_copy_only=False)
-        e4 = np.floor(1e4 * score).astype(np.int64)
+    def finish(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [
                 batch.column("q_id"),
                 batch.column(doc_col),
-                pa.array(e4),
+                _pc.cast(batch.column("bm25_e4"), pa.int64()),
                 _pc.cast(batch.column("tf_sum"), pa.int64()),
                 _pc.cast(batch.column("n_matched"), pa.int64()),
                 _pc.cast(batch.column("dl"), pa.int64()),
@@ -832,6 +847,6 @@ def ltr_features(
             names=["q_id", doc_col, "bm25_e4", "tf_sum", "n_matched", "dl"],
         )
 
-    return feats.map_batches(quantize, batch_format="pyarrow").sort(
+    return feats.map_batches(finish, batch_format="pyarrow").sort(
         ["q_id", doc_col]
     )

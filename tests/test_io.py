@@ -143,3 +143,49 @@ def test_incremental_sum_agg_changed_file_rebuilds(ray_session, tmp_path):
     assert dict(zip(r.column("k").to_pylist(), r.column("v").to_pylist())) == {
         "x": 1, "y": 2,
     }  # x folded once, not twice
+
+
+def test_incremental_sum_agg_empty_inputs_no_state(ray_session, tmp_path):
+    """Empty input_files with no prior state short-circuits to the
+    typed-empty path instead of reaching read_parquet([])."""
+    from retriv_ray.ops.io import incremental_sum_agg
+
+    st = str(tmp_path / "state0")
+    r = incremental_sum_agg([], st, ["k"], ["v"])
+    assert r.num_rows == 0
+    assert r.column_names == ["k", "v"]
+    # and the published empty state folds correctly on the next call
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = str(tmp_path / "a0.parquet")
+    pq.write_table(
+        pa.table({"k": ["x"], "v": pa.array([7], pa.int64())}), f1
+    )
+    r2 = incremental_sum_agg([f1], st, ["k"], ["v"])
+    assert r2.to_pydict() == {"k": ["x"], "v": [7]}
+
+
+def test_incremental_sum_agg_same_size_rewrite_detected(ray_session, tmp_path):
+    """An in-place rewrite with identical file size must move the
+    st_mtime_ns fingerprint and trigger a rebuild (stale-aggregate
+    guard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retriv_ray.ops.io import incremental_sum_agg
+
+    f1 = str(tmp_path / "s.parquet")
+    pq.write_table(
+        pa.table({"k": ["x"], "v": pa.array([1], pa.int64())}), f1
+    )
+    st = str(tmp_path / "state1")
+    r1 = incremental_sum_agg([f1], st, ["k"], ["v"])
+    assert r1.to_pydict() == {"k": ["x"], "v": [1]}
+    sz = __import__("os").path.getsize(f1)
+    pq.write_table(
+        pa.table({"k": ["x"], "v": pa.array([9], pa.int64())}), f1
+    )
+    assert __import__("os").path.getsize(f1) == sz  # same size rewrite
+    r2 = incremental_sum_agg([f1], st, ["k"], ["v"])
+    assert r2.to_pydict() == {"k": ["x"], "v": [9]}

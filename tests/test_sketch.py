@@ -228,3 +228,26 @@ def test_approx_count_all_null_input(ray_session):
     t = pa.table({"v": pa.array([None, None], type=pa.string())})
     got = approx_count(ray.data.from_arrow(t), "v", ["a", "b"], d=2, w=16)
     assert got.column("est").to_pylist() == [0, 0]
+
+
+def test_approx_count_sql_escapes_quotes(ray_session):
+    """Probe values containing single quotes produce valid (escaped)
+    SQL — probes are arbitrary user strings."""
+    import duckdb
+    import ray
+
+    from retriv_ray.ops.sketch import approx_count, approx_count_sql
+
+    vals = ["it's", "plain", "it's", "a'b'c"]
+    t = pa.table({"v": vals})
+    ds = ray.data.from_arrow(t).repartition(2)
+    probes = ["it's", "a'b'c", "missing'"]
+    got = approx_count(ds, "v", probes, d=4, w=4096)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(approx_count_sql("t", "v", probes, 4, 4096)).fetchall()
+    assert [
+        (v, e)
+        for v, e in zip(got.column("value").to_pylist(),
+                        got.column("est").to_pylist())
+    ] == want
