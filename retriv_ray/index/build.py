@@ -777,50 +777,120 @@ class _TokenizePartials:
     def __call__(self, batch: pa.Table) -> pa.Table:
         P, shard_docs = self.P, self.shard_docs
 
-        # tokenize FIRST (the expensive step; needs no global state)
+        # tokenize FIRST (the expensive step; needs no global state) —
+        # only the string-level chain runs per turn; the split happens
+        # in Arrow (whitespace path: token strings never exist as
+        # Python objects) and the stopword filter + stemmer run once
+        # per UNIQUE raw token (Zipf: ~2% of the flat count). Both
+        # shrink the Python working set of the tokenize wave — the
+        # memory-bandwidth-sensitive leg of the N->4N scaling rule.
         texts = batch.column("text").to_pylist()
-        tokens = self.pre.tokens_many("" if t is None else t for t in texts)
+        n_rows = len(texts)
+        if self.pre.arrow_splittable:
+            norm = self.pre.normalized
+            la = pc.utf8_split_whitespace(
+                pa.array(
+                    [norm("" if t is None else t) for t in texts],
+                    type=pa.string(),
+                )
+            )
+            flat_arr = la.flatten()
+            reps = np.diff(la.offsets.to_numpy().astype(np.int64))
+            n_flat = len(flat_arr)
+        else:
+            tokens = self.pre.raw_tokens_many(
+                "" if t is None else t for t in texts
+            )
+            from itertools import chain
 
-        # flat (term_code, doc) pairs — token->code via Arrow
-        # dictionary_encode (C++ hash table over UTF-8, first-seen
-        # order like the dict it replaced; the per-token Python
-        # setdefault loop was the build's hottest line)
-        from itertools import chain
+            flat_tokens = list(chain.from_iterable(tokens))
+            reps = np.fromiter(
+                (len(t) for t in tokens), dtype=np.int64, count=n_rows
+            )
+            flat_arr = pa.array(flat_tokens, type=pa.string())
+            n_flat = len(flat_tokens)
 
-        flat_tokens = list(chain.from_iterable(tokens))
-        reps = np.fromiter(
-            (len(t) for t in tokens), dtype=np.int64, count=len(texts)
-        )
-        doc_lens = reps
-        if flat_tokens:
-            denc = pa.array(flat_tokens, type=pa.string()).dictionary_encode()
-            code_arr = denc.indices.to_numpy().astype(np.int64)
-            inv_vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        # flat raw tokens -> codes via Arrow dictionary_encode (C++
+        # hash table over UTF-8; the per-token Python setdefault loop
+        # was the build's hottest line, the per-occurrence stem/stop
+        # loop the second-hottest)
+        if n_flat:
+            denc = flat_arr.dictionary_encode()
+            raw_codes = denc.indices.to_numpy().astype(np.int64)
+            # finish the chain over unique raw tokens only: None =
+            # stopword (M12 quirk: unstemmed token vs stemmed list)
+            stems = self.pre.stem_or_none_many(denc.dictionary.to_pylist())
+            kept_idx = [i for i, s in enumerate(stems) if s is not None]
+            senc = pa.array(
+                [stems[i] for i in kept_idx], type=pa.string()
+            ).dictionary_encode()
+            # raw code -> stem code (-1 = stopword, dropped)
+            scode_of_raw = np.full(len(stems), -1, dtype=np.int64)
+            if kept_idx:
+                scode_of_raw[np.asarray(kept_idx, dtype=np.int64)] = (
+                    senc.indices.to_numpy().astype(np.int64)
+                )
+            stem_dict = senc.dictionary  # Arrow string array: unique stems
+            code_arr = scode_of_raw[raw_codes]
         else:
             code_arr = np.empty(0, dtype=np.int64)
-            inv_vocab = np.empty(0, dtype=object)
+            stem_dict = pa.array([], type=pa.string())
 
-        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        # conv -> doc base over the batch's UNIQUE conv_ids (batches
+        # span few conversations; avoids an object-array searchsorted
+        # per row)
+        conv_col = batch.column("conv_id")
+        if isinstance(conv_col, pa.ChunkedArray):
+            conv_col = conv_col.combine_chunks()
+        cenc = conv_col.dictionary_encode()
+        u_conv = np.asarray(cenc.dictionary.to_pylist(), dtype=object)
+        bases_u = self._doc_bases(u_conv)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        doc_ids = self._doc_bases(conv) + turn
-        doc_rep = np.repeat(doc_ids, reps)
+        doc_ids = bases_u[cenc.indices.to_numpy().astype(np.int64)] + turn
+
+        # doc length = kept (post-stopword) token count per turn
+        keep_mask = code_arr >= 0
+        parent = np.repeat(np.arange(n_rows, dtype=np.int64), reps)
+        doc_lens = np.bincount(
+            parent[keep_mask], minlength=n_rows
+        ).astype(np.int64)
+        code_arr = code_arr[keep_mask]
+        doc_rep = np.repeat(doc_ids, reps)[keep_mask]
 
         rows_gkey: List[np.ndarray] = []
-        rows_term: List[np.ndarray] = []
+        rows_term: List[pa.Array] = []
         offsets = [0]
         flat_docs: List[np.ndarray] = []
         flat_tfs: List[np.ndarray] = []
 
         if len(code_arr):
-            order = np.lexsort((doc_rep, code_arr))
-            c_s, d_s = code_arr[order], doc_rep[order]
-            # collapse duplicate (term, doc) to tf counts
-            new = np.empty(len(c_s), dtype=bool)
-            new[0] = True
-            new[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
-            starts = np.flatnonzero(new)
-            tf = np.diff(np.append(starts, len(c_s))).astype(np.int32)
-            u_code, u_doc = c_s[starts], d_s[starts]
+            # collapse duplicate (term, doc) to tf counts: pack into a
+            # single int64 key and sort VALUES (no argsort
+            # indirection, no post-sort gathers) when the batch's
+            # doc-id span allows it — one pass less over the pair
+            # arrays than the lexsort path
+            d_min = int(doc_rep.min())
+            span = int(doc_rep.max()) - d_min + 1
+            n_stems = len(stem_dict)
+            if n_stems * span < (1 << 62):
+                packed = np.sort(code_arr * span + (doc_rep - d_min))
+                new = np.empty(len(packed), dtype=bool)
+                new[0] = True
+                new[1:] = packed[1:] != packed[:-1]
+                starts = np.flatnonzero(new)
+                tf = np.diff(np.append(starts, len(packed))).astype(np.int32)
+                keys = packed[starts]
+                u_code = keys // span
+                u_doc = keys % span + d_min
+            else:  # astronomically sparse id space: classic lexsort
+                order = np.lexsort((doc_rep, code_arr))
+                c_s, d_s = code_arr[order], doc_rep[order]
+                new = np.empty(len(c_s), dtype=bool)
+                new[0] = True
+                new[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+                starts = np.flatnonzero(new)
+                tf = np.diff(np.append(starts, len(c_s))).astype(np.int32)
+                u_code, u_doc = c_s[starts], d_s[starts]
             # split runs at (term, shard) boundaries
             shard = u_doc // shard_docs
             brk = np.empty(len(u_code), dtype=bool)
@@ -828,11 +898,14 @@ class _TokenizePartials:
             brk[1:] = (u_code[1:] != u_code[:-1]) | (shard[1:] != shard[:-1])
             r_starts = np.flatnonzero(brk)
             r_ends = np.append(r_starts[1:], len(u_code))
-            r_terms = inv_vocab[u_code[r_starts]]
-            r_parts = _term_parts_np(r_terms, P)
+            run_codes = u_code[r_starts]
+            # crc routing over the UNIQUE stems once, gathered per run;
+            # term column stays an Arrow take (no object arrays)
+            part_of_stem = _term_parts_np(stem_dict.to_pylist(), P)
+            r_parts = part_of_stem[run_codes]
             r_gkey = shard[r_starts] * (P + 1) + r_parts
             rows_gkey.append(r_gkey)
-            rows_term.append(r_terms)
+            rows_term.append(stem_dict.take(pa.array(run_codes)))
             # shard-local int32 ids (base implied by gkey's shard)
             flat_docs.append((u_doc % shard_docs).astype(np.int32))
             flat_tfs.append(tf)
@@ -852,14 +925,18 @@ class _TokenizePartials:
             rows_gkey.append(
                 np.asarray([ds_sorted[s] * (self.P + 1) + self.P], dtype=np.int64)
             )
-            rows_term.append(np.asarray([""], dtype=object))
+            rows_term.append(pa.array([""], type=pa.string()))
             flat_docs.append((d_sorted[s:e] % self.shard_docs).astype(np.int32))
             flat_tfs.append(l_sorted[s:e].astype(np.int32))
             last += e - s
             offsets.append(last)
 
         gkey = np.concatenate(rows_gkey) if rows_gkey else np.empty(0, np.int64)
-        terms = np.concatenate(rows_term) if rows_term else np.empty(0, object)
+        terms = (
+            pa.concat_arrays(rows_term)
+            if rows_term
+            else pa.array([], type=pa.string())
+        )
         docs_flat = (
             np.concatenate(flat_docs) if flat_docs else np.empty(0, np.int32)
         )
@@ -870,7 +947,7 @@ class _TokenizePartials:
         return pa.Table.from_arrays(
             [
                 pa.array(gkey, type=pa.int64()),
-                pa.array(terms, type=pa.string()),
+                terms,
                 pa.ListArray.from_arrays(off, pa.array(docs_flat, type=pa.int32())),
                 pa.ListArray.from_arrays(off, pa.array(tfs_flat, type=pa.int32())),
             ],

@@ -60,6 +60,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from retriv_ray.config import SparseConfig
@@ -116,28 +117,82 @@ class _PosTokenize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         P, shard_docs = self.P, self.shard_docs
         texts = batch.column("text").to_pylist()
-        tokens = self.pre.tokens_many("" if t is None else t for t in texts)
-        from itertools import chain
+        n_rows = len(texts)
 
-        flat_tokens = list(chain.from_iterable(tokens))
-        reps = np.fromiter(
-            (len(t) for t in tokens), dtype=np.int64, count=len(texts)
-        )
-        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        # same tokenize shape as the main build (build.py
+        # _TokenizePartials): Arrow-side whitespace split when the
+        # tokenizer allows, stopword/stem over UNIQUE raw tokens only;
+        # positions are then renumbered over the kept sequence (the
+        # reference's positions index the post-filter token list)
+        if self.pre.arrow_splittable:
+            norm = self.pre.normalized
+            la = pc.utf8_split_whitespace(
+                pa.array(
+                    [norm("" if t is None else t) for t in texts],
+                    type=pa.string(),
+                )
+            )
+            flat_arr = la.flatten()
+            reps = np.diff(la.offsets.to_numpy().astype(np.int64))
+        else:
+            tokens = self.pre.raw_tokens_many(
+                "" if t is None else t for t in texts
+            )
+            from itertools import chain
+
+            flat_tokens = list(chain.from_iterable(tokens))
+            reps = np.fromiter(
+                (len(t) for t in tokens), dtype=np.int64, count=n_rows
+            )
+            flat_arr = pa.array(flat_tokens, type=pa.string())
+
+        conv_col = batch.column("conv_id")
+        if isinstance(conv_col, pa.ChunkedArray):
+            conv_col = conv_col.combine_chunks()
+        cenc = conv_col.dictionary_encode()
+        u_conv = np.asarray(cenc.dictionary.to_pylist(), dtype=object)
+        bases_u = self._doc_bases(u_conv)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        doc_ids = self._doc_bases(conv) + turn
-        if not flat_tokens:
+        doc_ids = bases_u[cenc.indices.to_numpy().astype(np.int64)] + turn
+        if not len(flat_arr):
             return POS_PAIR_SCHEMA.empty_table()
-        denc = pa.array(flat_tokens, type=pa.string()).dictionary_encode()
-        code = denc.indices.to_numpy().astype(np.int64)
-        inv_vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-        doc_rep = np.repeat(doc_ids, reps)
-        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
-        pos = (np.arange(len(code)) - np.repeat(starts, reps)).astype(np.int32)
 
-        # sort by (code, doc, pos); lexsort is stable, pos already
-        # ascending inside each (code, doc) run after the sort
-        order = np.lexsort((pos, doc_rep, code))
+        denc = flat_arr.dictionary_encode()
+        raw_codes = denc.indices.to_numpy().astype(np.int64)
+        stems = self.pre.stem_or_none_many(denc.dictionary.to_pylist())
+        kept_idx = [i for i, s in enumerate(stems) if s is not None]
+        senc = pa.array(
+            [stems[i] for i in kept_idx], type=pa.string()
+        ).dictionary_encode()
+        scode_of_raw = np.full(len(stems), -1, dtype=np.int64)
+        if kept_idx:
+            scode_of_raw[np.asarray(kept_idx, dtype=np.int64)] = (
+                senc.indices.to_numpy().astype(np.int64)
+            )
+        stem_dict = senc.dictionary
+        code_all = scode_of_raw[raw_codes]
+        keep = code_all >= 0
+
+        # position within the KEPT token sequence of each turn
+        k = keep.astype(np.int64)
+        pre_kept = np.cumsum(k) - k  # kept strictly before index i
+        t_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos_all = pre_kept - np.repeat(pre_kept[t_starts], reps)
+
+        code = code_all[keep]
+        doc_rep = np.repeat(doc_ids, reps)[keep]
+        pos = pos_all[keep].astype(np.int32)
+        if not len(code):
+            return POS_PAIR_SCHEMA.empty_table()
+
+        # sort by (code, doc); the stable argsort preserves the flat
+        # order inside each run, which is ascending position
+        d_min = int(doc_rep.min())
+        span = int(doc_rep.max()) - d_min + 1
+        if len(stem_dict) * span < (1 << 62):
+            order = np.argsort(code * span + (doc_rep - d_min), kind="stable")
+        else:
+            order = np.lexsort((pos, doc_rep, code))
         c_s, d_s, p_s = code[order], doc_rep[order], pos[order]
 
         # (term, doc) run boundaries -> per-doc position counts
@@ -155,8 +210,9 @@ class _PosTokenize:
         brk[1:] = (u_code[1:] != u_code[:-1]) | (shard[1:] != shard[:-1])
         r_start = np.flatnonzero(brk)
         r_end = np.append(r_start[1:], len(u_code))
-        r_terms = inv_vocab[u_code[r_start]]
-        r_parts = _term_parts_np(r_terms, P)
+        run_codes = u_code[r_start]
+        r_terms = stem_dict.take(pa.array(run_codes))
+        r_parts = _term_parts_np(stem_dict.to_pylist(), P)[run_codes]
         r_gkey = shard[r_start] * P + r_parts
 
         doc_off = np.concatenate(([0], np.cumsum(npos.astype(np.int64))))
@@ -165,7 +221,7 @@ class _PosTokenize:
         return pa.Table.from_arrays(
             [
                 pa.array(r_gkey, type=pa.int64()),
-                pa.array(r_terms, type=pa.string()),
+                r_terms,
                 pa.ListArray.from_arrays(
                     pa.array(row_doc_off),
                     pa.array((u_doc % shard_docs).astype(np.int32)),
