@@ -96,12 +96,18 @@ def _levenshtein_rows(pattern: bytes, rows: List[bytes]) -> List[int]:
 
 
 def _scan_view(term_stats):
-    """Whole-vocabulary scan view cached on the TermStats instance:
-    (lens, padded byte matrix [vocab x maxlen], byte offsets into the
-    concatenated data, concatenated data, dfs). Built lazily on first
-    fuzzy probe — one contiguous matrix means each query runs ONE
-    bit-parallel kernel invocation instead of parts x columns numpy
-    calls (measured 16x per-part call-overhead reduction). Memory is
+    """Whole-vocabulary scan view cached on the TermStats instance,
+    SORTED BY TERM LENGTH: (lens_sorted, matT [maxlen x vocab,
+    transposed + length-sorted], byte offsets into the concatenated
+    data, concatenated data, dfs, order) where ``order`` maps a
+    sorted-view row back to its original vocabulary index. Built
+    lazily on first fuzzy probe.
+
+    Length-sorting makes each query's |len-m|<=d candidate band ONE
+    contiguous slice (searchsorted, no fancy-index gather copy), and
+    inside the bit-parallel kernel the still-active rows at column j
+    are always a suffix of that slice — no per-column masks. The
+    transpose makes each column access contiguous. Memory is
     vocab x maxlen bytes (a 1e6-term, 32-byte-max vocabulary costs
     32 MB per serving actor)."""
     view = getattr(term_stats, "_fuzzy_scan_view", None)
@@ -119,9 +125,10 @@ def _scan_view(term_stats):
     if not lens_parts:
         view = (
             np.empty(0, dtype=np.int64),
-            np.empty((0, 1), dtype=np.uint8),
+            np.empty((1, 0), dtype=np.uint8),
             np.zeros(1, dtype=np.int64),
             np.empty(0, dtype=np.uint8),
+            np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int64),
         )
         term_stats._fuzzy_scan_view = view
@@ -129,15 +136,59 @@ def _scan_view(term_stats):
     lens = np.concatenate(lens_parts).astype(np.int64)
     data = np.concatenate(data_parts)
     off = np.concatenate(([0], np.cumsum(lens)))
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
     L = int(lens.max()) if len(lens) else 1
     cols = np.arange(L, dtype=np.int64)
     idx = off[:-1, None] + cols[None, :]
     valid = cols[None, :] < lens[:, None]
     mat = data[np.minimum(idx, len(data) - 1)] * valid
+    matT = np.ascontiguousarray(mat[order].T)
     dfs = np.concatenate(df_parts).astype(np.int64)
-    view = (lens, mat, off, data, dfs)
+    view = (lens_s, matT, off, data, dfs, order)
     term_stats._fuzzy_scan_view = view
     return view
+
+
+def _levenshtein_band(
+    pattern: bytes, matT: np.ndarray, lens_s: np.ndarray, lo: int, hi: int
+) -> np.ndarray:
+    """Myers bit-parallel Levenshtein over the length-sorted rows
+    ``lo:hi`` of a :func:`_scan_view`. Rows are length-ascending, so
+    the active set at column j is the suffix of rows with len > j —
+    plain contiguous-slice vector ops, no per-column masks/wheres."""
+    m = len(pattern)
+    if not 1 <= m <= 64:
+        raise ValueError("pattern must be 1..64 bytes")
+    peq = np.zeros(256, dtype=np.uint64)
+    u1 = np.uint64(1)
+    for i, ch in enumerate(pattern):
+        peq[ch] |= u1 << np.uint64(i)
+    n = hi - lo
+    lens_b = lens_s[lo:hi]
+    Pv = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    Mv = np.zeros(n, dtype=np.uint64)
+    score = np.full(n, m, dtype=np.int64)
+    hbit = u1 << np.uint64(m - 1)
+    max_len = int(lens_b[-1]) if n else 0
+    for j in range(max_len):
+        # first still-active row (len > j); suffix stays active
+        s = int(np.searchsorted(lens_b, j, side="right"))
+        if s >= n:
+            break
+        Eq = peq[matT[j, lo + s : hi]]
+        pv, mv = Pv[s:], Mv[s:]
+        Xv = Eq | mv
+        Xh = (((Eq & pv) + pv) ^ pv) | Eq
+        Ph = mv | ~(Xh | pv)
+        Mh = pv & Xh
+        score[s:] += ((Ph & hbit) != 0).astype(np.int64)
+        score[s:] -= ((Mh & hbit) != 0).astype(np.int64)
+        Ph = (Ph << u1) | u1
+        Mh <<= u1
+        Pv[s:] = Mh | ~(Xv | Ph)
+        Mv[s:] = Ph & Xv
+    return score
 
 
 def fuzzy_term_matches(
@@ -150,15 +201,29 @@ def fuzzy_term_matches(
         raise ValueError("empty fuzzy term")
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
+    # expansion memo: repeated probes (Zipf-headed query streams,
+    # common misspellings) skip the dictionary scan entirely — the
+    # standard compiled-automaton / terms-enum cache move. Bounded;
+    # invalidated with the scan view on TermStats reload.
+    memo = getattr(term_stats, "_fuzzy_memo", None)
+    if memo is None:
+        memo = term_stats._fuzzy_memo = {}
+    key = (term, max_dist, limit)
+    hitv = memo.get(key)
+    if hitv is not None:
+        return hitv
     tb = term.encode("utf-8")
-    lens, mat, off, data, dfs = _scan_view(term_stats)
-    cand = np.flatnonzero(np.abs(lens - len(tb)) <= max_dist)
-    if cand.size == 0:
+    lens_s, matT, off, data, dfs, order = _scan_view(term_stats)
+    lo = int(np.searchsorted(lens_s, len(tb) - max_dist, side="left"))
+    hi = int(np.searchsorted(lens_s, len(tb) + max_dist, side="right"))
+    if lo >= hi:
+        memo[key] = []
         return []
-    clens = lens[cand]
     if len(tb) <= 64:
-        dist = _levenshtein_batch(tb, mat[cand], clens)
+        dist = _levenshtein_band(tb, matT, lens_s, lo, hi)
+        cand = order[lo:hi]
     else:
+        cand = order[lo:hi]
         rows = [
             data[int(off[i]) : int(off[i + 1])].tobytes() for i in cand
         ]
@@ -174,7 +239,10 @@ def fuzzy_term_matches(
         out.append(
             (data[s:e].tobytes().decode("utf-8"), int(d), int(dfs[i]))
         )
-    return sorted(out)
+    out = sorted(out)
+    if len(memo) < 65536:
+        memo[key] = out
+    return out
 
 
 def fuzzy_terms(

@@ -93,18 +93,18 @@ def _trigram_index(term_stats) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         return cached
     from retriv_ray.search.fuzzy import _scan_view
 
-    lens, mat, _off, _data, _dfs = _scan_view(term_stats)
+    lens_s, matT, _off, _data, _dfs, order = _scan_view(term_stats)
     pair_codes, pair_tids = [], []
-    u32 = mat.astype(np.uint32)
-    for j in range(max(0, mat.shape[1] - 2)):
-        valid = np.nonzero(lens >= j + 3)[0]
-        if len(valid) == 0:
+    u32 = matT.astype(np.uint32)  # (maxlen, vocab), length-sorted rows
+    n = matT.shape[1]
+    for j in range(max(0, matT.shape[0] - 2)):
+        # length-sorted: rows with len >= j+3 are a contiguous suffix
+        s = int(np.searchsorted(lens_s, j + 3, side="left"))
+        if s >= n:
             break
-        codes = (u32[valid, j] << 16) | (u32[valid, j + 1] << 8) | u32[
-            valid, j + 2
-        ]
+        codes = (u32[j, s:] << 16) | (u32[j + 1, s:] << 8) | u32[j + 2, s:]
         pair_codes.append(codes)
-        pair_tids.append(valid)
+        pair_tids.append(order[s:])
     if not pair_codes:
         idx = (
             np.empty(0, dtype=np.uint32),
@@ -129,7 +129,7 @@ def _trigram_index(term_stats) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _decode_terms(term_stats, tids: np.ndarray) -> List[str]:
     from retriv_ray.search.fuzzy import _scan_view
 
-    _lens, _mat, off, data, _dfs = _scan_view(term_stats)
+    _lens, _matT, off, data, _dfs, _order = _scan_view(term_stats)
     return [
         data[off[t] : off[t + 1]].tobytes().decode("utf-8") for t in tids
     ]
