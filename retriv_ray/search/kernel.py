@@ -225,9 +225,28 @@ def bm25(
     ``exclude_ranges``: optional (starts, ends) sorted doc-id ranges
     (tombstoned deletions) — dropped from the candidate set, and their
     score entries zeroed for scratch-buffer hygiene."""
-    unique = _candidates(doc_ids, operator, subset_doc_ids, doc_count, scratch)
-    if exclude_ranges is not None:
-        unique = _drop_ranges(unique, exclude_ranges)
+    # fast OR path: contributions are strictly positive, so after the
+    # scatter-add the candidate union IS {scores > 0} — top-k can come
+    # straight off the score buffer with no candidate bitmap, no
+    # flatnonzero-over-bools and no scores[unique] gather. Selection
+    # and tie semantics are identical to _candidates+_finalize (pos is
+    # ascending like unique; same partition/kth/earliest-index rule).
+    # Gated on the same bitmap heuristic: scanning doc_count floats
+    # must stay proportional to the posting mass (per-shard serving at
+    # 10^12 docs falls back to the sorted-union path).
+    fast_or = (
+        operator == "OR"
+        and subset_doc_ids is None
+        and exclude_ranges is None
+        and doc_count
+        and doc_count <= 64 * max(sum(len(a) for a in doc_ids), 1)
+    )
+    if not fast_or:
+        unique = _candidates(
+            doc_ids, operator, subset_doc_ids, doc_count, scratch
+        )
+        if exclude_ranges is not None:
+            unique = _drop_ranges(unique, exclude_ranges)
     scores = _scratch_get(scratch, "scores_" + np.dtype(dtype).name, doc_count, dtype)
     for i in range(len(term_doc_freqs)):
         indices = doc_ids[i]
@@ -243,6 +262,24 @@ def bm25(
     if exclude_ranges is not None:
         for s, e in zip(*exclude_ranges):
             scores[s:e] = 0
+    if fast_or:
+        pos = np.flatnonzero(scores > 0)
+        vals = scores[pos]
+        if cutoff < len(pos):
+            kth = np.partition(vals, len(vals) - cutoff)[len(vals) - cutoff]
+            above = vals > kth
+            n_above = int(above.sum())
+            sel = np.concatenate(
+                [pos[above], pos[vals == kth][: cutoff - n_above]]
+            )
+            vals = scores[sel]
+        else:
+            sel = pos
+        order = np.lexsort((sel, -vals))
+        out = (sel[order], vals[order])
+        if scratch is not None:
+            scores[pos] = 0
+        return out
     out = _finalize(unique, scores, cutoff)
     if scratch is not None:
         _reset_scores(scores, unique, doc_ids, operator, subset_doc_ids)
