@@ -529,6 +529,7 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     max_token_chars: int = 64,
+    driver_word_limit: int = 2_000_000,
 ):
     """Distributed BPE merge-rule training (Sennrich et al. 2016,
     word-internal variant): start from characters within whitespace
@@ -542,36 +543,162 @@ def bpe_train(
     differential test against an in-memory reference implementation
     instead of a DuckDB oracle.
 
-    Scale plan per round: one map_batches pass re-derives each word's
-    current symbol sequence by replaying the (tiny, driver-held)
-    merge list — O(merges) string ops per word, vectorized per batch
-    via a word-frequency combiner: each block first collapses to
-    DISTINCT words with counts (Zipf collapses the volume), pair
-    counts ride one groupby((left, right)).sum exchange of bounded
-    (block x distinct pairs) rows, and the driver holds only the
-    argmax row per round. Rounds scan the corpus once each — the
-    standard trade against materializing mutable per-word state.
+    Scale plan (two phases — a 50k-merge vocab must not mean 50k Ray
+    jobs):
+
+    1. ONE distributed pass collapses the corpus to its distinct
+       word-frequency table (per-block value_counts combiner, one
+       groupby(word).sum exchange) — Zipf collapses the volume; this
+       is the only stage that ever touches the corpus.
+    2. Merges train over that table. When the distinct-word count
+       fits ``driver_word_limit`` (the HuggingFace-tokenizers shape:
+       BPE trainers everywhere run on word counts in memory), an
+       exact heap + pair-delta trainer runs all ``n_merges`` rounds
+       driver-side — each merge touches only the words containing the
+       winning pair, no further cluster work. Past the limit, the
+       per-round distributed argmax falls back — but over the word
+       table, not the corpus (each round is a small Ray job over
+       distinct words).
+
     Words longer than ``max_token_chars`` are skipped (pathological
     unsegmented blobs would dominate pair counts).
     """
     from ray.data.aggregate import Sum
 
+    def word_partial(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(
+            pc.cast(pc.fill_null(batch.column(text_col), ""), pa.string())
+        )
+        flat = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        vc = flat.value_counts()
+        w = vc.field("values")
+        c = vc.field("counts")
+        keep = pc.and_(
+            pc.not_equal(w, ""),
+            pc.less_equal(pc.utf8_length(w), max_token_chars),
+        )
+        return pa.Table.from_arrays(
+            [w.filter(keep), pc.cast(c.filter(keep), pa.int64())],
+            names=["w", "c"],
+        )
+
+    wc_ds = (
+        ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    n_words = wc_ds.count()
+    if n_words <= driver_word_limit:
+        words, counts = [], []
+        for blk in wc_ds.to_arrow_refs():
+            import ray as _ray
+
+            t = _ray.get(blk)
+            if t.num_rows:
+                words.extend(t.column("w").to_pylist())
+                counts.extend(t.column("c").to_pylist())
+        return _bpe_train_mem(words, counts, n_merges)
+    return _bpe_train_rounds(wc_ds, n_merges)
+
+
+def _bpe_apply_merge(syms: List[str], l: str, r: str) -> List[str]:
+    """Replace every non-overlapping adjacent (l, r) left-to-right."""
+    i, out = 0, []
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_mem(
+    words: List[str], counts: List[int], n_merges: int
+) -> pa.Table:
+    """Exact in-memory BPE over a word-frequency table: lazy max-heap
+    with stale-entry discard + per-merge pair-delta maintenance (only
+    words containing the winning pair are touched). Argmax tie rule
+    identical to the distributed path: count desc, then (left, right)
+    lexicographic asc."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    seqs: List[List[str]] = [list(w) for w in words]
+    pair_counts: dict = {}
+    where: defaultdict = defaultdict(set)
+    for idx, (syms, c) in enumerate(zip(seqs, counts)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            where[p].add(idx)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    out_l, out_r, out_c = [], [], []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            cur = pair_counts.get((l, r), 0)
+            if cur == -negc and cur > 0:
+                best = (l, r, cur)
+                break
+            heapq.heappop(heap)  # stale: count changed since push
+            if cur > 0:
+                heapq.heappush(heap, (-cur, l, r))
+        if best is None:
+            break
+        l, r, c_best = best
+        out_l.append(l)
+        out_r.append(r)
+        out_c.append(c_best)
+        for idx in sorted(where[(l, r)]):
+            syms = seqs[idx]
+            c = counts[idx]
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_syms = _bpe_apply_merge(syms, l, r)
+            new_pairs = Counter(zip(new_syms, new_syms[1:]))
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs[p] - old_pairs[p]
+                if d:
+                    nc = pair_counts.get(p, 0) + d * c
+                    if nc > 0:
+                        pair_counts[p] = nc
+                        if d > 0:
+                            heapq.heappush(heap, (-nc, p[0], p[1]))
+                    else:
+                        pair_counts.pop(p, None)
+                if new_pairs[p]:
+                    where[p].add(idx)
+                elif old_pairs[p]:
+                    where[p].discard(idx)
+            seqs[idx] = new_syms
+        del where[(l, r)]
+        pair_counts.pop((l, r), None)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.arange(len(out_l), dtype=np.int64)),
+            pa.array(out_l, type=pa.string()),
+            pa.array(out_r, type=pa.string()),
+            pa.array(out_c, type=pa.int64()),
+        ],
+        names=["merge_idx", "left", "right", "pair_count"],
+    )
+
+
+def _bpe_train_rounds(wc_ds, n_merges: int) -> pa.Table:
+    """Beyond-driver-limit fallback: per-round distributed argmax over
+    the (materialized) word-frequency table — each round replays the
+    driver-held merge list per distinct word and exchanges bounded
+    (block x distinct-pair) count rows."""
+    from ray.data.aggregate import Sum
+
     merges: List[tuple] = []
     out_l, out_r, out_c = [], [], []
-
-    def apply_merges(word: str, rules) -> List[str]:
-        syms = list(word)
-        for l, r in rules:
-            i, out = 0, []
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
 
     for _round in range(n_merges):
         rules = tuple(merges)
@@ -579,21 +706,15 @@ def bpe_train(
         def pair_partial(batch: pa.Table, _rules=rules) -> pa.Table:
             from collections import Counter
 
-            col = pc.utf8_trim_whitespace(
-                pc.cast(pc.fill_null(batch.column(text_col), ""), pa.string())
-            )
-            split = pc.split_pattern_regex(col, r"\s+")
-            flat = pc.list_flatten(split)
-            words = Counter(
-                w
-                for w in flat.to_pylist()
-                if w and len(w) <= max_token_chars
-            )
             pairs: Counter = Counter()
-            for w, c in words.items():
-                syms = apply_merges(w, _rules)
-                for a, b in zip(syms, syms[1:]):
-                    pairs[(a, b)] += c
+            for w, c in zip(
+                batch.column("w").to_pylist(), batch.column("c").to_pylist()
+            ):
+                syms = list(w)
+                for l, r in _rules:
+                    syms = _bpe_apply_merge(syms, l, r)
+                for p in zip(syms, syms[1:]):
+                    pairs[p] += c
             if not pairs:
                 return pa.Table.from_arrays(
                     [pa.array([], type=pa.string())] * 2
@@ -611,7 +732,7 @@ def bpe_train(
             )
 
         counts = (
-            ds.map_batches(pair_partial, batch_format="pyarrow")
+            wc_ds.map_batches(pair_partial, batch_format="pyarrow")
             .groupby(["l", "r"])
             .aggregate(Sum("c", alias_name="c"))
             # deterministic argmax: count desc, then (l, r) asc

@@ -637,3 +637,37 @@ def test_filters_agg_duplicate_token_values(ray_session):
     adj = adjacency_matrix(ds, {"a1": "scan", "a2": "scan"}).to_pandas()
     gadj = dict(zip(adj["key"], adj["doc_count"]))
     assert gadj == {"a1": 1, "a2": 1, "a1&a2": 1}
+
+
+def test_bpe_train_rounds_fallback_matches_mem(ray_session):
+    """driver_word_limit=0 forces the distributed per-round path over
+    the word table; it must learn the identical rule sequence."""
+    import ray.data
+
+    from retriv_ray.ops.prep import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low newer low",
+    ]
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(2)
+    mem = bpe_train(ds, n_merges=6).to_pandas()
+    rounds = bpe_train(ds, n_merges=6, driver_word_limit=0).to_pandas()
+    assert mem.equals(rounds)
+
+
+def test_bpe_train_heap_handles_count_decreases(ray_session):
+    """A pair whose count DROPS below a rival's after a merge must not
+    win on its stale heap entry (lazy-discard correctness)."""
+    import ray.data
+
+    from retriv_ray.ops.prep import bpe_train
+
+    # 'ab' dominates round 1; merging it destroys most 'bc' pairs, so
+    # round 2's winner must be re-evaluated from fresh counts
+    texts = ["abc abc abc abd abd bc"]
+    ds = ray.data.from_items([{"text": t} for t in texts])
+    mem = bpe_train(ds, n_merges=3).to_pandas()
+    rounds = bpe_train(ds, n_merges=3, driver_word_limit=0).to_pandas()
+    assert mem.equals(rounds)
