@@ -109,6 +109,8 @@ COLLAPSE_PER_VALUE = 2
 COLLAPSE_CUTOFF = 6
 HYBRID_PAIRS = {"q1": 0, "q2": 1, "q3": 2, "q4": 3, "q5": 4}
 HYBRID_WEIGHTS = (0.7, 0.3)  # (sparse BM25, dense cosine)
+ENC_DIM = 64  # hybrid_encoded_topk: HashingEncoder(md5) dimensions
+ENC_SEED = 7
 REGEX_QUERIES = {
     "r1": "s.*n",  # scan
     "r2": "[bc].*",  # batch/big/column/customer
@@ -2498,6 +2500,60 @@ def _q_hybrid_topk(sf_dir: str):
     )
 
 
+def _q_hybrid_encoded_topk(sf_dir: str):
+    """Hybrid retrieval through the REAL encode path: documents run
+    through DenseRetriever.index_dataset (actor-pool HashingEncoder
+    in md5 mode — every hash/bucket/sign step SQL-reproducible via
+    md5_number_lower — streamed embedding shards), queries encode at
+    search time, dense cosine fuses min-max-weighted with sparse
+    BM25. Unlike hybrid_topk (which reads precomputed embeddings)
+    this exercises encode -> persist -> load -> search end-to-end."""
+    import pyarrow as pa
+    import ray.data
+
+    from retriv_ray.dense import DenseRetriever, HashingEncoder
+    from retriv_ray.merger import fuse_runs_ds
+    from retriv_ray.pipelines.documents import conv_to_doc_id
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dr = DenseRetriever(
+        index_name=f"hybenc-{tag}",
+        encoder=HashingEncoder(dim=ENC_DIM, seed=ENC_SEED, hash="md5"),
+        use_ann=False,
+    )
+    dr.index_dataset(_docs(sf_dir), id_col="doc_id", text_col="text")
+
+    rows = []
+    r = _index(sf_dir)
+    for q_id, qtext in TOPK_QUERIES.items():
+        res = r.search(qtext, cutoff=CUTOFF)
+        docs = conv_to_doc_id([c for c, _ in res.keys()])
+        for d, s in zip(docs.tolist(), res.values()):
+            rows.append(
+                {"run_idx": 0, "q_id": q_id, "doc_id": str(d), "score": float(s)}
+            )
+        dres = dr.search(qtext, return_docs=False, cutoff=CUTOFF)
+        for d, s in dres.items():
+            rows.append(
+                {"run_idx": 1, "q_id": q_id, "doc_id": str(d), "score": float(s)}
+            )
+    fused = fuse_runs_ds(
+        ray.data.from_items(rows),
+        norm="min-max",
+        weights=list(HYBRID_WEIGHTS),
+        cutoff=CUTOFF,
+    )
+    t = fused.to_pandas()
+    return pa.Table.from_arrays(
+        [
+            pa.array(t["q_id"], type=pa.string()),
+            pa.array(t["rank"].astype("int64")),
+            pa.array(t["doc_id"].astype("int64")),
+        ],
+        names=["q_id", "rank", "doc_id"],
+    )
+
+
 def _q_explain_top1(sf_dir: str):
     """Lucene-style score explanation for each query's rank-1 doc:
     per-term (tf, df, quantized BM25 contribution) rows
@@ -3102,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_local_topk": _q_federated_local_topk,
         "explain_top1": _q_explain_top1,
         "hybrid_topk": _q_hybrid_topk,
+        "hybrid_encoded_topk": _q_hybrid_encoded_topk,
         "collapse_topk": _q_collapse_topk,
         "decay_topk": _q_decay_topk,
         "sort_by_field": _q_sort_by_field,
@@ -3313,6 +3370,9 @@ def oracle_sql() -> dict[str, str]:
     _mlt_values = " , ".join(f"('m{d}', {d})" for d in MLT_DOC_IDS)
     _hybrid_values = " , ".join(
         f"('{q}', {v})" for q, v in HYBRID_PAIRS.items()
+    )
+    _topk_qtext_values = " , ".join(
+        f"('{q}', '{t}')" for q, t in TOPK_QUERIES.items()
     )
     hws, hwd = HYBRID_WEIGHTS
     _regex_values = " , ".join(
@@ -3639,6 +3699,89 @@ def oracle_sql() -> dict[str, str]:
                        qe.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
               FROM hp h JOIN embeddings qe ON qe.vec_id = h.qvec
               CROSS JOIN embeddings e),
+            bmc AS (SELECT * FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM bm) WHERE rnk <= {CUTOFF}),
+            dnc AS (SELECT * FROM (
+              SELECT q_id, doc_id, score,
+                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+              FROM sims) WHERE rnk <= {CUTOFF}),
+            bmn AS (SELECT q_id, doc_id,
+              (score - min(score) OVER (PARTITION BY q_id))
+              / greatest(max(score) OVER (PARTITION BY q_id)
+                         - min(score) OVER (PARTITION BY q_id), 1e-9) AS ns
+              FROM bmc),
+            dnn AS (SELECT q_id, doc_id,
+              (score - min(score) OVER (PARTITION BY q_id))
+              / greatest(max(score) OVER (PARTITION BY q_id)
+                         - min(score) OVER (PARTITION BY q_id), 1e-9) AS ns
+              FROM dnc),
+            fused AS (
+              SELECT coalesce(b.q_id, d.q_id) AS q_id,
+                     coalesce(b.doc_id, d.doc_id) AS doc_id,
+                     coalesce({hws} * b.ns, 0) + coalesce({hwd} * d.ns, 0) AS fs
+              FROM bmn b FULL OUTER JOIN dnn d
+              ON b.q_id = d.q_id AND b.doc_id = d.doc_id)
+            SELECT q_id, rank, doc_id FROM (
+              SELECT q_id, doc_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY fs DESC, doc_id) AS rank
+              FROM fused)
+            WHERE rank <= {CUTOFF} ORDER BY q_id, rank
+        """,
+        # hybrid through the real encode path: the HashingEncoder(md5)
+        # arithmetic — lower+split, md5_number_lower('seed:'||tok),
+        # bucket h % dim, sign bit 63, L2-normalized cosine == raw
+        # dot/(|q||d|) — reproduced term-for-term; fusion identical to
+        # hybrid_topk's min-max weighted sum
+        "hybrid_encoded_topk": f"""
+            WITH {_BASE_CTES}, {_QTERMS},
+            bm AS (
+              SELECT q.q_id, tf.doc_id,
+                sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+              FROM qterms q JOIN tf ON tf.term = q.term
+              JOIN df ON df.term = q.term JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s GROUP BY q.q_id, tf.doc_id),
+            etoks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            dv AS (
+              SELECT doc_id,
+                     (md5_number_lower('{ENC_SEED}:' || tok)
+                       % {ENC_DIM})::BIGINT AS bkt,
+                     sum(CASE WHEN ((md5_number_lower('{ENC_SEED}:' || tok)
+                           >> 63) & 1) = 1 THEN 1.0 ELSE -1.0 END) AS v
+              FROM etoks GROUP BY 1, 2),
+            dn AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM dv GROUP BY doc_id),
+            qtoks AS (
+              SELECT q_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(qtext), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM (VALUES {_topk_qtext_values}) AS q(q_id, qtext)),
+            qv AS (
+              SELECT q_id,
+                     (md5_number_lower('{ENC_SEED}:' || tok)
+                       % {ENC_DIM})::BIGINT AS bkt,
+                     sum(CASE WHEN ((md5_number_lower('{ENC_SEED}:' || tok)
+                           >> 63) & 1) = 1 THEN 1.0 ELSE -1.0 END) AS v
+              FROM qtoks GROUP BY 1, 2),
+            qn AS (SELECT q_id, sqrt(sum(v * v)) AS nn FROM qv GROUP BY q_id),
+            dots AS (
+              SELECT qv.q_id, dv.doc_id, sum(qv.v * dv.v) AS dot
+              FROM qv JOIN dv ON dv.bkt = qv.bkt GROUP BY 1, 2),
+            sims AS (
+              SELECT q.q_id, d.doc_id,
+                     coalesce(t.dot / (q.nn * dn.nn), 0.0) AS score
+              FROM (SELECT doc_id FROM documents) d
+              CROSS JOIN qn q
+              LEFT JOIN dn ON dn.doc_id = d.doc_id
+              LEFT JOIN dots t ON t.q_id = q.q_id AND t.doc_id = d.doc_id),
             bmc AS (SELECT * FROM (
               SELECT q_id, doc_id, score,
                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk

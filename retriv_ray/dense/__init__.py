@@ -41,12 +41,28 @@ from retriv_ray.merger import Merger
 
 class HashingEncoder:
     """Deterministic signed feature-hashing text encoder (float32,
-    L2-normalized). Same text -> same vector on every worker."""
+    L2-normalized). Same text -> same vector on every worker.
 
-    def __init__(self, dim: int = 256, seed: int = 42, normalize: bool = True):
+    ``hash="md5"`` uses the low 8 md5 bytes (little-endian — the
+    DuckDB ``md5_number_lower`` convention shared with the dedup
+    family), bucket ``h % dim``, sign from bit 63: every step is then
+    reproducible in SQL, so pipelines that encode with this mode get
+    exact DuckDB oracle twins. Default ``"crc32"`` keeps the original
+    artifact layout."""
+
+    def __init__(
+        self,
+        dim: int = 256,
+        seed: int = 42,
+        normalize: bool = True,
+        hash: str = "crc32",
+    ):
+        if hash not in ("crc32", "md5"):
+            raise ValueError(f"unknown hash {hash!r}")
         self.dim = dim
         self.seed = seed
         self.normalize = normalize
+        self.hash = hash
 
     def __call__(self, texts: Union[str, Sequence[str]]) -> np.ndarray:
         import zlib
@@ -55,11 +71,25 @@ class HashingEncoder:
         if single:
             texts = [texts]
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, t in enumerate(texts):
-            for tok in (t or "").lower().split():
-                h = zlib.crc32(f"{self.seed}:{tok}".encode())
-                sign = 1.0 if (h >> 31) & 1 else -1.0
-                out[i, h % self.dim] += sign
+        if self.hash == "md5":
+            from retriv_ray.ops.dedup import _md5_low64_many
+
+            for i, t in enumerate(texts):
+                toks = (t or "").lower().split()
+                if not toks:
+                    continue
+                hs = _md5_low64_many([f"{self.seed}:{tok}" for tok in toks])
+                buckets = (hs % np.uint64(self.dim)).astype(np.int64)
+                signs = np.where(
+                    (hs >> np.uint64(63)) & np.uint64(1), 1.0, -1.0
+                ).astype(np.float32)
+                np.add.at(out[i], buckets, signs)
+        else:
+            for i, t in enumerate(texts):
+                for tok in (t or "").lower().split():
+                    h = zlib.crc32(f"{self.seed}:{tok}".encode())
+                    sign = 1.0 if (h >> 31) & 1 else -1.0
+                    out[i, h % self.dim] += sign
         if self.normalize:
             n = np.linalg.norm(out, axis=1, keepdims=True)
             out /= np.maximum(n, 1e-12)

@@ -209,3 +209,32 @@ def test_ann_searcher_contract(ray_session, tmp_path):
             assert mids[r, 0] == r
     finally:
         set_base_path(old)
+
+
+def test_hashing_encoder_md5_mode_sql_reproducible():
+    """md5 mode: bucket/sign arithmetic matches the documented DuckDB
+    twin (md5_number_lower, h % dim, bit 63) token-for-token."""
+    import hashlib
+
+    import numpy as np
+
+    from retriv_ray.dense import HashingEncoder
+
+    enc = HashingEncoder(dim=16, seed=7, normalize=False, hash="md5")
+    v = enc("Alpha beta alpha")
+    want = np.zeros(16, dtype=np.float32)
+    for tok in "alpha beta alpha".split():
+        h = int.from_bytes(
+            hashlib.md5(f"7:{tok}".encode()).digest()[8:16], "little"
+        )
+        want[h % 16] += 1.0 if (h >> 63) & 1 else -1.0
+    assert np.array_equal(v, want)
+
+
+def test_hashing_encoder_mode_validation():
+    import pytest
+
+    from retriv_ray.dense import HashingEncoder
+
+    with pytest.raises(ValueError):
+        HashingEncoder(hash="sha1")
