@@ -1049,3 +1049,81 @@ def test_krovetz_vectors(word, expected):
     from retriv_ray.text.krovetz import stem as krovetz
 
     assert krovetz(word) == expected
+
+
+# -- round-5: region-discipline property tests (Hungarian-class bug
+#    guard for the reconstructed Snowball-family modules) -------------
+
+
+def _r1_of(mod, word):
+    """Adapter over each module's private region helper."""
+    if hasattr(mod, "_regions"):
+        return mod._regions(word)[0]
+    if hasattr(mod, "_r1"):
+        return mod._r1(word)
+    if hasattr(mod, "_rv"):
+        return mod._rv(word)
+    raise AttributeError(mod.__name__)
+
+
+@pytest.mark.parametrize(
+    "lang,words",
+    [
+        # consonant-only / single-VC-cluster words: R1 (or RV) spans
+        # to the word end, so every region-conditioned suffix rule is
+        # out of bounds and the word must survive verbatim even though
+        # it ENDS in an aggressive suffix from the language's table
+        ("catalan", ["ments", "ble", "cions"]),
+        ("irish", ["acht", "arcachta"[:4]]),
+        ("lithuanian", ["mas", "ts"]),
+        ("hungarian", ["ban", "nak", "stul"]),
+    ],
+)
+def test_empty_r1_blocks_suffix_removal(lang, words):
+    import importlib
+
+    mod = importlib.import_module(f"retriv_ray.text.{lang}")
+    for w in words:
+        r1 = _r1_of(mod, w)
+        if r1 < len(w):
+            continue  # region non-empty for this word: not this test
+        assert mod.stem(w) == w, (lang, w)
+
+
+def test_region_helpers_follow_snowball_definition():
+    """R1 = after the first vowel-consonant pair; spot-check each
+    reconstructed module's helper on a canonical shape."""
+    import importlib
+
+    # 'beautiful': first V run ends at 'b'? per-language vowel sets
+    # differ, so use a plain CV word: 'batona' -> R1 after 'bat' = 3
+    for lang in ("catalan", "irish"):
+        mod = importlib.import_module(f"retriv_ray.text.{lang}")
+        assert mod._regions("batona")[0] == 3, lang
+
+
+def test_basque_rv_discipline():
+    """Basque deletions are RV-conditioned: a word whose RV is empty
+    (consonant cluster head) keeps its ending."""
+    from retriv_ray.text import basque
+
+    # len >= 4 so the stemmer engages; rv >= len blocks deletion
+    w = "brtzen"
+    if basque._rv(w) >= len(w):
+        assert basque.stem(w) == w
+
+
+def test_hungarian_straddling_suffix_regression():
+    """The round-4 bug class: matches crossing the R1 boundary must
+    not fire. Empty-R1 words (no vowel: _r1 == len) ending in real
+    case suffixes survive verbatim; and _longest_in itself must
+    prefer a shorter wholly-in-R1 suffix over a longer straddler."""
+    from retriv_ray.text import hungarian
+
+    for w in ("bn", "krt", "stl"):
+        assert hungarian._r1(w) >= len(w)
+        assert hungarian.stem(w) == w
+    # direct helper check: 'xon' with r1=2 — 'on' (start 1 < 2)
+    # straddles, 'n' (start 2 >= 2) is wholly in R1 and must win
+    best = hungarian._longest_in("xon", 2, (("on", ""), ("n", "")))
+    assert best == ("n", "")
