@@ -267,21 +267,27 @@ class LoadedIndex:
             self.shards = [s for s in self.shards if s0 <= s <= s1]
         # (shard, part) -> {term -> encoded row tuple}
         self._seg_cache: Dict[Tuple[int, int], Dict[str, tuple]] = {}
-        # term -> decoded (doc_ids, tfs)
+        # term -> decoded (doc_ids, tfs). LRU (hit re-inserts at the
+        # back), byte-capped. The cap must scale with corpus size: at
+        # 1.65M docs a Zipf-head term decodes to ~6 MB, so the old
+        # 256 MB FIFO thrashed and every query re-paid varint decode
+        # (profiled 4.5 ms/query). Serving fleets shard the corpus, so
+        # a per-actor GB-class hot set is the intended steady state.
+        cache_mb = int(os.environ.get("GRAFT_SEARCH_CACHE_MB", "1024"))
         self._post_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._post_bytes = 0
-        self.post_cache_cap = 256 << 20
+        self.post_cache_cap = cache_mb << 20
         # term -> concatenated encoded row (bytes + block metadata);
         # used by the block-max pruned path
         self._enc_cache: Dict[str, tuple] = {}
         self._enc_bytes = 0
-        self.enc_cache_cap = 256 << 20
+        self.enc_cache_cap = cache_mb << 20
         # (model, b, k1, dtype, term) -> float64 contribution vector;
-        # byte-capped FIFO (hot Zipf terms dominate query mixes, so
+        # byte-capped LRU (hot Zipf terms dominate query mixes, so
         # even a small cap removes most per-query float math).
         self._contrib_cache: Dict[tuple, np.ndarray] = {}
         self._contrib_bytes = 0
-        self.contrib_cache_cap = 256 << 20
+        self.contrib_cache_cap = cache_mb << 20
         self._tombstone_ranges: Optional[tuple] = False  # False = unloaded
 
     @property
@@ -317,6 +323,7 @@ class LoadedIndex:
         key = (model, b, k1, dtype, term)
         hit = self._contrib_cache.get(key)
         if hit is not None:
+            self._contrib_cache[key] = self._contrib_cache.pop(key)  # LRU
             return hit
         d, f = self.get_postings(term)
         # shard view: postings are a slice, so df must come from the
@@ -380,6 +387,7 @@ class LoadedIndex:
         tf_blens) with numpy metadata arrays."""
         hit = self._enc_cache.get(term)
         if hit is not None:
+            self._enc_cache[term] = self._enc_cache.pop(term)  # LRU touch
             return hit
         part = term_part(term, self.num_parts)
         partials = []
@@ -412,6 +420,7 @@ class LoadedIndex:
     def get_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
         hit = self._post_cache.get(term)
         if hit is not None:
+            self._post_cache[term] = self._post_cache.pop(term)  # LRU touch
             return hit
         enc = self._encoded(term)
         if enc is None:
@@ -678,9 +687,11 @@ class RaySparseRetriever:
         pool holds a bounded number of index replicas (each actor
         loads once, caches postings/contributions across calls);
         raw tasks would respawn index state on whichever worker they
-        landed on and balloon memory. Replicas default to cpus/4:
-        scoring is memory-bandwidth bound, so more replicas than that
-        regress wall time AND multiply resident index memory.
+        landed on and balloon memory. Replicas default to cpus/2
+        (x num_cpus=2 = full subscription): after the fast-OR kernel
+        and LRU posting caches the per-query bandwidth dropped enough
+        that the pool scales to the full machine (swept 8/12/16 at
+        164k and 1.65M docs; 16 won both, 1.6-1.9x over 8).
         """
         pool = self._pool(cutoff, num_replicas)
         import ray
@@ -709,7 +720,7 @@ class RaySparseRetriever:
             return self._pool_actors
         if num_replicas is None:
             cpus = int(ray.cluster_resources().get("CPU", 4))
-            num_replicas = max(1, cpus // 4)
+            num_replicas = max(1, cpus // 2)
         scorer_cls = ray.remote(num_cpus=2)(_QueryScorer)
         self._pool_actors = [
             scorer_cls.remote(self.index_dir, self.cfg.to_json(), cutoff)
