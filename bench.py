@@ -36,7 +36,7 @@ CONVS_PER_SF = 150_000  # heavy profile: ~11 turns/conv, ~80 tok/turn
 SCALING_CONVS = int(
     os.environ.get("GRAFT_SCALING_CONVS", "600000")
 )  # --scaling input: ~6.6M turns / ~520M tokens at the default
-WARMUP_CONVS = 200
+WARMUP_CONVS = 2000  # big enough to spawn the full reduce fan-out
 N_QUERIES = 1000
 N_LATENCY_QUERIES = 200
 CUTOFF = 100
@@ -145,13 +145,18 @@ def main() -> None:
 
     # warmup: tiny build exercises every codepath (actor pool, shuffle,
     # merge) once, so the timed build below measures steady-state
-    # throughput — the quantity that scales with cluster size.
+    # throughput — the quantity that scales with cluster size. It must
+    # run with the SAME shape as the timed build (default num_parts ->
+    # the full 128-bucket reduce fan-out): a 4-part warmup left the
+    # timed build paying first-touch costs for the real reduce
+    # pathways (measured ~1.5 s on the 16-cpu scaling leg — back-to-
+    # back builds in one session run 0.74 ratio first, 0.84 steady).
     warm_src = os.path.join(BENCH_ROOT, f"transcripts_heavy_{WARMUP_CONVS}")
     _ensure_input(warm_src, WARMUP_CONVS)
     t0 = time.monotonic()
     build_index(
         warm_src, os.path.join(BENCH_ROOT, "warmup_index"),
-        SparseConfig(), num_parts=4, resume=False,
+        SparseConfig(), resume=False,
     )
     # The tiny warmup build spawns only a handful of tasks, so on an
     # N-cpu session most of the N Ray worker processes would cold-start
