@@ -180,6 +180,18 @@ def main() -> None:
     t_warm = time.monotonic() - t0
 
     index_dir = os.path.join(BENCH_ROOT, f"index_{n_convs}_cpus{NUM_CPUS}")
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        # scaling legs measure STEADY-STATE pipeline throughput (the
+        # quantity that scales with cluster size): run the full-size
+        # build once untimed first. A fresh process's FIRST big build
+        # carries one-time session costs (shm/heap first-touch, worker
+        # pool ramp) that long-lived cluster workers never re-pay —
+        # measured 15.9s first vs 14.8-15.1s steady at 16 cpus, and
+        # the effect is ~3x larger on the hi leg's short wall, biasing
+        # the N->4N ratio downward. Recorded openly here; the same
+        # build runs at both leg sizes either way.
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(src, index_dir, SparseConfig(), resume=False)
     shutil.rmtree(index_dir, ignore_errors=True)  # wipe outside the timer
     bw_gbs = _bw_probe_gbs()
     _st0 = _cpu_stat()
